@@ -1,0 +1,104 @@
+"""Transcript sources.
+
+``read_transcripts`` — the plain source: a pruned Parquet read of a
+table already in the input-hint shape (conv_id, turn_idx, role, text,
+tool, ts). This is the "receiver" of the batch engine (the OTLP
+receiver's only data-plane job is to hand complete batches downstream —
+receiver/otlpreceiver/internal/logs/otlp.go:28-41; here the filesystem
+hands us Arrow row groups).
+
+``transcripts_from_events`` — a deterministic, SQL-mirrorable derivation
+of a transcript-shaped table from the testdata ``events`` table, used by
+the driver's DuckDB correctness oracle. Every expression is chosen to be
+bit-reproducible in both engines (integer arithmetic, string concat,
+``floor`` on doubles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..schema import TRANSCRIPT_SCHEMA
+
+# event_type → (level, role, tool): the fixed classification used to
+# project events into the transcript shape. Mirrored verbatim in the
+# oracle SQL (``oracle.TRANSCRIPTS_SQL``).
+EVENT_LEVEL = {
+    "error": "ERROR",
+    "signup": "WARN",
+    "purchase": "INFO",
+    "click": "DEBUG",
+    "view": "DEBUG",
+}
+EVENT_ROLE = {
+    "error": "tool",
+    "signup": "system",
+    "purchase": "assistant",
+    "click": "user",
+    "view": "user",
+}
+EVENT_TOOL = {
+    "error": "bash",
+    "signup": "",
+    "purchase": "sql",
+    "click": "",
+    "view": "",
+}
+
+
+def read_transcripts(paths, **kwargs) -> ray.data.Dataset:
+    """Read a transcript Parquet corpus (column-pruned to the model)."""
+    cols = kwargs.pop("columns", [f.name for f in TRANSCRIPT_SCHEMA])
+    return ray.data.read_parquet(paths, columns=cols, **kwargs)
+
+
+def _derive_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-user derivation: sort by (ts, event_id), number the turns.
+
+    Runs inside ``groupby("user_id").map_groups`` — the one genuine
+    shuffle of the derivation (row_number over a partition needs
+    co-located, ordered groups). user_id is the conv key → same
+    partitioning key the rest of the pipeline reuses.
+    """
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    uid = g["user_id"].to_numpy()
+    et = g["event_type"]
+    level = et.map(EVENT_LEVEL).to_numpy(dtype=object)
+    latency = np.floor(g["value"].to_numpy()).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "conv_id": np.char.add(
+                "conv-", np.char.zfill(uid.astype("U8"), 8)
+            ),
+            "turn_idx": np.arange(len(g), dtype=np.int32),
+            "role": et.map(EVENT_ROLE).to_numpy(dtype=object),
+            "text": (
+                "[" + pd.Series(level, index=g.index).astype(str) + "] action="
+                + et.astype(str)
+                + " latency_ms=" + pd.Series(latency, index=g.index).astype(str)
+                + " msg=" + g["props"].astype(str)
+            ),
+            "tool": et.map(EVENT_TOOL).to_numpy(dtype=object),
+            "ts": g["ts"].to_numpy(),
+        }
+    )
+    return out
+
+
+def transcripts_from_events(sf_dir: str) -> ray.data.Dataset:
+    """events.parquet → transcript table (conv_id, turn_idx, role, text,
+    tool, ts); deterministic and order-stable at any parallelism.
+
+    conv_id = 'conv-' || zero-padded user_id; turn_idx = rank of the
+    event within its user by (ts, event_id); text is a grok-parseable
+    composition ``[LEVEL] action=<event_type> latency_ms=<floor(value)>
+    msg=<props>``.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    return ds.groupby("user_id").map_groups(_derive_group, batch_format="pandas")

@@ -1,0 +1,67 @@
+"""obsreport-style pipeline telemetry.
+
+The reference records monotonic counters per component via paired
+Start/End ops (obsreport/obsreport_receiver.go, obsreport_exporter.go)
+with fixed names: receiver ``accepted_log_records`` /
+``refused_log_records`` (internal/obsreportconfig/obsmetrics/
+obs_receiver.go:31-45), processor ``accepted/refused/dropped``
+(obs_processor.go:24-33), exporter ``sent_log_records`` /
+``send_failed_log_records`` (obs_exporter.go:24-39).
+
+Ray restatement: ONE named counter actor per run. Stages do NOT call it
+per batch (an actor RPC per batch would serialize the pipeline);
+instead the driver records stage-level row counts (Dataset counts /
+aggregate results) after each consuming operation — same monotonic
+counter surface, no data-plane overhead. In batch mode ``refused`` and
+``dropped`` are structural zeros (backpressure replaces refusal —
+memorylimiterprocessor/memorylimiter.go:218-235 has no analogue because
+the streaming executor never overcommits).
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+@ray.remote(num_cpus=0)
+class MetricsActor:
+    """Named monotonic-counter actor (the process-global otel meter
+    instruments of the reference, minus the process)."""
+
+    def __init__(self):
+        self._counters: dict[str, int] = {}
+
+    def add(self, name: str, value: int = 1) -> None:
+        self._counters[name] = self._counters.get(name, 0) + int(value)
+
+    def add_many(self, updates: dict[str, int]) -> None:
+        for name, value in updates.items():
+            self._counters[name] = self._counters.get(name, 0) + int(value)
+
+    def get(self, name: str) -> int:
+        return self._counters.get(name, 0)
+
+    def snapshot(self) -> dict[str, int]:
+        return dict(self._counters)
+
+
+def get_metrics_actor(run_id: str = "default"):
+    """Get-or-create the named metrics actor for a run."""
+    name = f"otel_ray_metrics_{run_id}"
+    return MetricsActor.options(name=name, get_if_exists=True).remote()
+
+
+def receiver_accepted(signal: str = "log_records") -> str:
+    return f"receiver/accepted_{signal}"
+
+
+def exporter_sent(sink: str, signal: str = "log_records") -> str:
+    return f"exporter/{sink}/sent_{signal}"
+
+
+def exporter_send_failed(sink: str, signal: str = "log_records") -> str:
+    return f"exporter/{sink}/send_failed_{signal}"
+
+
+def processor_dropped(stage: str, signal: str = "log_records") -> str:
+    return f"processor/{stage}/dropped_{signal}"
