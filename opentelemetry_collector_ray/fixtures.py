@@ -109,6 +109,17 @@ def _compose_text(level, action, latency, lorem) -> np.ndarray:
     return out.astype(object)
 
 
+def _write_shard(out_dir: str, f: int, start: int, cnt: int) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = gen_transcripts(cnt, start_conv=start)
+    p = os.path.join(out_dir, f"part-{f:05d}.parquet")
+    pq.write_table(tbl, p)
+    return p
+
+
 def write_transcript_corpus(
     out_dir: str, n_conv: int, files: int = 8
 ) -> list[str]:
@@ -116,20 +127,26 @@ def write_transcript_corpus(
 
     Shards split the conversation range evenly → deterministic layout
     for the checkpoint/resume tests (each shard = one input partition,
-    the persistent-queue item analogue).
+    the persistent-queue item analogue). Shards are generated in
+    parallel as Ray tasks when a Ray session is up (content is a pure
+    function of the conversation range, so parallelism cannot change
+    the corpus).
     """
     import os
 
-    import pyarrow.parquet as pq
-
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
     per = n_conv // files
+    plan = []
     for f in range(files):
         start = f * per
         cnt = per if f < files - 1 else n_conv - start
-        tbl = gen_transcripts(cnt, start_conv=start)
-        p = os.path.join(out_dir, f"part-{f:05d}.parquet")
-        pq.write_table(tbl, p)
-        paths.append(p)
-    return paths
+        plan.append((f, start, cnt))
+
+    import ray
+
+    if ray.is_initialized():
+        task = ray.remote(_write_shard)
+        return ray.get(
+            [task.remote(out_dir, f, s, c) for f, s, c in plan]
+        )
+    return [_write_shard(out_dir, f, s, c) for f, s, c in plan]

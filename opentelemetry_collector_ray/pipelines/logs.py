@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..stages.enrich import enrich_batch
 from ..stages.parse import parse_batch
@@ -43,11 +42,20 @@ def _partial_sink_counts(batch: pa.Table) -> pa.Table:
     return counts.rename_columns(["sink", "n"])
 
 
-def sink_counts(enriched: ray.data.Dataset) -> ray.data.Dataset:
+def sink_counts(enriched: ray.data.Dataset):
     """Per-sink routed record counts — the exporter ``sent_log_records``
-    numbers (obsmetrics/obs_exporter.go:37) as a dataset (sink, n)."""
+    numbers (obsmetrics/obs_exporter.go:37) as a pandas frame (sink, n).
+
+    Combiner pattern: each block contributes ≤|sinks| partial rows, so
+    the final combine is O(sinks × blocks) — small enough to finish on
+    the driver (no all-to-all shuffle; at 10^6 blocks this is a few
+    million tiny rows, still driver-sized; a ``groupby("sink")`` would
+    shuffle the same partials through a full sort exchange for no win).
+    """
     partials = enriched.map_batches(_partial_sink_counts, batch_format="pyarrow")
-    return partials.groupby("sink").aggregate(Sum("n", alias_name="n"))
+    pdf = partials.to_pandas()
+    out = pdf.groupby("sink", as_index=False)["n"].sum()
+    return out.sort_values("sink", kind="mergesort").reset_index(drop=True)
 
 
 def run_logs_pipeline(
