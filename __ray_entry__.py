@@ -125,6 +125,239 @@ def q_route_latency_agg(sf_dir: str):
     )
 
 
+# ------------------------------------------------ collector-op extras
+def q_attributes_transform(sf_dir: str):
+    """attributesprocessor action list over events (upsert/rename/
+    extract/delete/hash — docs/processing.md:36-50 semantics)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.attributes import AttributesStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    stage = AttributesStage(
+        [
+            {"action": "upsert", "key": "env", "value": "prod"},
+            {"action": "rename", "key": "value", "to": "amount"},
+            {
+                "action": "extract",
+                "key": "props",
+                "pattern": r'"k": (?P<k_val>\d+)',
+            },
+            {"action": "delete", "key": "props"},
+            {"action": "hash", "key": "user_id"},
+        ]
+    )
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def q_batch_rebatch(sf_dir: str):
+    """batch processor analogue: re-block to ≤2048-row batches; content
+    must be invariant (count/schema/rows identical)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.batch import rebatch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    return rebatch(ds, 2048)
+
+
+# ------------------------------------------------ training-data ops
+def q_dedup_exact(sf_dir: str):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(ds, col="text", id_col="doc_id")
+
+
+def q_token_stats(sf_dir: str):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import token_stats_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "avg_word_len"]
+    )
+
+
+def q_quality(sf_dir: str):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import quality_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(quality_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "stopword_count", "stopword_ratio", "quality_score"]
+    )
+
+
+def q_jaccard_pairs(sf_dir: str):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import jaccard_pairs_blocked
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return jaccard_pairs_blocked(ds, block_col="lang", threshold=0.5)
+
+
+def q_sessionize(sf_dir: str):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.window import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ds, gap_minutes=30).select_columns(
+        ["user_id", "session_id", "n_events", "start_ts", "end_ts"]
+    )
+
+
+def q_tumbling_hourly(sf_dir: str):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.window import tumbling_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return tumbling_counts(ds, unit="hour")
+
+
+def q_top_users(sf_dir: str):
+    """sort + limit: top 10 users by event count (tie → lower user_id)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    counts = ds.groupby("user_id").count().rename_columns({"count()": "n"})
+    top = counts.sort(["n", "user_id"], descending=[True, False]).limit(10)
+    return top
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors = embeddings 0..4."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import brute_force_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qtbl = tbl.filter(pa.compute.less(tbl["vec_id"], 5))
+    queries = {
+        int(i): v
+        for i, v in zip(
+            qtbl["vec_id"].to_pylist(), qtbl["embedding"].to_pylist()
+        )
+    }
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(ds, queries, k=10)
+
+
+# -------------------------------- non-SQL-expressible (rows-only gate)
+def q_minhash_pairs(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import (
+        minhash_candidates,
+        verify_jaccard_pairs,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cands = minhash_candidates(docs)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lookup = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    ref = ray.put(lookup)
+    return verify_jaccard_pairs(cands, ref, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import SimHashStage
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        SimHashStage, batch_format="pyarrow", concurrency=2
+    ).select_columns(["doc_id", "simhash"])
+
+
+def q_langid(sf_dir: str):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import LangIdStage
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ds.map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=2
+    ).select_columns(["doc_id", "lang", "lang_pred", "lang_conf"])
+
+
+def q_fingerprint(sf_dir: str):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import fingerprint_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+def q_lsh_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import lsh_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qtbl = tbl.filter(pa.compute.less(tbl["vec_id"], 5))
+    queries = {
+        int(i): v
+        for i, v in zip(
+            qtbl["vec_id"].to_pylist(), qtbl["embedding"].to_pylist()
+        )
+    }
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(ds, queries, k=10, bits=4)
+
+
+def q_media_decode(sf_dir: str):
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.multimodal import (
+        DecodeStage,
+        synth_media_table,
+    )
+
+    media = ray.data.from_arrow(synth_media_table(256))
+    out = media.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"fake_decode": True},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    return out.select_columns(["media_id", "media_type", "decoded_ok", "feat_dim"])
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "transcripts": q_transcripts,
     "parse": q_parse,
@@ -134,6 +367,22 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "errors_sink": q_errors_sink,
     "filter_severity": q_filter_severity,
     "route_latency_agg": q_route_latency_agg,
+    "attributes_transform": q_attributes_transform,
+    "batch_rebatch": q_batch_rebatch,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "jaccard_pairs": q_jaccard_pairs,
+    "sessionize": q_sessionize,
+    "tumbling_hourly": q_tumbling_hourly,
+    "top_users": q_top_users,
+    "ann_topk": q_ann_topk,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "lsh_topk": q_lsh_topk,
+    "media_decode": q_media_decode,
 }
 
 
@@ -178,4 +427,79 @@ def oracle_sql() -> dict[str, str]:
             "cast(sum(latency_ms) AS bigint) AS sum_latency "
             "FROM enriched GROUP BY route"
         ),
+        "attributes_transform": (
+            "SELECT event_id, ts, event_type, value AS amount, "
+            "'prod' AS env, "
+            "regexp_extract(props, '\"k\": (\\d+)', 1) AS k_val, "
+            "md5(cast(user_id AS varchar)) AS user_id FROM events"
+        ),
+        "batch_rebatch": "SELECT event_id, event_type FROM events",
+        "dedup_exact": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"
+        ),
+        "token_stats": (
+            "SELECT doc_id, "
+            "cast(len(regexp_extract_all(text, '\\S+')) AS bigint) AS n_tokens, "
+            "cast(length(regexp_replace(text, '\\s', '', 'g')) AS double) / "
+            "cast(greatest(len(regexp_extract_all(text, '\\S+')), 1) AS double)"
+            " AS avg_word_len FROM documents"
+        ),
+        "quality": (
+            "WITH f AS (SELECT doc_id, "
+            "cast(len(regexp_extract_all(text, "
+            "'\\b(?:the|a|of|to|and|in|is|it)\\b')) AS bigint) AS stopword_count, "
+            "cast(len(regexp_extract_all(text, '\\S+')) AS bigint) AS n_tokens "
+            "FROM documents) "
+            "SELECT doc_id, stopword_count, "
+            "cast(stopword_count AS double) / "
+            "cast(greatest(n_tokens, 1) AS double) AS stopword_ratio, "
+            "cast(n_tokens >= 20 AS bigint) + cast(stopword_count > 0 AS bigint)"
+            " AS quality_score FROM f"
+        ),
+        "jaccard_pairs": (
+            "WITH d AS (SELECT doc_id, lang, "
+            "list_distinct(regexp_split_to_array(text, '\\s+')) AS words "
+            "FROM documents) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+            "WHERE cast(len(list_intersect(a.words, b.words)) AS double) / "
+            "cast(len(list_distinct(list_concat(a.words, b.words))) AS double)"
+            " >= 0.5"
+        ),
+        "sessionize": (
+            "WITH e AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+            "AS new_sess FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, sum(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM e) "
+            "SELECT user_id, cast(session_id AS bigint) AS session_id, "
+            "count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts "
+            "FROM s GROUP BY user_id, session_id"
+        ),
+        "tumbling_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "count(*) AS n FROM events GROUP BY 1, 2"
+        ),
+        "top_users": (
+            "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
+            "ORDER BY n DESC, user_id LIMIT 10"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "WHERE vec_id < 5), "
+            "s AS (SELECT q.query_id, v.vec_id, "
+            "list_cosine_similarity(cast(q.embedding AS DOUBLE[]), "
+            "cast(v.embedding AS DOUBLE[])) AS score "
+            "FROM q CROSS JOIN embeddings v) "
+            "SELECT query_id, cast(row_number() OVER "
+            "(PARTITION BY query_id ORDER BY score DESC, vec_id) AS bigint) "
+            'AS "rank", vec_id FROM s QUALIFY "rank" <= 10'
+        ),
+        # minhash_pairs / simhash / langid / fingerprint / lsh_topk /
+        # media_decode are intentionally omitted: probabilistic /
+        # model-style / synthetic-input operators → rows-only gate.
     }

@@ -1,0 +1,176 @@
+"""Attributes stage — the collector's attribute-mutation processor family.
+
+Reference semantics: the contrib attributes/resource processors execute a
+list of actions over ``pcommon.Map`` (docs/processing.md:36-50,151-205;
+primitive API pdata/pcommon/map.go:76-160 — ``PutStr``/``Remove``/
+``RemoveIf``/upsert) — insert (only if absent), update (only if
+present), upsert, delete, rename, hash, extract (regex → new
+attributes), keep_keys, replace_pattern.
+
+Here attributes are flat Arrow columns, so each action is a vectorized
+column operation; an ``AttributesStage`` holds a compiled action list
+(validated once per actor) and applies it per batch. ``hash`` uses md5
+hex (DuckDB ``md5()``-compatible so the oracle can mirror it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_VALID = {
+    "insert",
+    "update",
+    "upsert",
+    "delete",
+    "rename",
+    "hash",
+    "extract",
+    "keep_keys",
+    "replace_pattern",
+}
+
+
+@dataclass
+class Action:
+    action: str
+    key: str | None = None
+    value: object | None = None
+    to: str | None = None
+    pattern: str | None = None
+    replacement: str | None = None
+    keys: list[str] = field(default_factory=list)
+
+    def validate(self) -> None:
+        if self.action not in _VALID:
+            raise ValueError(f"unknown attributes action: {self.action!r}")
+        if self.action in {"insert", "update", "upsert"} and (
+            self.key is None or self.value is None
+        ):
+            raise ValueError(f"{self.action} needs key and value")
+        if self.action in {"delete", "hash"} and self.key is None:
+            raise ValueError(f"{self.action} needs key")
+        if self.action == "rename" and (self.key is None or self.to is None):
+            raise ValueError("rename needs key and to")
+        if self.action == "extract" and (
+            self.key is None or self.pattern is None
+        ):
+            raise ValueError("extract needs key and pattern")
+        if self.action == "keep_keys" and not self.keys:
+            raise ValueError("keep_keys needs keys")
+        if self.action == "replace_pattern" and (
+            self.key is None
+            or self.pattern is None
+            or self.replacement is None
+        ):
+            raise ValueError("replace_pattern needs key, pattern, replacement")
+
+
+def _const_column(value, length: int) -> pa.Array:
+    return pa.array([value] * length)
+
+
+def _md5_hex(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """md5 hexdigest per value (null-preserving). hashlib releases the
+    GIL-ish overhead per string but runs at C speed; matches DuckDB
+    ``md5(x)`` so oracles can verify."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+        col = pc.cast(col, pa.string())
+    vals = col.to_numpy(zero_copy_only=False)
+    out = np.empty(len(vals), dtype=object)
+    for i, v in enumerate(vals):
+        out[i] = None if v is None else hashlib.md5(v.encode()).hexdigest()
+    return pa.array(out, type=pa.string())
+
+
+def apply_actions(batch: pa.Table, actions: list[Action]) -> pa.Table:
+    for a in actions:
+        names = batch.column_names
+        if a.action == "insert":
+            if a.key not in names:
+                batch = batch.append_column(
+                    a.key, _const_column(a.value, len(batch))
+                )
+        elif a.action == "update":
+            if a.key in names:
+                batch = batch.set_column(
+                    names.index(a.key),
+                    a.key,
+                    _const_column(a.value, len(batch)),
+                )
+        elif a.action == "upsert":
+            if a.key in names:
+                batch = batch.set_column(
+                    names.index(a.key),
+                    a.key,
+                    _const_column(a.value, len(batch)),
+                )
+            else:
+                batch = batch.append_column(
+                    a.key, _const_column(a.value, len(batch))
+                )
+        elif a.action == "delete":
+            if a.key in names:
+                batch = batch.drop_columns([a.key])
+        elif a.action == "rename":
+            if a.key in names:
+                batch = batch.rename_columns(
+                    [a.to if n == a.key else n for n in names]
+                )
+        elif a.action == "hash":
+            if a.key in names:
+                batch = batch.set_column(
+                    names.index(a.key), a.key, _md5_hex(batch[a.key])
+                )
+        elif a.action == "extract":
+            col = batch[a.key]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            extracted = pc.extract_regex(col, a.pattern)
+            ok = extracted.is_valid()
+            null_str = pa.scalar(None, type=pa.string())
+            for i in range(extracted.type.num_fields):
+                fname = extracted.type.field(i).name
+                fcol = pc.if_else(ok, extracted.field(i), null_str)
+                if fname in batch.column_names:
+                    batch = batch.set_column(
+                        batch.column_names.index(fname), fname, fcol
+                    )
+                else:
+                    batch = batch.append_column(fname, fcol)
+        elif a.action == "keep_keys":
+            keep = [n for n in names if n in set(a.keys)]
+            batch = batch.select(keep)
+        elif a.action == "replace_pattern":
+            if a.key in names:
+                col = batch[a.key]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                batch = batch.set_column(
+                    names.index(a.key),
+                    a.key,
+                    pc.replace_substring_regex(
+                        col, pattern=a.pattern, replacement=a.replacement
+                    ),
+                )
+    return batch
+
+
+class AttributesStage:
+    """Actor-pool stage: action list parsed/validated once per actor."""
+
+    def __init__(self, actions: list[dict | Action]):
+        self.actions = [
+            a if isinstance(a, Action) else Action(**a) for a in actions
+        ]
+        for a in self.actions:
+            a.validate()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return apply_actions(batch, self.actions)

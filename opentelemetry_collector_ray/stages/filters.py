@@ -1,0 +1,114 @@
+"""Filter stage — the filterprocessor / drop idiom.
+
+Reference: predicate-based record removal (docs/processing.md:46,205-210
+``drop() where attrs[...] == x``; primitive ``pcommon.Map.RemoveIf``,
+pdata/pcommon/map.go:89-105). The collector also has the
+``ErrSkipProcessingData`` sentinel that drops a whole batch
+(processor/processorhelper/logs.go:62-66) — here a filter returning an
+empty table is exactly that.
+
+Predicates are simple (column, op, value) triples compiled once into
+pyarrow.compute expressions — one vectorized kernel call per batch, and
+the same triples can be pushed down to ``read_parquet(filter=...)``
+when the filter is the first stage after the source.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+_OPS = {
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+    "in": None,  # handled specially
+    "not_in": None,
+    "matches": None,  # regex
+}
+
+
+def _mask(batch: pa.Table, col: str, op: str, value) -> pa.ChunkedArray:
+    c = batch[col]
+    if op == "in":
+        return pc.is_in(c, value_set=pa.array(value))
+    if op == "not_in":
+        return pc.invert(pc.is_in(c, value_set=pa.array(value)))
+    if op == "matches":
+        cc = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return pc.match_substring_regex(cc, value)
+    fn = _OPS.get(op)
+    if fn is None:
+        raise ValueError(f"unknown filter op: {op!r}")
+    return fn(c, value)
+
+
+class FilterStage:
+    """Keep rows matching ALL of ``include`` and NONE of ``exclude``.
+
+    Mirrors the include/exclude match-properties shape of the collector
+    filter processors. Null comparisons evaluate to null → treated as
+    no-match (dropped by include, kept by exclude), same as SQL.
+    """
+
+    def __init__(self, include=None, exclude=None):
+        self.include = [tuple(p) for p in (include or [])]
+        self.exclude = [tuple(p) for p in (exclude or [])]
+        for colname, op, _ in self.include + self.exclude:
+            if op not in _OPS:
+                raise ValueError(f"unknown filter op: {op!r}")
+            if not isinstance(colname, str):
+                raise ValueError("filter column must be a string")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = None
+        for colname, op, value in self.include:
+            m = pc.fill_null(_mask(batch, colname, op, value), False)
+            mask = m if mask is None else pc.and_(mask, m)
+        for colname, op, value in self.exclude:
+            m = pc.fill_null(_mask(batch, colname, op, value), False)
+            m = pc.invert(m)
+            mask = m if mask is None else pc.and_(mask, m)
+        if mask is None:
+            return batch
+        return batch.filter(mask)
+
+    def to_parquet_filter(self):
+        """Pushdown form for ``read_parquet(filter=...)`` — only valid
+        when every predicate is a simple comparison (no regex)."""
+        expr = None
+        for colname, op, value in self.include:
+            if op in {"matches"}:
+                return None
+            f = pads.field(colname)
+            e = {
+                "==": f == value,
+                "!=": f != value,
+                "<": f < value,
+                "<=": f <= value,
+                ">": f > value,
+                ">=": f >= value,
+                "in": f.isin(value) if op == "in" else None,
+                "not_in": ~f.isin(value) if op == "not_in" else None,
+            }[op]
+            expr = e if expr is None else expr & e
+        for colname, op, value in self.exclude:
+            if op in {"matches"}:
+                return None
+            f = pads.field(colname)
+            e = {
+                "==": f == value,
+                "!=": f != value,
+                "<": f < value,
+                "<=": f <= value,
+                ">": f > value,
+                ">=": f >= value,
+                "in": f.isin(value) if op == "in" else None,
+                "not_in": ~f.isin(value) if op == "not_in" else None,
+            }[op]
+            expr = ~e if expr is None else expr & ~e
+        return expr

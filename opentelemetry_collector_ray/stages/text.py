@@ -1,0 +1,174 @@
+"""Text-analysis stages for training-data pipelines over ``documents``.
+
+Beyond the reference's operator set (these are the large-scale
+training-data extensions the engine is for): token counting, quality
+scoring, language ID, and document fingerprinting. All per-batch
+vectorized; the language-ID model is per-actor state (the stateful
+actor-pool idiom).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ------------------------------------------------------------ tokens
+
+
+def token_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append n_tokens (whitespace-run tokens) and avg_word_len.
+
+    Definitions chosen to be DuckDB-mirrorable exactly:
+    ``n_tokens = array_length(regexp_extract_all(text, '\\S+'))``;
+    ``avg_word_len = sum(len of non-space chars) / n_tokens`` (float64
+    IEEE division, bit-stable across engines).
+    """
+    text = batch[col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_tokens = pc.count_substring_regex(text, r"\S+")
+    n_tokens = pc.cast(n_tokens, pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_spaces = pc.cast(pc.count_substring_regex(text, r"\s"), pa.int64())
+    nonspace = pc.subtract(n_chars, n_spaces)
+    avg = pc.divide(
+        pc.cast(nonspace, pa.float64()),
+        pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64()),
+    )
+    return (
+        batch.append_column("n_tokens", n_tokens)
+        .append_column("avg_word_len", avg)
+    )
+
+
+# ----------------------------------------------------------- quality
+
+_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it"]
+
+
+def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append quality-score features: stopword_ratio and a composite
+    quality bucket (short/low-stopword docs score low) — the
+    heuristic-quality-filter idiom of web-scale corpus pipelines.
+
+    stopword_count is DuckDB-mirrorable:
+    ``array_length(regexp_extract_all(text, '\\b(the|a|of|to|and|in|is|it)\\b'))``.
+    """
+    text = batch[col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    pattern = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+    stop_n = pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
+    n_tokens = pc.cast(
+        pc.count_substring_regex(text, r"\S+"), pa.int64()
+    )
+    ratio = pc.divide(
+        pc.cast(stop_n, pa.float64()),
+        pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64()),
+    )
+    # quality bucket: integer, safe to hash-compare.
+    long_enough = pc.greater_equal(n_tokens, 20)
+    has_stop = pc.greater(stop_n, 0)
+    score = pc.add(
+        pc.cast(long_enough, pa.int64()), pc.cast(has_stop, pa.int64())
+    )
+    return (
+        batch.append_column("stopword_count", stop_n)
+        .append_column("stopword_ratio", ratio)
+        .append_column("quality_score", score)
+    )
+
+
+# ------------------------------------------------------------ langid
+
+
+class LangIdStage:
+    """Heuristic language ID: character/stopword profile scoring.
+
+    Stateful actor-pool stage — profiles built once per actor in
+    ``__init__`` (the model-load idiom). This container has no real
+    langid model; profiles are small deterministic stopword sets per
+    language, scored vectorized via one regex count per language.
+    Output: ``lang_pred`` + ``lang_conf``.
+    """
+
+    PROFILES = {
+        "en": ["the", "and", "of", "is"],
+        "es": ["el", "la", "de", "que"],
+        "de": ["der", "die", "und", "das"],
+        "fr": ["le", "la", "et", "les"],
+        "zh": ["de", "le", "shi", "bu"],
+    }
+
+    def __init__(self):
+        self.patterns = {
+            lang: r"\b(" + "|".join(words) + r")\b"
+            for lang, words in self.PROFILES.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        langs = list(self.patterns)
+        scores = np.stack(
+            [
+                pc.count_substring_regex(text, self.patterns[lang]).to_numpy()
+                for lang in langs
+            ],
+            axis=1,
+        ).astype(np.float64)
+        totals = scores.sum(axis=1)
+        best = scores.argmax(axis=1)
+        pred = np.asarray(langs, dtype=object)[best]
+        conf = np.where(totals > 0, scores.max(axis=1) / np.maximum(totals, 1), 0.0)
+        return batch.append_column(
+            "lang_pred", pa.array(pred, type=pa.string())
+        ).append_column("lang_conf", pa.array(conf, type=pa.float64()))
+
+
+# ------------------------------------------------------- fingerprint
+
+_FP_MOD = np.uint64((1 << 31) - 1)  # Mersenne prime: products fit uint64
+_FP_BASE = np.uint64(257)
+_FP_POW_CACHE = np.array([1], dtype=np.uint64)
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    """B^0..B^{n-1} mod p, grown on demand and cached per process."""
+    global _FP_POW_CACHE
+    if len(_FP_POW_CACHE) < n:
+        out = np.empty(n, dtype=np.uint64)
+        out[: len(_FP_POW_CACHE)] = _FP_POW_CACHE
+        for i in range(len(_FP_POW_CACHE), n):
+            out[i] = (out[i - 1] * _FP_BASE) % _FP_MOD
+        _FP_POW_CACHE = out
+    return _FP_POW_CACHE
+
+
+def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append ``fingerprint``: a polynomial rolling hash of the text
+    bytes mod 2^31-1 — deterministic across runs/processes (unlike
+    Python's seeded ``hash``), cheap to recompute for lineage checks.
+    One numpy reduction per document (no per-byte Python)."""
+    text = batch[col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    vals = text.to_numpy(zero_copy_only=False)
+    maxlen = max((len(v.encode()) for v in vals if v is not None), default=1)
+    powers = _fp_powers(max(maxlen, 1))
+    out = np.empty(len(vals), dtype=np.uint64)
+    for i, v in enumerate(vals):
+        if v is None:
+            out[i] = 0
+            continue
+        b = np.frombuffer(v.encode(), dtype=np.uint8).astype(np.uint64)
+        # fingerprint = sum(byte_i * B^(L-1-i)) mod p; each term < 2^39,
+        # partial sums < len*2^39 — do a chunked mod to stay exact.
+        terms = (b * powers[len(b) - 1 :: -1][: len(b)]) % _FP_MOD
+        acc = np.uint64(0)
+        for s in range(0, len(terms), 1 << 20):
+            acc = (acc + terms[s : s + (1 << 20)].sum() ) % _FP_MOD
+        out[i] = acc
+    return batch.append_column("fingerprint", pa.array(out, type=pa.uint64()))

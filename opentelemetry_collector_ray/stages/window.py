@@ -1,0 +1,78 @@
+"""Windowed aggregation over the ``events`` stream table.
+
+The collector core has no windows/watermarks (SURVEY.md §2.6); these are
+the stream-shaped extensions, implemented on the ordered-partitioned-log
+model: partition by key (user_id), sort within partition, window inside
+``map_groups``. The partition key IS the parallelism unit — a hot user
+would skew; sessionization is per-user by definition, so the bound is
+max-events-per-user (documented assumption).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def sessionize(
+    events: ray.data.Dataset, gap_minutes: int = 30
+) -> ray.data.Dataset:
+    """Session windows per user: a new session starts when the gap from
+    the previous event exceeds ``gap_minutes``. Output one row per
+    session: (user_id, session_id, n_events, start_ts, end_ts,
+    sum_value). session_id is 0-based per user in time order —
+    deterministic and SQL-mirrorable (window-function form)."""
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new) - 1
+        g = g.assign(session_id=sid.astype(np.int64))
+        out = (
+            g.groupby("session_id")
+            .agg(
+                n_events=("event_id", "size"),
+                start_ts=("ts", "min"),
+                end_ts=("ts", "max"),
+            )
+            .reset_index()
+        )
+        # no float sums in the comparable output: double accumulation
+        # order differs across engines; integer/timestamp fields only.
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def tumbling_counts(
+    events: ray.data.Dataset, unit: str = "hour"
+) -> pd.DataFrame:
+    """Tumbling-window counts per (event_type, window): pre-aggregated
+    per batch (combiner), merged on the driver — no full shuffle.
+    Output (event_type, window_start, n)."""
+    freq = {"hour": "h", "day": "D", "minute": "min"}[unit]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(window_start=df["ts"].dt.floor(freq))
+        out = (
+            df.groupby(["event_type", "window_start"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out
+
+    partials = events.map_batches(partial, batch_format="pandas")
+    pdf = partials.to_pandas()
+    out = (
+        pdf.groupby(["event_type", "window_start"], as_index=False)["n"].sum()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(
+        ["event_type", "window_start"], kind="mergesort"
+    ).reset_index(drop=True)

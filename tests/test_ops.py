@@ -1,0 +1,166 @@
+"""Unit tests for the collector-extra and training-data operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from opentelemetry_collector_ray.stages.attributes import Action, AttributesStage
+from opentelemetry_collector_ray.stages.batch import rebatch, split_table
+from opentelemetry_collector_ray.stages.dedup import (
+    SimHashStage,
+    _word_shingles,
+    exact_dedup,
+)
+from opentelemetry_collector_ray.stages.filters import FilterStage
+from opentelemetry_collector_ray.stages.multimodal import (
+    DecodeStage,
+    synth_media_table,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_attributes_validation():
+    with pytest.raises(ValueError):
+        AttributesStage([{"action": "bogus", "key": "x"}])
+    with pytest.raises(ValueError):
+        AttributesStage([{"action": "rename", "key": "x"}])  # missing to
+    with pytest.raises(ValueError):
+        Action(action="extract", key="x").validate()  # missing pattern
+
+
+def test_attributes_actions_semantics():
+    t = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    st = AttributesStage(
+        [
+            {"action": "insert", "key": "a", "value": 9},  # exists → no-op
+            {"action": "insert", "key": "c", "value": "z"},  # absent → add
+            {"action": "update", "key": "missing", "value": 1},  # → no-op
+            {"action": "rename", "key": "b", "to": "b2"},
+        ]
+    )
+    out = st(t)
+    assert out["a"].to_pylist() == [1, 2]  # insert did not overwrite
+    assert out["c"].to_pylist() == ["z", "z"]
+    assert "missing" not in out.column_names
+    assert out["b2"].to_pylist() == ["x", "y"]
+
+
+def test_filter_stage_and_pushdown():
+    t = pa.table({"lvl": ["A", "B", None], "n": [1, 2, 3]})
+    st = FilterStage(include=[("lvl", "in", ["A", "B"])], exclude=[("n", ">", 1)])
+    out = st(t)
+    assert out["lvl"].to_pylist() == ["A"]
+    assert st.to_parquet_filter() is not None
+    assert FilterStage(include=[("lvl", "matches", "A.*")]).to_parquet_filter() is None
+    with pytest.raises(ValueError):
+        FilterStage(include=[("lvl", "~~", 1)])
+
+
+def test_split_table():
+    t = pa.table({"x": list(range(10))})
+    parts = split_table(t, 4)
+    assert [p.num_rows for p in parts] == [4, 4, 2]
+    assert pa.concat_tables(parts)["x"].to_pylist() == list(range(10))
+
+
+def test_rebatch_content_invariant():
+    ds = ray.data.range(1000)
+    out = rebatch(ds, 128, num_blocks=4)
+    mat = out.materialize()
+    assert mat.count() == 1000
+    assert mat.num_blocks() == 4
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 3, "text": "aa"},
+            {"doc_id": 1, "text": "aa"},
+            {"doc_id": 2, "text": "bb"},
+        ]
+    )
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2]
+
+
+def test_minhash_finds_near_dups_vs_exact():
+    """MinHash-LSH candidates+verify == exact blocked jaccard pairs on
+    the same threshold (recall check on real testdata documents)."""
+    import __ray_entry__ as em
+
+    mh = em.queries()["minhash_pairs"](SF_DIR).to_pandas()
+    mh_pairs = set(zip(mh["doc_a"], mh["doc_b"]))
+
+    from opentelemetry_collector_ray.stages.dedup import (
+        _word_shingles,
+    )
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    sets = {r.doc_id: _word_shingles(r.text, 3) for r in docs.itertuples()}
+    ids = sorted(sets)
+    exact = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            sa, sb = sets[ids[i]], sets[ids[j]]
+            u = len(sa | sb)
+            if u and len(sa & sb) / u >= 0.5:
+                exact.add((ids[i], ids[j]))
+    # verified-candidate pairs are a subset of exact pairs (no false
+    # positives post-verify) with high recall
+    assert mh_pairs <= exact
+    if exact:
+        assert len(mh_pairs) / len(exact) >= 0.8
+
+
+def test_simhash_deterministic_and_similarity():
+    st = SimHashStage()
+    t = pa.table({"doc_id": [1], "text": ["the quick brown fox jumps"]})
+    a = st(t)["simhash"].to_pylist()[0]
+    b = SimHashStage()(t)["simhash"].to_pylist()[0]
+    assert a == b
+    # near-identical text → small hamming distance; disjoint → large
+    t2 = pa.table({"doc_id": [1], "text": ["the quick brown fox leaps"]})
+    t3 = pa.table({"doc_id": [1], "text": ["zzz yyy xxx www vvv"]})
+    h2 = st(t2)["simhash"].to_pylist()[0]
+    h3 = st(t3)["simhash"].to_pylist()[0]
+    ham = lambda x, y: bin(int(x) ^ int(y)).count("1")
+    assert ham(a, h2) < ham(a, h3)
+
+
+def test_lsh_topk_recall_vs_brute():
+    import __ray_entry__ as em
+
+    brute = em.queries()["ann_topk"](SF_DIR)
+    approx = em.queries()["lsh_topk"](SF_DIR)
+    recalls = []
+    for qid in brute["query_id"].unique():
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.5  # 4-bit LSH on 64-dim random data
+
+
+def test_media_decode_plumbing():
+    media = ray.data.from_arrow(synth_media_table(32))
+    out = media.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"fake_decode": True},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=1,
+    ).to_pandas()
+    assert len(out) == 32
+    assert out["decoded_ok"].all()
+    assert all(len(f) == DecodeStage.FEAT_DIM for f in out["features"])
+    # real-decode path is an explicit stub
+    with pytest.raises(NotImplementedError):
+        DecodeStage(fake_decode=False)
+
+
+def test_word_shingles_edges():
+    assert _word_shingles("", 3) == set()
+    assert _word_shingles("a b", 3) == {"a b"}
+    assert _word_shingles("a b c d", 3) == {"a b c", "b c d"}
