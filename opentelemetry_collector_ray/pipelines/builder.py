@@ -1,0 +1,176 @@
+"""Pipeline builder — config → Ray Data DAG.
+
+The ``graph.Build`` analogue (service/internal/graph/graph.go:66-80):
+the reference assembles receiver → capabilities → processors → fanout →
+exporters by constructing consumers in reverse topological order; here
+the graph is a linear Dataset chain plus a terminal fan-out, so the
+builder is a fold over the stage registry (no capabilities node — Arrow
+blocks are immutable; no reverse-topo — datasets are lazy, composition
+order is declaration order).
+
+``STAGE_REGISTRY`` is the factory table (the ``otelcol.Factories``
+analogue, otelcol/factories.go / receiver/receiver.go:69-94): stage
+type name → builder ``(options) -> batch_fn | (cls, ctor_kwargs)``.
+Users register custom stages with :func:`register_stage` — the
+processorhelper one-function extension point
+(processor/processorhelper/logs.go:40-82).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import ray.data
+
+from .config import ConfigError, PipelineConfig, load_config
+
+
+def _build_parse(opts):
+    from ..stages.parse import GROK_PATTERN, ParseStage
+
+    pattern = opts.get("pattern", GROK_PATTERN)
+    return (ParseStage, {"pattern": pattern})
+
+
+def _build_enrich(opts):
+    from ..stages.enrich import EnrichStage
+
+    return (
+        EnrichStage,
+        {
+            "tool_service": opts.get("tool_service"),
+            "role_route": opts.get("role_route"),
+        },
+    )
+
+
+def _build_attributes(opts):
+    from ..stages.attributes import AttributesStage
+
+    return (AttributesStage, {"actions": opts.get("actions", [])})
+
+
+def _build_filter(opts):
+    from ..stages.filters import FilterStage
+
+    return (
+        FilterStage,
+        {"include": opts.get("include"), "exclude": opts.get("exclude")},
+    )
+
+
+def _build_route(opts):
+    from ..stages.route import route_batch
+
+    return route_batch
+
+
+def _build_explode_sinks(opts):
+    from ..stages.route import explode_sinks_batch
+
+    return explode_sinks_batch
+
+
+def _build_token_stats(opts):
+    from ..stages.text import token_stats_batch
+
+    return token_stats_batch
+
+
+def _build_quality(opts):
+    from ..stages.text import quality_batch
+
+    return quality_batch
+
+
+def _build_fingerprint(opts):
+    from ..stages.text import fingerprint_batch
+
+    return fingerprint_batch
+
+
+STAGE_REGISTRY: dict[str, Callable] = {
+    "parse": _build_parse,
+    "enrich": _build_enrich,
+    "attributes": _build_attributes,
+    "filter": _build_filter,
+    "route": _build_route,
+    "explode_sinks": _build_explode_sinks,
+    "token_stats": _build_token_stats,
+    "quality": _build_quality,
+    "fingerprint": _build_fingerprint,
+    "rebatch": None,  # handled structurally (dataset-level, not batch-level)
+}
+
+
+def register_stage(name: str, builder: Callable) -> None:
+    """Extension point: add a custom stage factory (factories idiom)."""
+    if name in STAGE_REGISTRY:
+        raise ConfigError(f"stage type already registered: {name!r}")
+    STAGE_REGISTRY[name] = builder
+
+
+def build_source(cfg: PipelineConfig) -> ray.data.Dataset:
+    src = cfg.source
+    if src.type == "parquet" or src.type == "transcripts":
+        kwargs = {}
+        if src.columns:
+            kwargs["columns"] = src.columns
+        return ray.data.read_parquet(src.paths, **kwargs)
+    if src.type == "events_transcripts":
+        from ..sources.transcripts import transcripts_from_events
+
+        return transcripts_from_events(src.sf_dir)
+    raise ConfigError(f"unknown source type: {src.type!r}")
+
+
+def build_dataset(cfg: PipelineConfig) -> ray.data.Dataset:
+    """source + stages → lazy Dataset (no sink consumption)."""
+    ds = build_source(cfg)
+    for st in cfg.stages:
+        if st.type == "rebatch":
+            from ..stages.batch import rebatch
+
+            ds = rebatch(
+                ds,
+                st.options.get("rows", 65536),
+                num_blocks=st.options.get("num_blocks"),
+            )
+            continue
+        built = STAGE_REGISTRY[st.type](st.options)
+        if isinstance(built, tuple):
+            cls, kwargs = built
+            ds = ds.map_batches(
+                cls,
+                fn_constructor_kwargs=kwargs,
+                batch_format="pyarrow",
+                concurrency=st.options.get("concurrency", (1, 8)),
+            )
+        else:
+            ds = ds.map_batches(built, batch_format="pyarrow")
+    return ds
+
+
+def run_pipeline(spec: dict | str) -> dict:
+    """Config in, run out: build, write sinks, return the run report
+    (per-sink counts — the obsreport surface)."""
+    cfg = load_config(spec)
+    ds = build_dataset(cfg)
+    out_dir = cfg.sinks.out_dir
+    if cfg.sinks.mode == "route":
+        from ..stages.route import explode_sinks_batch
+
+        exploded = ds.map_batches(explode_sinks_batch, batch_format="pyarrow")
+        exploded.write_parquet(out_dir, partition_cols=["sink"])
+        per_sink = (
+            ray.data.read_parquet(out_dir).groupby("sink").count().to_pandas()
+        )
+        return {
+            "out_dir": out_dir,
+            "per_sink": {
+                str(r["sink"]): int(r["count()"]) for _, r in per_sink.iterrows()
+            },
+        }
+    ds.write_parquet(out_dir)
+    n = ray.data.read_parquet(out_dir).count()
+    return {"out_dir": out_dir, "rows": int(n)}

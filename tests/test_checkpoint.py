@@ -1,0 +1,98 @@
+"""Checkpoint/resume tests — the persistent-queue crash-recovery
+semantics (persistent_storage.go:282-348) restated for partitions:
+kill after k of P partitions, resume, final output equals an
+uninterrupted run, completed partitions are not reprocessed."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from opentelemetry_collector_ray.fixtures import write_transcript_corpus
+from opentelemetry_collector_ray.state.checkpoint import (
+    PartitionLedger,
+    plan_partitions,
+    run_partitioned,
+)
+
+
+def _pipeline(files):
+    from opentelemetry_collector_ray.sources.transcripts import read_transcripts
+    from opentelemetry_collector_ray.stages.enrich import enrich_batch
+    from opentelemetry_collector_ray.stages.parse import parse_batch
+    from opentelemetry_collector_ray.stages.route import explode_sinks_batch
+
+    ds = read_transcripts(files)
+    ds = ds.map_batches(parse_batch, batch_format="pyarrow")
+    ds = ds.map_batches(enrich_batch, batch_format="pyarrow")
+    return ds.map_batches(explode_sinks_batch, batch_format="pyarrow")
+
+
+def _read_all(out_dir) -> pd.DataFrame:
+    import ray.data
+
+    import glob
+
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*", "*.parquet")))
+    df = ray.data.read_parquet(files).to_pandas()
+    return df.sort_values(["sink", "conv_id", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )[sorted(df.columns)]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt_corpus")
+    write_transcript_corpus(str(d), 200, files=8)
+    return [str(d / f) for f in sorted(os.listdir(d))]
+
+
+def test_plan_partitions_deterministic(corpus):
+    a = plan_partitions(corpus, 4)
+    b = plan_partitions(list(reversed(corpus)), 4)
+    assert a == b
+    assert sum(len(p) for p in a) == len(corpus)
+
+
+def test_crash_resume_equals_uninterrupted(corpus, tmp_path):
+    out_a = str(tmp_path / "uninterrupted")
+    out_b = str(tmp_path / "resumed")
+
+    res_a = run_partitioned(corpus, out_a, _pipeline, num_partitions=4)
+    assert res_a["processed"] == 4
+
+    # crash after 2 partitions
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_partitioned(corpus, out_b, _pipeline, num_partitions=4, fail_after=2)
+    done_before = set(PartitionLedger(out_b).completed())
+    assert len(done_before) == 2
+
+    # remember mtimes of completed outputs — resume must not rewrite them
+    mtimes = {
+        pid: os.path.getmtime(os.path.join(out_b, f"part-{pid}"))
+        for pid in done_before
+    }
+
+    res_b = run_partitioned(corpus, out_b, _pipeline, num_partitions=4)
+    assert res_b["skipped"] == 2 and res_b["processed"] == 2
+    for pid, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(out_b, f"part-{pid}")) == mt
+
+    pd.testing.assert_frame_equal(_read_all(out_a), _read_all(out_b))
+    assert res_b["total_rows"] == res_a["total_rows"]
+
+
+def test_torn_write_is_reprocessed(corpus, tmp_path):
+    out = str(tmp_path / "torn")
+    run_partitioned(corpus, out, _pipeline, num_partitions=2)
+    # simulate a torn write: partition dir exists, ledger lost its entry
+    ledger = PartitionLedger(out)
+    entries = list(ledger.completed().values())
+    with open(ledger.path, "w") as f:
+        for e in entries[:-1]:
+            import json
+
+            f.write(json.dumps(e.__dict__) + "\n")
+    res = run_partitioned(corpus, out, _pipeline, num_partitions=2)
+    assert res["processed"] == 1 and res["skipped"] == 1
+    assert len(PartitionLedger(out).completed()) == 2

@@ -1,0 +1,40 @@
+"""Parallelism-invariance: identical pipeline results regardless of
+block count / execution parallelism (FIXTURES.md golden check 6; the
+routed-row bit-stability hard part of SURVEY.md §7)."""
+
+import pandas as pd
+
+from opentelemetry_collector_ray.fixtures import gen_transcripts
+from opentelemetry_collector_ray.pipelines.logs import sink_counts
+from opentelemetry_collector_ray.stages.enrich import enrich_batch
+from opentelemetry_collector_ray.stages.parse import parse_batch
+from opentelemetry_collector_ray.stages.route import explode_sinks_batch
+
+
+def _run(num_blocks: int) -> tuple[pd.DataFrame, pd.DataFrame]:
+    import ray.data
+
+    ds = ray.data.from_arrow(gen_transcripts(300)).repartition(num_blocks)
+    ds = ds.map_batches(parse_batch, batch_format="pyarrow")
+    ds = ds.map_batches(enrich_batch, batch_format="pyarrow")
+    counts = sink_counts(ds)
+    rows = (
+        ds.map_batches(explode_sinks_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["sink", "conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return counts, rows
+
+
+def test_results_invariant_across_block_counts():
+    c1, r1 = _run(1)
+    c8, r8 = _run(8)
+    pd.testing.assert_frame_equal(c1, c8)
+    pd.testing.assert_frame_equal(r1, r8)
+    # per-turn text equality through the whole pipeline (no mutation)
+    src = gen_transcripts(300).to_pandas()
+    merged = r1[r1["sink"] != "errors"].merge(
+        src, on=["conv_id", "turn_idx"], suffixes=("", "_src")
+    )
+    assert (merged["text"] == merged["text_src"]).all()
