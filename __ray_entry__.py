@@ -358,7 +358,115 @@ def q_media_decode(sf_dir: str):
     return out.select_columns(["media_id", "media_type", "decoded_ok", "feat_dim"])
 
 
+# ---------------------------------------------- relational primitives
+def q_join_broadcast(sf_dir: str):
+    """Broadcast dimension join: orders → customer → nation, order
+    count per nation (the enrich-with-side-dictionary idiom at
+    relational width — no shuffle)."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from opentelemetry_collector_ray.functions.join import broadcast_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    joined = broadcast_join(orders, dim, on="o_custkey")
+    return joined.groupby("n_name").aggregate(Count(alias_name="n"))
+
+
+def q_join_bucketed(sf_dir: str):
+    """Explicit partitioned hash join of two large tables:
+    lineitem ⋈ orders on orderkey → line count per order status."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from opentelemetry_collector_ray.functions.join import bucketed_hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    ).rename_columns({"l_orderkey": "o_orderkey"})
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    joined = bucketed_hash_join(li, orders, on="o_orderkey", buckets=8)
+    return joined.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+
+
+def q_union_sources(sf_dir: str):
+    """Receiver-union: two disjoint filtered reads of events unioned
+    back (graph.go:161-165 multiple receivers → one pipeline)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    cols = ["event_id", "event_type", "user_id"]
+    a = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")),
+        batch_format="pyarrow",
+    )
+    b = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols).map_batches(
+        lambda t: t.filter(pc.not_equal(t["event_type"], "error")),
+        batch_format="pyarrow",
+    )
+    return a.union(b)
+
+
+def q_sorted_head(sf_dir: str):
+    """Global sort + limit: first 100 events by (ts, event_id)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+    return ds.sort(["ts", "event_id"]).limit(100)
+
+
+def q_q1_lineitem(sf_dir: str):
+    """TPC-H Q1-shaped aggregate (integer-safe columns only): partial
+    per-batch pre-aggregation then a tiny groupby — the combiner
+    pattern at relational width."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "psum", "pcount"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("psum", alias_name="sum_qty"),
+        Sum("pcount", alias_name="count_order"),
+    )
+    return out
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "join_broadcast": q_join_broadcast,
+    "join_bucketed": q_join_bucketed,
+    "union_sources": q_union_sources,
+    "sorted_head": q_sorted_head,
+    "q1_lineitem": q_q1_lineitem,
     "transcripts": q_transcripts,
     "parse": q_parse,
     "enrich": q_enrich,
@@ -498,6 +606,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, cast(row_number() OVER "
             "(PARTITION BY query_id ORDER BY score DESC, vec_id) AS bigint) "
             'AS "rank", vec_id FROM s QUALIFY "rank" <= 10'
+        ),
+        "join_broadcast": (
+            "SELECT n_name, count(*) AS n FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "join_bucketed": (
+            "SELECT o_orderstatus, count(*) AS n FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus"
+        ),
+        "union_sources": (
+            "SELECT event_id, event_type, user_id FROM events"
+        ),
+        "sorted_head": (
+            "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT 100"
+        ),
+        "q1_lineitem": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "count(*) AS count_order FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus"
         ),
         # minhash_pairs / simhash / langid / fingerprint / lsh_topk /
         # media_decode are intentionally omitted: probabilistic /

@@ -1,0 +1,121 @@
+"""Join primitives — the two shapes that matter at scale.
+
+The collector core has no joins (SURVEY.md §2.7; enrichment = side
+dictionaries). A data engine needs both:
+
+- ``broadcast_join``: small side shipped once via ``ray.put`` (object
+  store, shared per node), applied per batch as a pandas merge — no
+  shuffle at all. Use when the small side ≪ worker memory (dimension
+  tables).
+- ``bucketed_hash_join``: both sides large — an explicit partitioned
+  hash join: add ``bucket = hash(key) % B`` to both sides, co-group by
+  bucket with ONE Ray Data groupby over the union of both sides, merge
+  matching buckets pairwise inside ``map_groups``. Uniform bucket keys
+  (hash of the join key) make skew impossible unless one key value
+  dominates — salt such keys into sub-buckets and replicate the other
+  side across the salt range.
+
+(Recent Ray ships ``Dataset.join``; this explicit form keeps the
+partitioning assumptions visible and works on any 2.x.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pd.DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Merge ``small`` (a pandas frame, broadcast once) into every batch."""
+    ref = ray.put(small)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs = ray.get(ref)
+        return batch.merge(rhs, on=on, how=how)
+
+    return ds.map_batches(merge, batch_format="pandas")
+
+
+def _hash_bucket(col: pa.ChunkedArray | pa.Array, buckets: int) -> pa.Array:
+    vals = col.to_numpy(zero_copy_only=False)
+    if vals.dtype.kind in "iu":
+        # Fibonacci-style integer scramble — deterministic, uniform.
+        h = (vals.astype(np.uint64) * np.uint64(11400714819323198485)) >> np.uint64(40)
+    else:
+        import zlib
+
+        h = np.fromiter(
+            (zlib.crc32(str(v).encode()) for v in vals),
+            dtype=np.uint64,
+            count=len(vals),
+        )
+    return pa.array((h % np.uint64(buckets)).astype(np.int64))
+
+
+def bucketed_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    *,
+    buckets: int = 16,
+    how: str = "inner",
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Explicit partitioned hash join of two large datasets on ``on``.
+
+    Both sides are tagged with a side marker + bucket, padded to a
+    common schema (null columns, cheap), unioned, grouped by bucket
+    (one shuffle covering both sides), and merged per bucket with a
+    pandas hash join. Right-side name collisions get ``suffix``.
+    """
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    # disambiguate right-side collisions up front
+    collide = [c for c in rcols if c in lcols and c != on]
+    if collide:
+        right = right.rename_columns({c: c + suffix for c in collide})
+        rcols = [c + suffix if c in collide else c for c in rcols]
+        rtypes = {c + suffix if c in collide else c: t for c, t in rtypes.items()}
+
+    all_cols = lcols + [c for c in rcols if c != on]
+    all_types = {**ltypes, **rtypes}
+
+    def prep(side: int, have: list[str]):
+        missing = [c for c in all_cols if c not in have]
+
+        def fn(batch: pa.Table) -> pa.Table:
+            b = _hash_bucket(batch[on], buckets)
+            for c in missing:
+                batch = batch.append_column(c, pa.nulls(len(batch), type=all_types[c]))
+            batch = batch.append_column("_bucket", b).append_column(
+                "_side", pa.array(np.full(len(batch), side, dtype=np.int8))
+            )
+            return batch.select(all_cols + ["_bucket", "_side"])
+
+        return fn
+
+    both = left.map_batches(prep(0, lcols), batch_format="pyarrow").union(
+        right.map_batches(prep(1, rcols), batch_format="pyarrow")
+    )
+
+    lonly = [c for c in lcols if c != on]
+    ronly = [c for c in rcols if c != on]
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["_side"] == 0, [on] + lonly]
+        rg = g.loc[g["_side"] == 1, [on] + ronly]
+        return lg.merge(rg, on=on, how=how)
+
+    return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
