@@ -461,7 +461,102 @@ def q_q1_lineitem(sf_dir: str):
     return out
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: each purchase matched to the user's latest
+    prior-or-equal signup (backward search, inner)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.join import asof_join
+
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    signups = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "signup")).select(
+            ["user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    ).rename_columns({"ts": "signup_ts"})
+    return asof_join(
+        purchases, signups, key="user_id", left_ts="ts", right_ts="signup_ts"
+    )
+
+
+def q_distinct_users(sf_dir: str):
+    """count(DISTINCT) per group — per-group exact distinct via
+    map_groups (the mergeable-sketch slot; exact at this width)."""
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def nuniq(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [int(g["user_id"].nunique())],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(nuniq, batch_format="pandas")
+
+
+def q_obs_counters(sf_dir: str):
+    """The obsreport counter surface as a verified table: receiver
+    accepted + per-exporter sent counts, routed through the named
+    MetricsActor (obs_receiver.go:31-45 / obs_exporter.go:24-39 names)."""
+    import uuid
+
+    import pandas as pd
+    import ray
+
+    from opentelemetry_collector_ray.pipelines.logs import sink_counts
+    from opentelemetry_collector_ray.state import metrics as m
+
+    enriched = _enriched(sf_dir)
+    accepted = int(_transcripts(sf_dir).count())
+    per_sink = sink_counts(enriched)
+    actor = m.get_metrics_actor(uuid.uuid4().hex[:8])
+    updates = {m.receiver_accepted(): accepted}
+    for _, r in per_sink.iterrows():
+        updates[m.exporter_sent(str(r["sink"]))] = int(r["n"])
+    ray.get(actor.add_many.remote(updates))
+    snap = ray.get(actor.snapshot.remote())
+    return pd.DataFrame(
+        {"name": list(snap.keys()), "value": [int(v) for v in snap.values()]}
+    )
+
+
+def q_json_roundtrip(sf_dir: str):
+    """Codec parity (§1.3): parquet → JSON sink → JSON source; content
+    identical (the proto/JSON marshaler round-trip, plog/json.go)."""
+    import os
+    import shutil
+
+    import ray.data
+
+    out = f"/tmp/otel_ray_json_roundtrip_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "user_id"]
+    )
+    ds.write_json(out)
+    return ray.data.read_json(out)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "asof_join": q_asof_join,
+    "distinct_users": q_distinct_users,
+    "obs_counters": q_obs_counters,
+    "json_roundtrip": q_json_roundtrip,
     "join_broadcast": q_join_broadcast,
     "join_bucketed": q_join_bucketed,
     "union_sources": q_union_sources,
@@ -606,6 +701,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, cast(row_number() OVER "
             "(PARTITION BY query_id ORDER BY score DESC, vec_id) AS bigint) "
             'AS "rank", vec_id FROM s QUALIFY "rank" <= 10'
+        ),
+        "asof_join": (
+            "SELECT e.event_id, e.user_id, e.ts, s.signup_ts "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') e "
+            "ASOF JOIN (SELECT user_id, ts AS signup_ts FROM events "
+            "WHERE event_type = 'signup') s "
+            "ON e.user_id = s.user_id AND e.ts >= s.signup_ts"
+        ),
+        "distinct_users": (
+            "SELECT event_type, cast(count(DISTINCT user_id) AS bigint) AS n "
+            "FROM events GROUP BY event_type"
+        ),
+        "obs_counters": o.ROUTED_CTE
+        + (
+            "SELECT 'receiver/accepted_log_records' AS name, "
+            "count(*) AS value FROM transcripts "
+            "UNION ALL "
+            "SELECT 'exporter/' || sink || '/sent_log_records' AS name, "
+            "count(*) AS value FROM routed GROUP BY sink"
+        ),
+        "json_roundtrip": (
+            "SELECT event_id, event_type, user_id FROM events"
         ),
         "join_broadcast": (
             "SELECT n_name, count(*) AS n FROM orders "

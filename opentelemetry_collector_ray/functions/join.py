@@ -119,3 +119,71 @@ def bucketed_hash_join(
         return lg.merge(rg, on=on, how=how)
 
     return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+) -> ray.data.Dataset:
+    """As-of join: for each left row, the latest right row with the same
+    ``key`` and ``right_ts <= left_ts`` (backward search — DuckDB/kdb
+    ASOF JOIN semantics). Inner: left rows with no prior right row drop.
+
+    Column names of the two sides must be disjoint except ``key``
+    (rename before calling). Shape: both sides co-grouped by ``key``
+    through one groupby (single shuffle), then ``pd.merge_asof`` over
+    the ts-sorted group. Partitioning assumption: one key's history
+    fits in a worker (true for per-entity event logs; for pathological
+    keys, range-partition ts and carry the previous range's last row
+    forward).
+    """
+    lcols = list(left.schema().names)
+    rcols = [c for c in right.schema().names if c != key]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"rename right-side columns first: {sorted(overlap)}")
+    ltypes = dict(zip(left.schema().names, left.schema().types))
+    rtypes = dict(zip(right.schema().names, right.schema().types))
+    all_cols = lcols + rcols
+    types = {**ltypes, **rtypes}
+
+    def pad(have: list[str], side: int):
+        missing = [c for c in all_cols if c not in have]
+
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in missing:
+                batch = batch.append_column(c, pa.nulls(len(batch), type=types[c]))
+            batch = batch.append_column(
+                "_side", pa.array(np.full(len(batch), side, dtype=np.int8))
+            )
+            return batch.select(all_cols + ["_side"])
+
+        return fn
+
+    both = left.map_batches(pad(lcols, 0), batch_format="pyarrow").union(
+        right.map_batches(pad([key] + rcols, 1), batch_format="pyarrow")
+    )
+
+    # the null-padded union upcasts ints to float in pandas groups —
+    # restore the declared integer dtypes on the way out.
+    int_cols = [c for c, t in types.items() if pa.types.is_integer(t)]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["_side"] == 0, lcols].sort_values(left_ts, kind="mergesort")
+        rg = g.loc[g["_side"] == 1, rcols].sort_values(right_ts, kind="mergesort")
+        if rg.empty or lg.empty:
+            out = lg.iloc[0:0].copy()
+            for c in rcols:
+                out[c] = pd.Series(dtype=rg[c].dtype if c in rg else object)
+            return out.astype({c: "int64" for c in int_cols if c in out})
+        merged = pd.merge_asof(
+            lg, rg, left_on=left_ts, right_on=right_ts, direction="backward"
+        )
+        merged = merged.dropna(subset=[right_ts])
+        return merged.astype({c: "int64" for c in int_cols if c in merged})
+
+    return both.groupby(key).map_groups(per_key, batch_format="pandas")

@@ -294,17 +294,29 @@ def jaccard_pairs_blocked(
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")
         ids = g[id_col].to_numpy()
-        sets = [set(t.split()) for t in g["text"]]
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                union = len(sets[i] | sets[j])
-                if union and len(sets[i] & sets[j]) / union >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
+        word_sets = [set(t.split()) for t in g["text"]]
+        vocab: dict[str, int] = {}
+        for s in word_sets:
+            for w in s:
+                vocab.setdefault(w, len(vocab))
+        n, v = len(ids), max(len(vocab), 1)
+        # membership matrix → intersections by one matmul (the O(n²)
+        # term runs in BLAS, not Python; n is bounded by the block key)
+        mat = np.zeros((n, v), dtype=np.float64)
+        for i, s in enumerate(word_sets):
+            for w in s:
+                mat[i, vocab[w]] = 1.0
+        inter = mat @ mat.T
+        sizes = mat.sum(axis=1)
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / union, 0.0)
+        ia, ib = np.nonzero(np.triu(jac >= threshold, k=1))
         return pd.DataFrame(
-            {"doc_a": np.array(out_a, dtype=np.int64),
-             "doc_b": np.array(out_b, dtype=np.int64)}
+            {
+                "doc_a": ids[ia].astype(np.int64),
+                "doc_b": ids[ib].astype(np.int64),
+            }
         )
 
     return docs.groupby(block_col).map_groups(per_block, batch_format="pandas")

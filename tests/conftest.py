@@ -60,3 +60,7 @@ def assert_matches_oracle(duck, query_fn, sql, **kwargs):
     got = normalize(to_pandas(query_fn(SF_DIR)))
     want = normalize(duck.sql(sql).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False, **kwargs)
+    # the driver's hash compares stringified values — catches dtype
+    # drift (int64 vs float64 prints 947 vs 947.0) that the frame
+    # comparison above tolerates
+    pd.testing.assert_frame_equal(got.astype(str), want.astype(str))
