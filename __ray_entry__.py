@@ -365,9 +365,10 @@ def q_join_broadcast(sf_dir: str):
     relational width — no shuffle)."""
     import pyarrow.parquet as pq
     import ray.data
-    from ray.data.aggregate import Count
 
     from opentelemetry_collector_ray.functions.join import broadcast_join
+
+    from opentelemetry_collector_ray.functions.agg import grouped_count
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
@@ -383,14 +384,13 @@ def q_join_broadcast(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_custkey"]
     )
     joined = broadcast_join(orders, dim, on="o_custkey")
-    return joined.groupby("n_name").aggregate(Count(alias_name="n"))
+    return grouped_count(joined, ["n_name"])
 
 
 def q_join_bucketed(sf_dir: str):
     """Explicit partitioned hash join of two large tables:
     lineitem ⋈ orders on orderkey → line count per order status."""
     import ray.data
-    from ray.data.aggregate import Count
 
     from opentelemetry_collector_ray.functions.join import bucketed_hash_join
 
@@ -400,8 +400,10 @@ def q_join_bucketed(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
     )
+    from opentelemetry_collector_ray.functions.agg import grouped_count
+
     joined = bucketed_hash_join(li, orders, on="o_orderkey", buckets=8)
-    return joined.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+    return grouped_count(joined, ["o_orderstatus"])
 
 
 def q_union_sources(sf_dir: str):

@@ -109,6 +109,11 @@ def bucketed_hash_join(
     both = left.map_batches(prep(0, lcols), batch_format="pyarrow").union(
         right.map_batches(prep(1, rcols), batch_format="pyarrow")
     )
+    # Coalesce before the groupby: its sort-based shuffle degrades
+    # super-linearly with input block count (64-way-split small reads
+    # made the sort 20× slower than the join itself). At scale, block
+    # count should track data size (~128MB blocks), never file count.
+    both = both.repartition(max(buckets * 2, 16))
 
     lonly = [c for c in lcols if c != on]
     ronly = [c for c in rcols if c != on]
