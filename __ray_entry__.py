@@ -145,6 +145,16 @@ def q_attributes_transform(sf_dir: str):
             },
             {"action": "delete", "key": "props"},
             {"action": "hash", "key": "user_id"},
+            {
+                "action": "replace_pattern",
+                "key": "event_type",
+                "pattern": "click",
+                "replacement": "tap",
+            },
+            {
+                "action": "keep_keys",
+                "keys": ["event_id", "event_type", "amount", "env", "k_val", "user_id"],
+            },
         ]
     )
     return ds.map_batches(stage, batch_format="pyarrow")
@@ -275,11 +285,17 @@ def q_minhash_pairs(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    cands = minhash_candidates(docs)
+    cands = minhash_candidates(docs, distinct=False)
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     lookup = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
     ref = ray.put(lookup)
-    return verify_jaccard_pairs(cands, ref, threshold=0.5)
+    verified = verify_jaccard_pairs(cands, ref, threshold=0.5).to_pandas()
+    # distinct on the driver: the verified pair set is tiny vs the corpus
+    return (
+        verified.drop_duplicates()
+        .sort_values(["doc_a", "doc_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
 
 
 def q_simhash(sf_dir: str):
@@ -633,8 +649,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM enriched GROUP BY route"
         ),
         "attributes_transform": (
-            "SELECT event_id, ts, event_type, value AS amount, "
-            "'prod' AS env, "
+            "SELECT event_id, "
+            "regexp_replace(event_type, 'click', 'tap', 'g') AS event_type, "
+            "value AS amount, 'prod' AS env, "
             "regexp_extract(props, '\"k\": (\\d+)', 1) AS k_val, "
             "md5(cast(user_id AS varchar)) AS user_id FROM events"
         ),

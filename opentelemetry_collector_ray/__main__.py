@@ -1,0 +1,110 @@
+"""CLI entry — the ``otelcol`` command analogue (otelcol/command.go →
+Collector.Run, otelcol/collector.go:208-255), batch semantics: load
+YAML config, build the DAG, run to the sinks, print the run report.
+No hot-reload (batch jobs rebuild; otelcol/collector.go:191-204's
+watch→rebuild loop has no meaning when a run terminates).
+
+Usage::
+
+    python -m opentelemetry_collector_ray run pipeline.yaml
+    python -m opentelemetry_collector_ray validate pipeline.yaml
+    python -m opentelemetry_collector_ray resume <out_dir> --inputs 'glob' [-p N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="opentelemetry_collector_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run a YAML pipeline to its sinks")
+    runp.add_argument("config")
+
+    valp = sub.add_parser("validate", help="validate a YAML pipeline config")
+    valp.add_argument("config")
+
+    resp = sub.add_parser(
+        "resume", help="(re)run the flagship pipeline partition-wise with ledger"
+    )
+    resp.add_argument("out_dir")
+    resp.add_argument("--inputs", required=True, help="glob of input parquet files")
+    resp.add_argument("-p", "--partitions", type=int, default=8)
+
+    args = p.parse_args(argv)
+
+    from .pipelines.config import ConfigError, load_config
+
+    if args.cmd == "validate":
+        try:
+            cfg = load_config(args.config)
+        except ConfigError as e:
+            print(f"invalid: {e}", file=sys.stderr)
+            return 1
+        print(
+            f"ok: source={cfg.source.type} stages="
+            f"{[s.type for s in cfg.stages]} sinks={cfg.sinks.mode}"
+        )
+        return 0
+
+    _ray_session()
+    if args.cmd == "run":
+        from .pipelines.builder import run_pipeline
+
+        try:
+            report = run_pipeline(args.config)
+        except ConfigError as e:
+            print(f"invalid: {e}", file=sys.stderr)
+            return 1
+        print(json.dumps(report))
+        return 0
+
+    if args.cmd == "resume":
+        from .sources.transcripts import read_transcripts
+        from .stages.enrich import enrich_batch
+        from .stages.parse import parse_batch
+        from .stages.route import explode_sinks_batch
+        from .state.checkpoint import run_partitioned
+
+        files = sorted(glob.glob(args.inputs))
+        if not files:
+            print(f"no inputs match {args.inputs!r}", file=sys.stderr)
+            return 1
+
+        def pipeline(paths):
+            ds = read_transcripts(paths)
+            ds = ds.map_batches(parse_batch, batch_format="pyarrow")
+            ds = ds.map_batches(enrich_batch, batch_format="pyarrow")
+            return ds.map_batches(explode_sinks_batch, batch_format="pyarrow")
+
+        report = run_partitioned(
+            files, args.out_dir, pipeline, num_partitions=args.partitions
+        )
+        print(json.dumps(report))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

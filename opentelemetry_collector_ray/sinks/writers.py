@@ -1,0 +1,63 @@
+"""Sink writers — the exporter analogues.
+
+- ``atomic_write_parquet``: tmp-dir + rename so a sink directory is
+  either absent or complete — the idempotent-write half of the retry
+  story (the reference retries sends with backoff,
+  exporter/exporterhelper/queued_retry.go:353-449; a batch engine
+  retries by rewriting the same partition, so writes must be atomic).
+- ``write_sinks``: the fan-out exporter — one pass, one partitioned
+  write (``partition_cols=["sink"]``), every sink directory
+  independently re-readable.
+- ``logging_sink``: the logging/debug exporter
+  (exporter/loggingexporter/logging_exporter.go:40-87) — counts
+  records and shows a bounded sample instead of exporting.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+
+import ray.data
+
+logger = logging.getLogger(__name__)
+
+
+def atomic_write_parquet(ds: ray.data.Dataset, out_dir: str, **kwargs) -> int:
+    """Write to ``out_dir`` atomically (tmp + rename); returns row count.
+
+    A crashed write leaves only a ``.tmp-`` directory (cleaned by the
+    next attempt), never a half-complete sink.
+    """
+    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".tmp-{os.path.basename(out_dir)}-{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    ds.write_parquet(tmp, **kwargs)
+    rows = ray.data.read_parquet(tmp).count()
+    os.rename(tmp, out_dir)
+    return int(rows)
+
+
+def write_sinks(exploded: ray.data.Dataset, out_dir: str, **kwargs) -> None:
+    """One-pass fan-out write of an exploded (…, sink) dataset."""
+    exploded.write_parquet(out_dir, partition_cols=["sink"], **kwargs)
+
+
+def logging_sink(ds: ray.data.Dataset, *, sample: int = 5, name: str = "debug") -> dict:
+    """Consume ``ds`` like the logging exporter: count + bounded sample.
+
+    Streams (iter_batches) — never materializes; the sample is the
+    first ``sample`` rows only.
+    """
+    total = 0
+    head: list[dict] = []
+    for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if len(head) < sample:
+            head.extend(batch.slice(0, sample - len(head)).to_pylist())
+        total += batch.num_rows
+    logger.info("sink[%s]: %d records; sample=%r", name, total, head[:sample])
+    return {"name": name, "records": total, "sample": head[:sample]}

@@ -179,8 +179,9 @@ def minhash_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> ray.data.Dataset:
-    """documents → distinct candidate near-dup pairs (doc_a < doc_b)."""
+    """documents → candidate near-dup pairs (doc_a < doc_b)."""
 
     def minhash_fn(batch: pa.Table) -> pa.Table:
         st = _cached_stage(
@@ -201,10 +202,14 @@ def minhash_candidates(
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
         lambda g: _bucket_pairs(g, id_col), batch_format="pandas"
     )
-    # distinct pairs (a doc pair can collide in several bands)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    if distinct:
+        # distinct pairs (a doc pair can collide in several bands); a
+        # second shuffle — skip it (distinct=False) when a downstream
+        # step dedupes anyway (candidate sets are tiny vs the corpus)
+        pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+            lambda g: g.head(1), batch_format="pandas"
+        )
+    return pairs
 
 
 def verify_jaccard_pairs(

@@ -90,7 +90,9 @@ def test_minhash_finds_near_dups_vs_exact():
     the same threshold (recall check on real testdata documents)."""
     import __ray_entry__ as em
 
-    mh = em.queries()["minhash_pairs"](SF_DIR).to_pandas()
+    from tests.conftest import to_pandas
+
+    mh = to_pandas(em.queries()["minhash_pairs"](SF_DIR))
     mh_pairs = set(zip(mh["doc_a"], mh["doc_b"]))
 
     from opentelemetry_collector_ray.stages.dedup import (
