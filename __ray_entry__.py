@@ -570,7 +570,60 @@ def q_json_roundtrip(sf_dir: str):
     return ray.data.read_json(out)
 
 
+# ------------------------------------------------- traces / metrics
+def q_spans(sf_dir: str):
+    """Traces signal: parsed transcripts → span rows (trace = conv)."""
+    from opentelemetry_collector_ray.stages.signals import spans_batch
+
+    return _parsed(sf_dir).map_batches(spans_batch, batch_format="pyarrow")
+
+
+def q_span_stats(sf_dir: str):
+    """Span aggregates per operation name (spanmetrics idiom)."""
+    from ray.data.aggregate import Count, Sum
+
+    from opentelemetry_collector_ray.stages.signals import spans_batch
+
+    spans = _parsed(sf_dir).map_batches(spans_batch, batch_format="pyarrow")
+    return spans.groupby("span_name").aggregate(
+        Count(alias_name="n"), Sum("duration_ms", alias_name="sum_ms")
+    )
+
+
+def q_cumulative_delta(sf_dir: str):
+    """Metrics signal: cumulative→delta temporality conversion per
+    series (user_id), ordered by (ts, event_id)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.signals import cumulative_to_delta
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return cumulative_to_delta(
+        ds, key="user_id", ts="ts", value="value", order_tiebreak="event_id"
+    )
+
+
+def q_salted_counts(sf_dir: str):
+    """Skew-proof two-phase (salted) grouped count — same result as a
+    plain groupby, hot keys spread over 8 reducers."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.skew import salted_grouped_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type"]
+    )
+    return salted_grouped_sum(ds, "event_type", None, salt=8)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "spans": q_spans,
+    "span_stats": q_span_stats,
+    "cumulative_delta": q_cumulative_delta,
+    "salted_counts": q_salted_counts,
     "asof_join": q_asof_join,
     "distinct_users": q_distinct_users,
     "obs_counters": q_obs_counters,
@@ -720,6 +773,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, cast(row_number() OVER "
             "(PARTITION BY query_id ORDER BY score DESC, vec_id) AS bigint) "
             'AS "rank", vec_id FROM s QUALIFY "rank" <= 10'
+        ),
+        "spans": o.PARSED_CTE
+        + (
+            "SELECT conv_id AS trace_id, turn_idx AS span_idx, "
+            "coalesce(action, 'unparsed') AS span_name, "
+            "CASE role WHEN 'user' THEN 'CLIENT' "
+            "WHEN 'assistant' THEN 'SERVER' ELSE 'INTERNAL' END AS kind, "
+            "latency_ms AS duration_ms FROM parsed2"
+        ),
+        "span_stats": o.PARSED_CTE
+        + (
+            "SELECT coalesce(action, 'unparsed') AS span_name, "
+            "count(*) AS n, cast(sum(latency_ms) AS bigint) AS sum_ms "
+            "FROM parsed2 GROUP BY 1"
+        ),
+        "cumulative_delta": (
+            "SELECT event_id, user_id, ts, value, "
+            "CASE WHEN lag(value) OVER w IS NULL THEN value "
+            "ELSE value - lag(value) OVER w END AS delta FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "salted_counts": (
+            "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
         ),
         "asof_join": (
             "SELECT e.event_id, e.user_id, e.ts, s.signup_ts "

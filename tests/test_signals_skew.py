@@ -1,0 +1,66 @@
+"""Traces/metrics signal + skew-handling unit tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from opentelemetry_collector_ray.functions.skew import salted_grouped_sum
+from opentelemetry_collector_ray.stages.parse import parse_batch
+from opentelemetry_collector_ray.stages.signals import (
+    cumulative_to_delta,
+    spans_batch,
+)
+from opentelemetry_collector_ray.fixtures import gen_transcripts
+
+
+def test_spans_preserve_count_and_null_durations():
+    p = parse_batch(gen_transcripts(100))
+    s = spans_batch(p)
+    assert s.num_rows == p.num_rows  # SpanCount == LogRecordCount here
+    assert s["duration_ms"].null_count == p["latency_ms"].null_count
+    assert set(s.column_names) == {
+        "trace_id", "span_idx", "span_name", "kind", "duration_ms",
+    }
+
+
+def test_cumulative_to_delta_roundtrip():
+    # delta then cumsum restores the original series
+    df = pd.DataFrame(
+        {
+            "k": [1] * 5 + [2] * 3,
+            "ts": list(range(5)) + list(range(3)),
+            "i": range(8),
+            "v": [1.0, 3.0, 6.0, 10.0, 15.0, 2.0, 4.0, 8.0],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = cumulative_to_delta(ds, key="k", ts="ts", value="v", order_tiebreak="i")
+    got = out.to_pandas().sort_values(["k", "ts"])
+    for k, g in got.groupby("k"):
+        assert np.allclose(g["delta"].cumsum(), g["v"])
+
+
+def test_salted_sum_matches_plain_groupby_on_hot_key():
+    # 90% of rows share one key — the skew case the salt exists for
+    n = 20000
+    keys = np.where(np.arange(n) % 10 < 9, "hot", "cold")
+    vals = np.arange(n, dtype=np.int64) % 7
+    ds = ray.data.from_arrow(
+        pa.table({"k": keys, "v": vals})
+    ).repartition(16)
+    out = (
+        salted_grouped_sum(ds, "k", "v", salt=8, alias="s")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"k": keys, "v": vals})
+        .groupby("k", as_index=False)["v"]
+        .sum()
+        .rename(columns={"v": "s"})
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
