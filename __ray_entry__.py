@@ -619,7 +619,86 @@ def q_salted_counts(sf_dir: str):
     return salted_grouped_sum(ds, "event_type", None, salt=8)
 
 
+def q_sliding_window(sf_dir: str):
+    """Per-user trailing-60min event count at every event (RANGE
+    window incl. ts-peers) — two binary searches per group."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.window2 import sliding_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return sliding_count(ds, key="user_id", ts="ts", window_minutes=60)
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-3 events by value per event_type with rank (row_number
+    over partition)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.window2 import topk_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"]
+    )
+    return topk_per_group(
+        ds, group="event_type", order_by="value", tiebreak="event_id", k=3
+    )
+
+
+def q_quantiles(sf_dir: str):
+    """Discrete p50/p95 latency per route (quantile_disc semantics —
+    exact data elements, hash-safe)."""
+    from opentelemetry_collector_ray.stages.window2 import discrete_quantiles
+
+    return discrete_quantiles(
+        _enriched(sf_dir),
+        group="route",
+        value="latency_ms",
+        quantiles=(0.5, 0.95),
+        out_dtype="int64",
+    )
+
+
+def q_join_native(sf_dir: str):
+    """Ray's built-in hash-partitioned Dataset.join (same result as the
+    explicit bucketed join)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.agg import grouped_count
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    ).rename_columns({"l_orderkey": "o_orderkey"})
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8, on=("o_orderkey",)
+    )
+    return grouped_count(joined, ["o_orderstatus"])
+
+
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct users per event_type —
+    mergeable-sketch combiner (rows-only; accuracy pinned in tests)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.sketch import approx_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return approx_distinct(ds, group="event_type", value="user_id")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "sliding_window": q_sliding_window,
+    "topk_per_group": q_topk_per_group,
+    "quantiles": q_quantiles,
+    "join_native": q_join_native,
+    "hll_distinct": q_hll_distinct,
     "spans": q_spans,
     "span_stats": q_span_stats,
     "cumulative_delta": q_cumulative_delta,
@@ -773,6 +852,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, cast(row_number() OVER "
             "(PARTITION BY query_id ORDER BY score DESC, vec_id) AS bigint) "
             'AS "rank", vec_id FROM s QUALIFY "rank" <= 10'
+        ),
+        "sliding_window": (
+            "SELECT event_id, user_id, ts, "
+            "cast(count(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW) "
+            "AS bigint) AS n_window FROM events"
+        ),
+        "topk_per_group": (
+            "SELECT event_type, event_id, value, "
+            "cast(row_number() OVER (PARTITION BY event_type "
+            'ORDER BY value DESC, event_id) AS bigint) AS "rank" '
+            'FROM events QUALIFY "rank" <= 3'
+        ),
+        "quantiles": o.ENRICHED_CTE
+        + (
+            "SELECT route, "
+            "cast(quantile_disc(latency_ms, 0.5) AS bigint) AS q50, "
+            "cast(quantile_disc(latency_ms, 0.95) AS bigint) AS q95 "
+            "FROM enriched GROUP BY route"
+        ),
+        "join_native": (
+            "SELECT o_orderstatus, count(*) AS n FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus"
         ),
         "spans": o.PARSED_CTE
         + (
