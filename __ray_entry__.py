@@ -693,7 +693,27 @@ def q_hll_distinct(sf_dir: str):
     return approx_distinct(ds, group="event_type", value="user_id")
 
 
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4, id_a < id_b) —
+    broadcast matrix, streamed batches, exact."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    import numpy as np
+
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack(tbl["embedding"].to_pylist())
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(ds, mat, ids, threshold=0.4)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "embedding_near_dup": q_embedding_near_dup,
     "sliding_window": q_sliding_window,
     "topk_per_group": q_topk_per_group,
     "quantiles": q_quantiles,
@@ -852,6 +872,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, cast(row_number() OVER "
             "(PARTITION BY query_id ORDER BY score DESC, vec_id) AS bigint) "
             'AS "rank", vec_id FROM s QUALIFY "rank" <= 10'
+        ),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(cast(a.embedding AS DOUBLE[]), "
+            "cast(b.embedding AS DOUBLE[])) >= 0.4"
         ),
         "sliding_window": (
             "SELECT event_id, user_id, ts, "

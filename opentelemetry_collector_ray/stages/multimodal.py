@@ -54,6 +54,89 @@ def synth_media_table(n: int, payload_bytes: int = 4096) -> pa.Table:
     )
 
 
+class ResizeStage:
+    """Image-resize actor stage: payload → resized payload + dims.
+
+    Plumbing is real (actor pool, binary in/out, metadata columns);
+    the pixel work is stubbed: without codecs, the deterministic fake
+    "resize" truncates/repeats the payload to the target byte budget
+    (W×H×3) so output sizes are exactly what a real RGB resize would
+    produce — downstream stages see realistic block shapes.
+    """
+
+    def __init__(self, width: int = 64, height: int = 64, fake: bool = False):
+        if not fake:
+            try:
+                import PIL  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "no image codecs here; construct with fake=True"
+                ) from e
+        self.width = width
+        self.height = height
+        self.budget = width * height * 3
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        out = [
+            (p * (self.budget // max(len(p), 1) + 1))[: self.budget]
+            for p in payloads
+        ]
+        n = len(batch)
+        return (
+            batch.set_column(
+                batch.column_names.index("payload"),
+                "payload",
+                pa.array(out, type=pa.binary()),
+            )
+            .append_column(
+                "width", pa.array(np.full(n, self.width, dtype=np.int32))
+            )
+            .append_column(
+                "height", pa.array(np.full(n, self.height, dtype=np.int32))
+            )
+        )
+
+
+class FrameSampleStage:
+    """Video frame-sampling actor stage: one payload → N frame rows
+    (flat_map shape expressed as a batch transform: output has more
+    rows than input, one per sampled frame).
+
+    Frame extraction is stubbed deterministically (frame i = the
+    payload's bytes rotated by i); the row-explosion plumbing —
+    (media_id, frame_idx, frame_payload) with small batch sizes for
+    wide rows — is the real, tested part.
+    """
+
+    def __init__(self, frames: int = 4, fake: bool = False):
+        if not fake:
+            try:
+                import PIL  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "no video codecs here; construct with fake=True"
+                ) from e
+        self.frames = frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_id, out_idx, out_frame = [], [], []
+        for mid, p in zip(ids, payloads):
+            for i in range(self.frames):
+                out_id.append(mid)
+                out_idx.append(i)
+                out_frame.append(p[i:] + p[:i])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_idx, type=pa.int32()),
+                "frame_payload": pa.array(out_frame, type=pa.binary()),
+            }
+        )
+
+
 class DecodeStage:
     """Actor-pool decode: payload → feature columns.
 

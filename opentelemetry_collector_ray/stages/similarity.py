@@ -115,6 +115,51 @@ def lsh_bucket_batch(batch: pa.Table, planes: np.ndarray, id_col="vec_id") -> pa
     return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
 
 
+def embedding_near_dup_pairs(
+    ds: ray.data.Dataset,
+    all_embeddings: "np.ndarray",
+    all_ids: "np.ndarray",
+    *,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b) with
+    cosine ≥ threshold.
+
+    Shape: the full (normalized) matrix is broadcast once (`ray.put`),
+    the corpus streams through `map_batches`, each batch matmuls its
+    rows against the whole matrix and emits its qualifying pairs —
+    exact, one pass, no shuffle. Valid while the matrix fits a worker
+    (64-dim float32: ~2.4 GB per 10M vectors); beyond that, switch to
+    `lsh_bucket_batch` bucketing and compare within bucket ± Hamming-1
+    probes (approximate, documented trade-off).
+    """
+    import ray as _ray
+
+    order = np.argsort(all_ids)
+    ids_sorted = all_ids[order]
+    mat = _norm_rows(all_embeddings[order].astype(np.float64))
+    ref = _ray.put((ids_sorted, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, m = _ray.get(ref)
+        vecs = _norm_rows(_matrix(batch["embedding"]))
+        bids = batch[id_col].to_numpy()
+        scores = vecs @ m.T  # (B, N)
+        hit_b, hit_n = np.nonzero(scores >= threshold)
+        a = bids[hit_b]
+        b = ids_all[hit_n]
+        keep = a < b  # dedupe (i,j)/(j,i) and self-pairs
+        return pa.table(
+            {
+                "id_a": a[keep].astype(np.int64),
+                "id_b": b[keep].astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def lsh_topk(
     ds: ray.data.Dataset,
     queries: dict[int, np.ndarray],

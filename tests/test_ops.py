@@ -162,6 +162,38 @@ def test_media_decode_plumbing():
         DecodeStage(fake_decode=False)
 
 
+def test_media_resize_and_frame_sample():
+    from opentelemetry_collector_ray.stages.multimodal import (
+        FrameSampleStage,
+        ResizeStage,
+    )
+
+    media = ray.data.from_arrow(synth_media_table(16, payload_bytes=512))
+    resized = media.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"width": 8, "height": 8, "fake": True},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=1,
+    ).to_pandas()
+    assert (resized["width"] == 8).all()
+    assert all(len(p) == 8 * 8 * 3 for p in resized["payload"])
+
+    frames = media.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"frames": 4, "fake": True},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=1,
+    ).to_pandas()
+    assert len(frames) == 16 * 4  # row explosion: one row per frame
+    assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ResizeStage(fake=False)
+
+
 def test_word_shingles_edges():
     assert _word_shingles("", 3) == set()
     assert _word_shingles("a b", 3) == {"a b"}
