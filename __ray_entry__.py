@@ -225,7 +225,9 @@ def q_sessionize(sf_dir: str):
 
     from opentelemetry_collector_ray.stages.window import sessionize
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
     return sessionize(ds, gap_minutes=30).select_columns(
         ["user_id", "session_id", "n_events", "start_ts", "end_ts"]
     )
@@ -548,6 +550,7 @@ def q_obs_counters(sf_dir: str):
         updates[m.exporter_sent(str(r["sink"]))] = int(r["n"])
     ray.get(actor.add_many.remote(updates))
     snap = ray.get(actor.snapshot.remote())
+    ray.kill(actor)  # run-scoped actor; don't leak one per invocation
     return pd.DataFrame(
         {"name": list(snap.keys()), "value": [int(v) for v in snap.values()]}
     )
@@ -804,7 +807,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, "
             "regexp_replace(event_type, 'click', 'tap', 'g') AS event_type, "
             "value AS amount, 'prod' AS env, "
-            "regexp_extract(props, '\"k\": (\\d+)', 1) AS k_val, "
+            "nullif(regexp_extract(props, '\"k\": (\\d+)', 1), '') AS k_val, "
             "md5(cast(user_id AS varchar)) AS user_id FROM events"
         ),
         "batch_rebatch": "SELECT event_id, event_type FROM events",

@@ -13,10 +13,15 @@ shuffles move O(groups × salt × blocks) rows regardless of input size.
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
+
+# per-worker-process monotone counter feeding the salt (see partial())
+_SALT_COUNTER = itertools.count()
 
 
 def salted_grouped_sum(
@@ -41,18 +46,14 @@ def salted_grouped_sum(
         else:
             g = t.group_by([key]).aggregate([(value_col, "sum")])
             g = g.rename_columns([key, "_pv"])
-        # deterministic salt from the partial's content, uniform enough
-        # to spread a hot key's many per-block partials
-        import zlib
-
-        s = np.fromiter(
-            (
-                zlib.crc32(f"{v}|{n}".encode()) % salt
-                for v, n in zip(g[key].to_pylist(), g["_pv"].to_pylist())
-            ),
-            dtype=np.int64,
-            count=len(g),
-        )
+        # salt from a per-worker call counter: identical (key, count)
+        # partials from uniform blocks MUST still land on different
+        # reducers (content-derived salt degenerates to one value in
+        # exactly the uniform hot-key case). The salt value itself
+        # never affects the result — phase 2 merges every salt — so it
+        # needs spread, not cross-run determinism.
+        base = next(_SALT_COUNTER)
+        s = (base + np.arange(len(g), dtype=np.int64)) % salt
         return g.append_column("_salt", pa.array(s))
 
     partials = ds.map_batches(partial, batch_format="pyarrow")

@@ -154,23 +154,38 @@ def build_dataset(cfg: PipelineConfig) -> ray.data.Dataset:
 def run_pipeline(spec: dict | str) -> dict:
     """Config in, run out: build, write sinks, return the run report
     (per-sink counts — the obsreport surface)."""
+    import os
+    import shutil
+
     cfg = load_config(spec)
     ds = build_dataset(cfg)
     out_dir = cfg.sinks.out_dir
+    # atomic replace: Ray's write_parquet default is APPEND, so writing
+    # straight into an existing out_dir on a rerun would double the
+    # data and inflate the counts — stage into a tmp dir and swap.
+    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".tmp-{os.path.basename(out_dir)}-{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
     if cfg.sinks.mode == "route":
         from ..stages.route import explode_sinks_batch
 
         exploded = ds.map_batches(explode_sinks_batch, batch_format="pyarrow")
-        exploded.write_parquet(out_dir, partition_cols=["sink"])
+        exploded.write_parquet(tmp, partition_cols=["sink"])
         per_sink = (
-            ray.data.read_parquet(out_dir).groupby("sink").count().to_pandas()
+            ray.data.read_parquet(tmp).groupby("sink").count().to_pandas()
         )
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.rename(tmp, out_dir)
         return {
             "out_dir": out_dir,
             "per_sink": {
                 str(r["sink"]): int(r["count()"]) for _, r in per_sink.iterrows()
             },
         }
-    ds.write_parquet(out_dir)
-    n = ray.data.read_parquet(out_dir).count()
+    from ..sinks.writers import atomic_write_parquet
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    n = atomic_write_parquet(ds, out_dir)
     return {"out_dir": out_dir, "rows": int(n)}

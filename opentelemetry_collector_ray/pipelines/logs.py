@@ -77,13 +77,25 @@ def run_logs_pipeline(
     from ..sources.transcripts import read_transcripts
     from ..state import metrics as m
 
+    import os
+    import shutil
+
     ds = read_transcripts(input_paths)
     parsed = ds.map_batches(parse_batch, batch_format="pyarrow").map_batches(
         enrich_batch, batch_format="pyarrow"
     )
     exploded = parsed.map_batches(explode_sinks_batch, batch_format="pyarrow")
     exploded = exploded.drop_columns(["msg"])
-    exploded.write_parquet(out_dir, partition_cols=["sink"])
+    # stage + swap: Ray write_parquet APPENDs into an existing dir — a
+    # rerun must replace, not double, the sinks.
+    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".tmp-{os.path.basename(out_dir)}-{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    exploded.write_parquet(tmp, partition_cols=["sink"])
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(tmp, out_dir)
 
     # obsreport surface: counts from the written sinks (authoritative —
     # counted at the exporter boundary like obsreport_exporter.go:42-57).

@@ -32,13 +32,20 @@ def atomic_write_parquet(ds: ray.data.Dataset, out_dir: str, **kwargs) -> int:
     """
     parent = os.path.dirname(os.path.abspath(out_dir)) or "."
     os.makedirs(parent, exist_ok=True)
-    tmp = os.path.join(parent, f".tmp-{os.path.basename(out_dir)}-{os.getpid()}")
+    base = os.path.basename(out_dir)
+    tmp = os.path.join(parent, f".tmp-{base}-{os.getpid()}")
+    old = os.path.join(parent, f".old-{base}-{os.getpid()}")
     shutil.rmtree(tmp, ignore_errors=True)
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    # write the replacement FIRST; only then swap — a crash mid-write
+    # must leave the previous complete sink untouched (the retry
+    # contract; rewriting in place would destroy good data).
     ds.write_parquet(tmp, **kwargs)
     rows = ray.data.read_parquet(tmp).count()
+    if os.path.exists(out_dir):
+        os.rename(out_dir, old)
     os.rename(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
     return int(rows)
 
 

@@ -107,7 +107,10 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pandas()
-        sigs = np.stack([self.signature(t) for t in texts])
+        if len(texts) == 0:
+            sigs = np.empty((0, self.num_hashes), dtype=np.uint64)
+        else:
+            sigs = np.stack([self.signature(t) for t in texts])
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.ravel(), type=pa.uint64()), self.num_hashes
         )
@@ -124,6 +127,14 @@ class LSHBandStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], type=pa.int64()),
+                    "band": pa.array([], type=pa.int64()),
+                    "band_hash": pa.array([], type=pa.int64()),
+                }
+            )
         sigs = np.stack(batch["minhash"].to_pandas().to_numpy())  # (N, K)
         n, k = sigs.shape
         r = k // self.bands

@@ -110,5 +110,9 @@ class FilterStage:
                 "in": f.isin(value) if op == "in" else None,
                 "not_in": ~f.isin(value) if op == "not_in" else None,
             }[op]
-            expr = ~e if expr is None else expr & ~e
+            # match __call__'s null semantics: a null comparison is
+            # no-match → KEPT by exclude; bare ~e would evaluate null
+            # and the scan would drop the row.
+            ne = ~e | f.is_null()
+            expr = ne if expr is None else expr & ne
         return expr

@@ -175,9 +175,12 @@ class DecodeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         types = batch["media_type"].to_pylist()
-        feats = np.stack(
-            [self._decode_one(p, t) for p, t in zip(payloads, types)]
-        )
+        if not payloads:
+            feats = np.empty((0, self.FEAT_DIM), dtype=np.float32)
+        else:
+            feats = np.stack(
+                [self._decode_one(p, t) for p, t in zip(payloads, types)]
+            )
         features = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), type=pa.float32()), self.FEAT_DIM
         )

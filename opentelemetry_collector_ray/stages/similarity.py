@@ -42,17 +42,28 @@ class BruteTopK:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
         vecs = _norm_rows(_matrix(batch["embedding"]))
         ids = batch[self.id_col].to_numpy()
         scores = self.qm @ vecs.T  # (Q, N)
         k = min(self.k, scores.shape[1])
-        # partial top-k per query within this batch
-        idx = np.argpartition(-scores, k - 1, axis=1)[:, :k]
         out_q, out_v, out_s = [], [], []
         for qi in range(scores.shape[0]):
+            # deterministic per-batch top-k INCLUDING the documented
+            # (score desc, vec_id asc) tie-break — argpartition alone
+            # would keep an arbitrary subset of boundary ties and make
+            # the result depend on block layout.
+            order = np.lexsort((ids, -scores[qi]))[:k]
             out_q.append(np.full(k, self.qids[qi]))
-            out_v.append(ids[idx[qi]])
-            out_s.append(scores[qi, idx[qi]])
+            out_v.append(ids[order])
+            out_s.append(scores[qi, order])
         return pa.table(
             {
                 "query_id": np.concatenate(out_q),
@@ -108,6 +119,8 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_bucket_batch(batch: pa.Table, planes: np.ndarray, id_col="vec_id") -> pa.Table:
+    if len(batch) == 0:
+        return batch.append_column("bucket", pa.array([], type=pa.int64()))
     vecs = _matrix(batch["embedding"])
     signs = (vecs @ planes.T) >= 0  # (N, bits)
     weights = (1 << np.arange(planes.shape[0]))[None, :]
@@ -142,6 +155,13 @@ def embedding_near_dup_pairs(
     ref = _ray.put((ids_sorted, mat))
 
     def pairs(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                }
+            )
         ids_all, m = _ray.get(ref)
         vecs = _norm_rows(_matrix(batch["embedding"]))
         bids = batch[id_col].to_numpy()

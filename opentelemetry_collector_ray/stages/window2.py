@@ -78,7 +78,7 @@ def discrete_quantiles(
         n = len(v)
         row = {group: g[group].iloc[0]}
         for q in quantiles:
-            name = f"{prefix}{int(q * 100)}"
+            name = f"{prefix}{int(round(q * 100))}"  # 0.57*100 → 57, not 56
             row[name] = v[max(int(np.ceil(q * n)) - 1, 0)] if n else None
         return pd.DataFrame([row])
 
