@@ -376,6 +376,26 @@ def q_media_decode(sf_dir: str):
     return out.select_columns(["media_id", "media_type", "decoded_ok", "feat_dim"])
 
 
+def q_media_frames(sf_dir: str):
+    """Video frame-sampling plumbing: row explosion, one row per
+    sampled frame (rows-only; synthetic input)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.multimodal import (
+        FrameSampleStage,
+        synth_media_table,
+    )
+
+    media = ray.data.from_arrow(synth_media_table(128))
+    return media.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"frames": 4, "fake": True},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    ).select_columns(["media_id", "frame_idx"])
+
+
 # ---------------------------------------------- relational primitives
 def q_join_broadcast(sf_dir: str):
     """Broadcast dimension join: orders → customer → nation, order
@@ -759,6 +779,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
     "media_decode": q_media_decode,
+    "media_frames": q_media_frames,
 }
 
 

@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (it has none, SURVEY.md §5); these pin the algebraic
+invariants the engine relies on."""
+
+import hypothesis.strategies as st
+import pyarrow as pa
+import pyarrow.compute as pc
+from hypothesis import given, settings
+
+from opentelemetry_collector_ray.stages.attributes import AttributesStage
+from opentelemetry_collector_ray.stages.batch import split_table
+from opentelemetry_collector_ray.stages.parse import parse_batch
+from opentelemetry_collector_ray.stages.route import explode_sinks_batch
+
+LEVELS = st.sampled_from(["DEBUG", "INFO", "WARN", "ERROR"])
+WORD = st.from_regex(r"[a-z]{1,8}", fullmatch=True)
+MSG = st.from_regex(r"[a-zA-Z0-9 _.,:-]{0,40}", fullmatch=True)
+
+
+@st.composite
+def texts(draw):
+    if draw(st.booleans()):
+        level = draw(LEVELS)
+        action = draw(WORD)
+        n = draw(st.integers(0, 10**6))
+        msg = draw(MSG)
+        return f"[{level}] action={action} latency_ms={n} msg={msg}"
+    return draw(MSG)  # free text → parse miss (unless it matches!)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(texts(), min_size=1, max_size=50))
+def test_parse_total_and_lossless(text_list):
+    t = pa.table({"text": pa.array(text_list, type=pa.string())})
+    p = parse_batch(t)
+    # total: row count preserved; each row either fully parsed or fully null
+    assert p.num_rows == t.num_rows
+    for ok, level, action, lat, msg, orig in zip(
+        p["parse_ok"].to_pylist(),
+        p["level"].to_pylist(),
+        p["action"].to_pylist(),
+        p["latency_ms"].to_pylist(),
+        p["msg"].to_pylist(),
+        text_list,
+    ):
+        if ok:
+            assert f"[{level}] action={action} latency_ms={lat} msg={msg}" == orig
+        else:
+            assert level is None and action is None and lat is None and msg is None
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 200), st.integers(1, 50))
+def test_split_table_partitions(n, max_rows):
+    t = pa.table({"x": list(range(n))})
+    parts = split_table(t, max_rows)
+    assert all(p.num_rows <= max_rows for p in parts)
+    assert pa.concat_tables(parts)["x"].to_pylist() == list(range(n))
+    assert len(parts) == -(-n // max_rows)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["ingest", "audit"]), st.sampled_from(["ERROR", "INFO", None])),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_route_explode_invariant(rows):
+    t = pa.table(
+        {
+            "route": pa.array([r for r, _ in rows], type=pa.string()),
+            "level": pa.array([l for _, l in rows], type=pa.string()),
+        }
+    )
+    x = explode_sinks_batch(t)
+    errors = sum(1 for _, l in rows if l == "ERROR")
+    assert x.num_rows == len(rows) + errors
+    assert x.filter(pc.equal(x["sink"], "errors")).num_rows == errors
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abc", min_size=1, max_size=8), st.integers(-5, 5))
+def test_attributes_upsert_idempotent(key, value):
+    t = pa.table({"a": [1, 2, 3]})
+    st_ = AttributesStage([{"action": "upsert", "key": key, "value": value}])
+    once = st_(t)
+    twice = st_(once)
+    assert once.equals(twice)
+    assert once[key].to_pylist() == [value] * 3
