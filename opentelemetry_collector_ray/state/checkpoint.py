@@ -72,13 +72,22 @@ class PartitionLedger:
 
 
 def plan_partitions(input_files: list[str], num_partitions: int) -> list[list[str]]:
-    """Deterministic file→partition assignment (round-robin over the
-    sorted file list — stable across runs and parallelism levels)."""
+    """Deterministic file→partition assignment by basename hash.
+
+    Hash-stable, NOT positional: adding new input files to the corpus
+    leaves every existing file in its old partition (a round-robin over
+    the sorted list would shift assignments and silently invalidate the
+    ledger). This is what makes incremental ingestion work: new shards
+    land, only the partitions whose input set changed reprocess.
+    """
+    import zlib
+
     files = sorted(input_files)
     parts: list[list[str]] = [[] for _ in range(num_partitions)]
-    for i, f in enumerate(files):
-        parts[i % num_partitions].append(f)
-    return [p for p in parts]
+    for f in files:
+        pid = zlib.crc32(os.path.basename(f).encode()) % num_partitions
+        parts[pid].append(f)
+    return parts
 
 
 def run_partitioned(
@@ -111,7 +120,18 @@ def run_partitioned(
     done = ledger.completed()
     plan = plan_partitions(input_files, num_partitions)
 
-    # clean torn writes: output dir present but not in ledger
+    # input-drift detection: a ledger-complete partition whose recorded
+    # input set no longer matches the plan (new shards landed in it, or
+    # shards disappeared) is stale — reprocess it. This is the
+    # incremental-ingestion path: only changed partitions redo work.
+    for pid, files in enumerate(plan):
+        if pid in done and sorted(done[pid].inputs) != sorted(
+            os.path.basename(f) for f in files
+        ):
+            del done[pid]
+
+    # clean torn writes + stale partitions: output dir present but not
+    # (or no longer) ledger-valid
     for pid in range(num_partitions):
         pdir = os.path.join(out_dir, f"part-{pid}")
         if pid not in done and os.path.exists(pdir):

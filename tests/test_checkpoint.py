@@ -82,6 +82,34 @@ def test_crash_resume_equals_uninterrupted(corpus, tmp_path):
     assert res_b["total_rows"] == res_a["total_rows"]
 
 
+def test_incremental_ingestion_reprocesses_only_changed(corpus, tmp_path):
+    """New shards land → only partitions whose input set changed redo
+    work; final output equals a from-scratch run over the full corpus."""
+    from opentelemetry_collector_ray.fixtures import _write_shard
+
+    out = str(tmp_path / "incr")
+    run_partitioned(corpus, out, _pipeline, num_partitions=4)
+
+    # a new shard arrives (disjoint conv range continues the corpus)
+    new_file = _write_shard(str(tmp_path), 99, 200, 25)
+    full = corpus + [new_file]
+
+    res = run_partitioned(full, out, _pipeline, num_partitions=4)
+    from opentelemetry_collector_ray.state.checkpoint import plan_partitions
+
+    changed = {
+        pid
+        for pid, files in enumerate(plan_partitions(full, 4))
+        if new_file in files
+    }
+    assert res["processed"] == len(changed)
+    assert res["skipped"] == 4 - len(changed)
+
+    out_fresh = str(tmp_path / "fresh")
+    run_partitioned(full, out_fresh, _pipeline, num_partitions=4)
+    pd.testing.assert_frame_equal(_read_all(out), _read_all(out_fresh))
+
+
 def test_torn_write_is_reprocessed(corpus, tmp_path):
     out = str(tmp_path / "torn")
     run_partitioned(corpus, out, _pipeline, num_partitions=2)
