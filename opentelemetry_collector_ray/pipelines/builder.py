@@ -124,9 +124,65 @@ def build_source(cfg: PipelineConfig) -> ray.data.Dataset:
     raise ConfigError(f"unknown source type: {src.type!r}")
 
 
-def build_dataset(cfg: PipelineConfig) -> ray.data.Dataset:
-    """source + stages → lazy Dataset (no sink consumption)."""
-    ds = build_source(cfg)
+def run_service(spec: dict | str) -> dict:
+    """Multi-pipeline service run (service.pipelines shape): pipelines
+    declaring the SAME source share one Dataset read (the shared-
+    receiver-instance semantics, internal/sharedcomponent/
+    sharedcomponent.go:28-58 — one receiver fanning into every pipeline
+    that lists it). Returns {pipeline_name: run report}."""
+    from .config import load_service_config
+
+    cfgs = load_service_config(spec)
+    # shared sources: key by the source identity, build each read once
+    sources: dict[tuple, ray.data.Dataset] = {}
+    reports = {}
+    for name, cfg in cfgs.items():
+        key = (
+            cfg.source.type,
+            tuple(cfg.source.paths or []),
+            cfg.source.sf_dir,
+            tuple(cfg.source.columns or []),
+        )
+        if key not in sources:
+            sources[key] = build_source(cfg)
+        reports[name] = _run_one(cfg, sources[key])
+    return reports
+
+
+def _run_one(cfg: PipelineConfig, source: ray.data.Dataset) -> dict:
+    import os
+    import shutil
+
+    ds = _apply_stages(source, cfg)
+    out_dir = cfg.sinks.out_dir
+    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".tmp-{os.path.basename(out_dir)}-{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    if cfg.sinks.mode == "route":
+        from ..stages.route import explode_sinks_batch
+
+        exploded = ds.map_batches(explode_sinks_batch, batch_format="pyarrow")
+        exploded.write_parquet(tmp, partition_cols=["sink"])
+        per_sink = (
+            ray.data.read_parquet(tmp).groupby("sink").count().to_pandas()
+        )
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.rename(tmp, out_dir)
+        return {
+            "out_dir": out_dir,
+            "per_sink": {
+                str(r["sink"]): int(r["count()"]) for _, r in per_sink.iterrows()
+            },
+        }
+    from ..sinks.writers import atomic_write_parquet
+
+    n = atomic_write_parquet(ds, out_dir)
+    return {"out_dir": out_dir, "rows": int(n)}
+
+
+def _apply_stages(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
     for st in cfg.stages:
         if st.type == "rebatch":
             from ..stages.batch import rebatch
@@ -151,41 +207,14 @@ def build_dataset(cfg: PipelineConfig) -> ray.data.Dataset:
     return ds
 
 
+def build_dataset(cfg: PipelineConfig) -> ray.data.Dataset:
+    """source + stages → lazy Dataset (no sink consumption)."""
+    return _apply_stages(build_source(cfg), cfg)
+
+
 def run_pipeline(spec: dict | str) -> dict:
-    """Config in, run out: build, write sinks, return the run report
-    (per-sink counts — the obsreport surface)."""
-    import os
-    import shutil
-
+    """Config in, run out: build, write sinks atomically (stage + swap;
+    Ray's write_parquet default APPENDs, a rerun must replace), return
+    the run report (per-sink counts — the obsreport surface)."""
     cfg = load_config(spec)
-    ds = build_dataset(cfg)
-    out_dir = cfg.sinks.out_dir
-    # atomic replace: Ray's write_parquet default is APPEND, so writing
-    # straight into an existing out_dir on a rerun would double the
-    # data and inflate the counts — stage into a tmp dir and swap.
-    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
-    os.makedirs(parent, exist_ok=True)
-    tmp = os.path.join(parent, f".tmp-{os.path.basename(out_dir)}-{os.getpid()}")
-    shutil.rmtree(tmp, ignore_errors=True)
-    if cfg.sinks.mode == "route":
-        from ..stages.route import explode_sinks_batch
-
-        exploded = ds.map_batches(explode_sinks_batch, batch_format="pyarrow")
-        exploded.write_parquet(tmp, partition_cols=["sink"])
-        per_sink = (
-            ray.data.read_parquet(tmp).groupby("sink").count().to_pandas()
-        )
-        if os.path.exists(out_dir):
-            shutil.rmtree(out_dir)
-        os.rename(tmp, out_dir)
-        return {
-            "out_dir": out_dir,
-            "per_sink": {
-                str(r["sink"]): int(r["count()"]) for _, r in per_sink.iterrows()
-            },
-        }
-    from ..sinks.writers import atomic_write_parquet
-
-    shutil.rmtree(tmp, ignore_errors=True)
-    n = atomic_write_parquet(ds, out_dir)
-    return {"out_dir": out_dir, "rows": int(n)}
+    return _run_one(cfg, build_source(cfg))

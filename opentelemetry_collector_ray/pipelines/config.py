@@ -55,8 +55,23 @@ class PipelineConfig:
     sinks: SinkConfig
 
 
-def load_config(spec: dict | str) -> PipelineConfig:
-    """Parse + validate a pipeline spec (dict, YAML string, or path)."""
+def load_service_config(spec: dict | str) -> dict[str, PipelineConfig]:
+    """Multi-pipeline service spec (service.pipelines.{name} shape,
+    service/config.go:70-98): ``{service: {pipelines: {name: <pipeline
+    spec body>}}}``. Each body is validated like a single pipeline."""
+    spec = _load_yaml(spec)
+    if not isinstance(spec, dict) or "service" not in spec:
+        raise ConfigError("spec must contain a top-level 'service' key")
+    pipelines = spec["service"].get("pipelines")
+    if not pipelines:
+        raise ConfigError("service must define at least one pipeline")
+    return {
+        name: load_config({"pipeline": body})
+        for name, body in pipelines.items()
+    }
+
+
+def _load_yaml(spec: dict | str) -> dict:
     if isinstance(spec, str):
         import os
 
@@ -64,9 +79,14 @@ def load_config(spec: dict | str) -> PipelineConfig:
 
         if os.path.exists(spec):
             with open(spec) as f:
-                spec = yaml.safe_load(f)
-        else:
-            spec = yaml.safe_load(spec)
+                return yaml.safe_load(f)
+        return yaml.safe_load(spec)
+    return spec
+
+
+def load_config(spec: dict | str) -> PipelineConfig:
+    """Parse + validate a pipeline spec (dict, YAML string, or path)."""
+    spec = _load_yaml(spec)
     if not isinstance(spec, dict) or "pipeline" not in spec:
         raise ConfigError("spec must contain a top-level 'pipeline' key")
     p = spec["pipeline"]

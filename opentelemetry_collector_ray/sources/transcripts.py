@@ -101,4 +101,8 @@ def transcripts_from_events(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
+    # coalesce before the groupby: the default read splits one small
+    # file into ~200 tiny blocks and the sort-based shuffle becomes
+    # dispatch-bound (same lesson as BASELINE.md block-sizing note)
+    ds = ds.repartition(16)
     return ds.groupby("user_id").map_groups(_derive_group, batch_format="pandas")

@@ -116,6 +116,96 @@ def test_run_pipeline_route_mode(corpus, tmp_path):
     assert os.path.exists(os.path.join(out, "sink=errors"))
 
 
+def test_run_service_shared_source(corpus, tmp_path):
+    """Two pipelines sharing one source (shared-receiver semantics):
+    different filters, both sinks correct."""
+    from opentelemetry_collector_ray.pipelines.builder import run_service
+
+    spec = {
+        "service": {
+            "pipelines": {
+                "errors_only": {
+                    "source": {"type": "parquet", "paths": [corpus]},
+                    "stages": [
+                        {"type": "parse"},
+                        {"type": "enrich"},
+                        {
+                            "type": "filter",
+                            "include": [["level", "==", "ERROR"]],
+                        },
+                    ],
+                    "sinks": {"mode": "single", "out_dir": str(tmp_path / "a")},
+                },
+                "all_routed": {
+                    "source": {"type": "parquet", "paths": [corpus]},
+                    "stages": [{"type": "parse"}, {"type": "enrich"}],
+                    "sinks": {"mode": "route", "out_dir": str(tmp_path / "b")},
+                },
+            }
+        }
+    }
+    reports = run_service(spec)
+    import ray.data
+
+    n_in = ray.data.read_parquet(corpus).count()
+    assert reports["all_routed"]["per_sink"]["errors"] == reports[
+        "errors_only"
+    ]["rows"]
+    base = sum(
+        v for k, v in reports["all_routed"]["per_sink"].items() if k != "errors"
+    )
+    assert base == n_in
+
+
+def test_service_config_validation():
+    from opentelemetry_collector_ray.pipelines.config import (
+        load_service_config,
+    )
+
+    with pytest.raises(ConfigError, match="service"):
+        load_service_config({"pipeline": {}})
+    with pytest.raises(ConfigError, match="at least one pipeline"):
+        load_service_config({"service": {"pipelines": {}}})
+
+
+def test_retry_policy_semantics():
+    from opentelemetry_collector_ray.sinks.retry import (
+        PermanentError,
+        RetryPolicy,
+        retry_call,
+    )
+
+    sleeps = []
+    policy = RetryPolicy(max_elapsed=50.0)
+    policy.sleep = sleeps.append
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise OSError("transient")
+        return "ok"
+
+    assert retry_call(flaky, policy=policy) == "ok"
+    # backoff schedule: 5, 7.5, 11.25 (initial 5, x1.5 — the reference
+    # defaults queued_retry.go:267-277)
+    assert sleeps == [5.0, 7.5, 11.25]
+
+    with pytest.raises(PermanentError):
+        retry_call(
+            lambda: (_ for _ in ()).throw(PermanentError("4xx")), policy=policy
+        )
+
+    # gives up after max_elapsed
+    policy2 = RetryPolicy(initial_interval=20.0, max_elapsed=30.0)
+    waits = []
+    policy2.sleep = waits.append
+    with pytest.raises(OSError):
+        retry_call(lambda: (_ for _ in ()).throw(OSError("x")), policy=policy2)
+    assert sum(waits) >= 30.0
+
+
 def test_register_custom_stage(corpus):
     calls = {}
 
