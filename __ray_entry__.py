@@ -376,6 +376,20 @@ def q_media_decode(sf_dir: str):
     return out.select_columns(["media_id", "media_type", "decoded_ok", "feat_dim"])
 
 
+def q_dedup_clusters(sf_dir: str):
+    """MinHash near-dup pipeline completed to keep-one-per-cluster:
+    verified pairs → connected components → (doc_id, cluster_rep)."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.stages.dedup import cluster_pairs
+
+    pairs = q_minhash_pairs(sf_dir)
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    return cluster_pairs(pairs, all_ids=ids)
+
+
 def q_media_frames(sf_dir: str):
     """Video frame-sampling plumbing: row explosion, one row per
     sampled frame (rows-only; synthetic input)."""
@@ -780,6 +794,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lsh_topk": q_lsh_topk,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 

@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
     valp = sub.add_parser("validate", help="validate a YAML pipeline config")
     valp.add_argument("config")
 
+    svcp = sub.add_parser(
+        "service", help="run a multi-pipeline service config (shared sources)"
+    )
+    svcp.add_argument("config")
+
     resp = sub.add_parser(
         "resume", help="(re)run the flagship pipeline partition-wise with ledger"
     )
@@ -68,6 +73,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     _ray_session()
+    if args.cmd == "service":
+        from .pipelines.builder import run_service
+
+        try:
+            report = run_service(args.config)
+        except ConfigError as e:
+            print(f"invalid: {e}", file=sys.stderr)
+            return 1
+        print(json.dumps(report))
+        return 0
+
     if args.cmd == "run":
         from .pipelines.builder import run_pipeline
 

@@ -293,6 +293,52 @@ class SimHashStage:
         return batch.append_column("simhash", pa.array(sigs, type=pa.uint64()))
 
 
+# ------------------------------------------- duplicate clusters
+
+
+def cluster_pairs(pairs_df, all_ids=None):
+    """Verified near-dup pairs → connected components: (doc_id,
+    cluster_rep) with rep = min doc_id of the component. Docs with no
+    pair are their own rep (when ``all_ids`` given).
+
+    Runs min-label propagation to fixpoint on the DRIVER — justified
+    because the verified-pair graph is orders of magnitude smaller than
+    the corpus (candidates post-LSH post-verify). The distributed form
+    for a pathological pair set: iterate rounds of
+    ``edges.groupby(node).aggregate(min(label))`` joined back to labels
+    until no label changes (bounded by component diameter).
+    """
+    import pandas as pd
+
+    label: dict[int, int] = {}
+    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        label.setdefault(int(a), int(a))
+        label.setdefault(int(b), int(b))
+
+    def find(x: int) -> int:
+        root = x
+        while label[root] != root:
+            root = label[root]
+        while label[x] != root:  # path compression
+            label[x], x = root, label[x]
+        return root
+
+    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by min id → deterministic representative
+            lo, hi = min(ra, rb), max(ra, rb)
+            label[hi] = lo
+    rows = {d: find(d) for d in list(label)}
+    if all_ids is not None:
+        for d in all_ids:
+            rows.setdefault(int(d), int(d))
+    out = pd.DataFrame(
+        {"doc_id": list(rows.keys()), "cluster_rep": list(rows.values())}
+    ).astype("int64")
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 # ----------------------------------- exact blocked n-gram Jaccard
 
 

@@ -198,3 +198,17 @@ def test_word_shingles_edges():
     assert _word_shingles("", 3) == set()
     assert _word_shingles("a b", 3) == {"a b"}
     assert _word_shingles("a b c d", 3) == {"a b c", "b c d"}
+
+
+def test_cluster_pairs_components():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.dedup import cluster_pairs
+
+    pairs = pd.DataFrame({"doc_a": [1, 2, 7, 9], "doc_b": [2, 3, 8, 1]})
+    out = cluster_pairs(pairs, all_ids=[1, 2, 3, 7, 8, 9, 42])
+    rep = dict(zip(out["doc_id"], out["cluster_rep"]))
+    # {1,2,3,9} one component (rep 1), {7,8} another (rep 7), 42 alone
+    assert rep[1] == rep[2] == rep[3] == rep[9] == 1
+    assert rep[7] == rep[8] == 7
+    assert rep[42] == 42
