@@ -133,18 +133,31 @@ def run_service(spec: dict | str) -> dict:
     from .config import load_service_config
 
     cfgs = load_service_config(spec)
-    # shared sources: key by the source identity, build each read once
-    sources: dict[tuple, ray.data.Dataset] = {}
-    reports = {}
-    for name, cfg in cfgs.items():
-        key = (
+
+    def skey(cfg):
+        return (
             cfg.source.type,
             tuple(cfg.source.paths or []),
             cfg.source.sf_dir,
             tuple(cfg.source.columns or []),
         )
+
+    # shared sources: a lazy Dataset re-executes its read per consumer,
+    # so sharing the *object* alone shares nothing — materialize() a
+    # source only when ≥2 pipelines consume it (read once, blocks
+    # pinned in the object store and fanned into every pipeline — the
+    # actual shared-receiver semantics; a single-consumer source stays
+    # lazy/streaming).
+    from collections import Counter
+
+    uses = Counter(skey(cfg) for cfg in cfgs.values())
+    sources: dict[tuple, ray.data.Dataset] = {}
+    reports = {}
+    for name, cfg in cfgs.items():
+        key = skey(cfg)
         if key not in sources:
-            sources[key] = build_source(cfg)
+            ds = build_source(cfg)
+            sources[key] = ds.materialize() if uses[key] > 1 else ds
         reports[name] = _run_one(cfg, sources[key])
     return reports
 

@@ -62,13 +62,30 @@ def load_service_config(spec: dict | str) -> dict[str, PipelineConfig]:
     spec = _load_yaml(spec)
     if not isinstance(spec, dict) or "service" not in spec:
         raise ConfigError("spec must contain a top-level 'service' key")
-    pipelines = spec["service"].get("pipelines")
+    svc = spec["service"]
+    if not isinstance(svc, dict):
+        raise ConfigError("'service' must be a mapping")
+    pipelines = svc.get("pipelines")
     if not pipelines:
         raise ConfigError("service must define at least one pipeline")
-    return {
-        name: load_config({"pipeline": body})
-        for name, body in pipelines.items()
-    }
+    if not isinstance(pipelines, dict):
+        raise ConfigError("'service.pipelines' must be a mapping of name → pipeline")
+    out = {}
+    for name, body in pipelines.items():
+        if not isinstance(body, dict):
+            raise ConfigError(f"pipeline {name!r} must be a mapping")
+        out[name] = load_config({"pipeline": body})
+    # two pipelines writing the same out_dir would clobber each other's
+    # atomic swap — reject like duplicate exporters would collide
+    seen_dirs = {}
+    for name, cfg in out.items():
+        other = seen_dirs.setdefault(cfg.sinks.out_dir, name)
+        if other != name:
+            raise ConfigError(
+                f"pipelines {other!r} and {name!r} share out_dir "
+                f"{cfg.sinks.out_dir!r}"
+            )
+    return out
 
 
 def _load_yaml(spec: dict | str) -> dict:
@@ -90,10 +107,14 @@ def load_config(spec: dict | str) -> PipelineConfig:
     if not isinstance(spec, dict) or "pipeline" not in spec:
         raise ConfigError("spec must contain a top-level 'pipeline' key")
     p = spec["pipeline"]
+    if not isinstance(p, dict):
+        raise ConfigError("'pipeline' must be a mapping")
 
     src = p.get("source")
     if not src:
         raise ConfigError("pipeline must reference at least one source")
+    if not isinstance(src, dict):
+        raise ConfigError("'source' must be a mapping")
     if src.get("type") not in KNOWN_SOURCES:
         raise ConfigError(f"unknown source type: {src.get('type')!r}")
     source = SourceConfig(

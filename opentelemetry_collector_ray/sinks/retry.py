@@ -43,21 +43,24 @@ def retry_call(
     throttle_hint=lambda e: None,
 ):
     """Run ``fn()`` with collector-style backoff. Raises the last error
-    when ``max_elapsed`` is exhausted or the error is permanent."""
+    when ``max_elapsed`` wall time (attempt durations INCLUDED, like the
+    reference's elapsed-time bound) is exhausted or the error is
+    permanent. The final wait is capped to the remaining budget."""
     policy = policy or RetryPolicy()
     interval = policy.initial_interval
-    elapsed = 0.0
-    attempt = 0
+    start = time.monotonic()
+    slept = 0.0  # tests stub sleep, so track budget explicitly too
     while True:
         try:
             return fn()
         except Exception as e:  # noqa: BLE001 - classification decides
-            attempt += 1
             if not is_retryable(e):
                 raise
-            if elapsed >= policy.max_elapsed:
+            elapsed = max(time.monotonic() - start, slept)
+            remaining = policy.max_elapsed - elapsed
+            if remaining <= 0:
                 raise
-            wait = throttle_hint(e) or interval
+            wait = min(throttle_hint(e) or interval, remaining)
             policy.sleep(wait)
-            elapsed += wait
+            slept += wait
             interval = min(interval * policy.multiplier, policy.max_interval)

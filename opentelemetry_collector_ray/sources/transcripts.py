@@ -103,6 +103,11 @@ def transcripts_from_events(sf_dir: str) -> ray.data.Dataset:
     )
     # coalesce before the groupby: the default read splits one small
     # file into ~200 tiny blocks and the sort-based shuffle becomes
-    # dispatch-bound (same lesson as BASELINE.md block-sizing note)
-    ds = ds.repartition(16)
+    # dispatch-bound (same lesson as BASELINE.md block-sizing note).
+    # Target tracks cluster width so large inputs keep full groupby
+    # parallelism (a fixed small constant would cap it).
+    import ray as _ray
+
+    nblocks = max(16, int(_ray.cluster_resources().get("CPU", 16)))
+    ds = ds.repartition(nblocks)
     return ds.groupby("user_id").map_groups(_derive_group, batch_format="pandas")

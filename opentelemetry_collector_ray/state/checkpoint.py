@@ -71,6 +71,16 @@ class PartitionLedger:
             os.fsync(f.fileno())
 
 
+def _input_key(path: str) -> str:
+    """Ledger identity of an input file: name plus size, so in-place
+    rewrites drift (content hash would be exact but costs a full read)."""
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        size = -1
+    return f"{os.path.basename(path)}:{size}"
+
+
 def plan_partitions(input_files: list[str], num_partitions: int) -> list[list[str]]:
     """Deterministic file→partition assignment by basename hash.
 
@@ -121,12 +131,14 @@ def run_partitioned(
     plan = plan_partitions(input_files, num_partitions)
 
     # input-drift detection: a ledger-complete partition whose recorded
-    # input set no longer matches the plan (new shards landed in it, or
-    # shards disappeared) is stale — reprocess it. This is the
-    # incremental-ingestion path: only changed partitions redo work.
+    # input set no longer matches the plan is stale — reprocess it.
+    # Inputs are recorded as "basename:bytes" so a shard REWRITTEN under
+    # the same name (re-delivery, append) also drifts, not only
+    # added/removed files. This is the incremental-ingestion path:
+    # only changed partitions redo work.
     for pid, files in enumerate(plan):
         if pid in done and sorted(done[pid].inputs) != sorted(
-            os.path.basename(f) for f in files
+            _input_key(f) for f in files
         ):
             del done[pid]
 
@@ -155,11 +167,25 @@ def run_partitioned(
             raise RuntimeError(f"injected crash before partition {pid}")
         tmp = os.path.join(out_dir, f".tmp-part-{pid}-{os.getpid()}")
         final = os.path.join(out_dir, f"part-{pid}")
-        ds = pipeline_fn(files)
-        ds.write_parquet(tmp)
-        rows = ray.data.read_parquet(tmp).count()
+
+        # the retry-sender analogue around the sink write: transient
+        # write failures back off with the reference's schedule
+        # (sinks/retry.py); each attempt restarts from a clean tmp, and
+        # the tmp→rename swap keeps every attempt idempotent.
+        from ..sinks.retry import retry_call
+
+        def write_once(files=files, tmp=tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+            pipeline_fn(files).write_parquet(tmp)
+            return ray.data.read_parquet(tmp).count()
+
+        # retry I/O failures only — a user-code error in the pipeline
+        # must surface immediately, not after 5 minutes of backoff
+        rows = retry_call(
+            write_once, is_retryable=lambda e: isinstance(e, OSError)
+        )
         os.rename(tmp, final)
-        ledger.record(LedgerEntry(pid, [os.path.basename(f) for f in files], int(rows)))
+        ledger.record(LedgerEntry(pid, [_input_key(f) for f in files], int(rows)))
         ray.get(
             actor.add_many.remote(
                 {

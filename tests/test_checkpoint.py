@@ -110,6 +110,40 @@ def test_incremental_ingestion_reprocesses_only_changed(corpus, tmp_path):
     pd.testing.assert_frame_equal(_read_all(out), _read_all(out_fresh))
 
 
+def test_rewritten_shard_triggers_drift(corpus, tmp_path):
+    """A shard re-delivered under the SAME name (different size) must
+    reprocess its partition — basename identity alone would skip it."""
+    import shutil
+
+    src_dir = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src_dir)
+    files = []
+    for f in corpus[:4]:
+        dst = os.path.join(src_dir, os.path.basename(f))
+        shutil.copy(f, dst)
+        files.append(dst)
+    out = str(tmp_path / "drift")
+    run_partitioned(files, out, _pipeline, num_partitions=2)
+
+    # rewrite one shard in place with different content (size changes)
+    from opentelemetry_collector_ray.fixtures import gen_transcripts
+    import pyarrow.parquet as pq
+
+    pq.write_table(gen_transcripts(10), files[0])
+    res = run_partitioned(files, out, _pipeline, num_partitions=2)
+    assert res["processed"] >= 1  # the rewritten shard's partition redid work
+    from opentelemetry_collector_ray.state.checkpoint import plan_partitions
+
+    changed = {
+        pid
+        for pid, fs in enumerate(plan_partitions(files, 2))
+        if files[0] in fs
+    }
+    assert res["processed"] == len(changed)
+
+
 def test_torn_write_is_reprocessed(corpus, tmp_path):
     out = str(tmp_path / "torn")
     run_partitioned(corpus, out, _pipeline, num_partitions=2)

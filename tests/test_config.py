@@ -197,13 +197,13 @@ def test_retry_policy_semantics():
             lambda: (_ for _ in ()).throw(PermanentError("4xx")), policy=policy
         )
 
-    # gives up after max_elapsed
+    # gives up after max_elapsed; last wait capped to remaining budget
     policy2 = RetryPolicy(initial_interval=20.0, max_elapsed=30.0)
     waits = []
     policy2.sleep = waits.append
     with pytest.raises(OSError):
         retry_call(lambda: (_ for _ in ()).throw(OSError("x")), policy=policy2)
-    assert sum(waits) >= 30.0
+    assert waits == [20.0, 10.0]  # 20, then capped to the 10 remaining
 
 
 def test_register_custom_stage(corpus):
