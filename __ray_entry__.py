@@ -390,6 +390,14 @@ def q_dedup_clusters(sf_dir: str):
     return cluster_pairs(pairs, all_ids=ids)
 
 
+def q_text_codec(sf_dir: str):
+    """The third codec (§1.3): logging-exporter text rendering of each
+    record, vectorized string concat."""
+    from opentelemetry_collector_ray.stages.codec import to_text_batch
+
+    return _transcripts(sf_dir).map_batches(to_text_batch, batch_format="pyarrow")
+
+
 def q_media_frames(sf_dir: str):
     """Video frame-sampling plumbing: row explosion, one row per
     sampled frame (rows-only; synthetic input)."""
@@ -795,6 +803,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
     "dedup_clusters": q_dedup_clusters,
+    "text_codec": q_text_codec,
 }
 
 
@@ -1007,7 +1016,16 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order FROM lineitem "
             "GROUP BY l_returnflag, l_linestatus"
         ),
+        "text_codec": o.TRANSCRIPTS_CTE
+        + (
+            "SELECT conv_id, turn_idx, "
+            "'LogRecord conv_id=' || conv_id || ' turn_idx=' || "
+            "cast(turn_idx AS varchar) || ' role=' || role || "
+            "' tool=' || tool || ' body=' || text AS rendered "
+            "FROM transcripts"
+        ),
         # minhash_pairs / simhash / langid / fingerprint / lsh_topk /
-        # media_decode are intentionally omitted: probabilistic /
-        # model-style / synthetic-input operators → rows-only gate.
+        # media_decode / media_frames / dedup_clusters are intentionally
+        # omitted: probabilistic / model-style / synthetic-input
+        # operators → rows-only gate.
     }

@@ -41,15 +41,18 @@ def _identity(batch: pa.Table) -> pa.Table:
 def rebatch(
     ds: ray.data.Dataset, rows: int, *, num_blocks: int | None = None
 ) -> ray.data.Dataset:
-    """Reshape block/batch sizes: the send_batch_size knob.
+    """Reshape block sizes: the send_batch_size knob.
 
-    ``rows`` sets the per-task batch size downstream of this point;
-    ``num_blocks`` optionally repartitions (no shuffle) to bound the
-    number of output files a following ``write_parquet`` produces —
-    exactly the "batch before the exporter for sink efficiency" purpose
-    of the reference's batch processor.
+    ``rows`` bounds the rows per BLOCK downstream of this point
+    (``repartition(target_num_rows_per_block=...)`` — a map_batches
+    ``batch_size`` alone only shapes that one stage's UDF input, not
+    the emitted blocks); ``num_blocks`` instead coalesces/splits to a
+    fixed block count, e.g. to bound the number of output files a
+    following ``write_parquet`` produces — the "batch before the
+    exporter for sink efficiency" purpose of the reference's batch
+    processor. The two are mutually exclusive shapes; ``num_blocks``
+    wins when given.
     """
-    out = ds.map_batches(_identity, batch_format="pyarrow", batch_size=rows)
     if num_blocks is not None:
-        out = out.repartition(num_blocks)
-    return out
+        return ds.repartition(num_blocks)
+    return ds.repartition(target_num_rows_per_block=rows)

@@ -212,3 +212,23 @@ def test_cluster_pairs_components():
     assert rep[1] == rep[2] == rep[3] == rep[9] == 1
     assert rep[7] == rep[8] == 7
     assert rep[42] == 42
+
+
+def test_rebatch_bytes_targets_size():
+    from opentelemetry_collector_ray.stages.codec import (
+        rebatch_bytes,
+        table_size_bytes,
+    )
+
+    ds = ray.data.range(10000).map_batches(
+        lambda t: t.append_column("pad", pa.array(["x" * 100] * len(t))),
+        batch_format="pyarrow",
+    )
+    out = rebatch_bytes(ds, 64 * 1024)
+    sizes = [
+        table_size_bytes(b)
+        for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    # every full batch lands within ~2x of the target
+    assert all(s <= 2 * 64 * 1024 for s in sizes)
+    assert sum(sizes) > 0
