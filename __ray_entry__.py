@@ -390,6 +390,16 @@ def q_dedup_clusters(sf_dir: str):
     return cluster_pairs(pairs, all_ids=ids)
 
 
+def q_distinct_values(sf_dir: str):
+    """set-like distinct (Dataset.unique) — the one-column distinct op."""
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
 def q_text_codec(sf_dir: str):
     """The third codec (§1.3): logging-exporter text rendering of each
     record, vectorized string concat."""
@@ -804,6 +814,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_frames": q_media_frames,
     "dedup_clusters": q_dedup_clusters,
     "text_codec": q_text_codec,
+    "distinct_values": q_distinct_values,
 }
 
 
@@ -1016,6 +1027,7 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order FROM lineitem "
             "GROUP BY l_returnflag, l_linestatus"
         ),
+        "distinct_values": "SELECT DISTINCT event_type FROM events",
         "text_codec": o.TRANSCRIPTS_CTE
         + (
             "SELECT conv_id, turn_idx, "

@@ -38,3 +38,14 @@ def test_results_invariant_across_block_counts():
         src, on=["conv_id", "turn_idx"], suffixes=("", "_src")
     )
     assert (merged["text"] == merged["text_src"]).all()
+
+
+def test_random_shuffle_seed_reproducible():
+    import ray.data
+
+    ds1 = ray.data.range(1000).random_shuffle(seed=7).take_all()
+    ds2 = ray.data.range(1000).random_shuffle(seed=7).take_all()
+    assert ds1 == ds2
+    ds3 = ray.data.range(1000).random_shuffle(seed=8).take_all()
+    assert ds1 != ds3
+    assert sorted(r["id"] for r in ds1) == list(range(1000))
