@@ -158,3 +158,50 @@ def test_torn_write_is_reprocessed(corpus, tmp_path):
     res = run_partitioned(corpus, out, _pipeline, num_partitions=2)
     assert res["processed"] == 1 and res["skipped"] == 1
     assert len(PartitionLedger(out).completed()) == 2
+
+
+def test_tailer_micro_batches(corpus, tmp_path):
+    """Scraper-controller analogue: files land across ticks; every tick
+    processes only changed partitions; final output equals one-shot."""
+    import os
+    import shutil
+
+    from opentelemetry_collector_ray.state.tailer import tail_run
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    # first batch of shards present before the loop starts
+    for f in corpus[:4]:
+        shutil.copy(f, os.path.join(src, os.path.basename(f)))
+
+    stop = str(tmp_path / "STOP")
+    ticks = {"n": 0}
+
+    def fake_sleep(_):
+        # second wave lands after tick 1; stop after it
+        ticks["n"] += 1
+        if ticks["n"] == 1:
+            for f in corpus[4:]:
+                shutil.copy(f, os.path.join(src, os.path.basename(f)))
+            open(stop, "w").write("")
+
+    out = str(tmp_path / "tail_out")
+    stats = tail_run(
+        f"{src}/*.parquet",
+        out,
+        _pipeline,
+        num_partitions=4,
+        poll_interval=0.01,
+        stop_file=stop,
+        sleep=fake_sleep,
+    )
+    assert stats["ticks"] == 2
+
+    oneshot = str(tmp_path / "oneshot")
+    run_partitioned(
+        [os.path.join(src, f) for f in sorted(os.listdir(src))],
+        oneshot,
+        _pipeline,
+        num_partitions=4,
+    )
+    pd.testing.assert_frame_equal(_read_all(out), _read_all(oneshot))
