@@ -176,7 +176,13 @@ def _run_one(cfg: PipelineConfig, source: ray.data.Dataset) -> dict:
         from ..stages.route import explode_sinks_batch
 
         exploded = ds.map_batches(explode_sinks_batch, batch_format="pyarrow")
-        exploded.write_parquet(tmp, partition_cols=["sink"])
+        # sink-efficiency batching (batch_processor send_batch_size
+        # purpose): bound tiny files without forcing giant ones
+        exploded.write_parquet(
+            tmp,
+            partition_cols=["sink"],
+            min_rows_per_file=cfg.sinks.min_rows_per_file,
+        )
         per_sink = (
             ray.data.read_parquet(tmp).groupby("sink").count().to_pandas()
         )

@@ -46,6 +46,8 @@ class StageConfig:
 class SinkConfig:
     mode: str = "route"
     out_dir: str | None = None
+    # file-sizing knob (SURVEY §4 "Batching for sink efficiency")
+    min_rows_per_file: int | None = None
 
 
 @dataclass
@@ -147,7 +149,13 @@ def load_config(spec: dict | str) -> PipelineConfig:
     sk = p.get("sinks")
     if not sk:
         raise ConfigError("pipeline must reference at least one sink")
-    sinks = SinkConfig(mode=sk.get("mode", "route"), out_dir=sk.get("out_dir"))
+    if not isinstance(sk, dict):
+        raise ConfigError("'sinks' must be a mapping")
+    sinks = SinkConfig(
+        mode=sk.get("mode", "route"),
+        out_dir=sk.get("out_dir"),
+        min_rows_per_file=sk.get("min_rows_per_file"),
+    )
     if sinks.mode not in {"route", "single"}:
         raise ConfigError(f"unknown sink mode: {sinks.mode!r}")
     if not sinks.out_dir:
