@@ -49,3 +49,53 @@ def test_random_shuffle_seed_reproducible():
     ds3 = ray.data.range(1000).random_shuffle(seed=8).take_all()
     assert ds1 != ds3
     assert sorted(r["id"] for r in ds1) == list(range(1000))
+
+
+def test_results_invariant_across_num_cpus(tmp_path):
+    """FIXTURES golden check 6 literally: fresh ray sessions at two
+    num_cpus levels produce byte-identical routed results."""
+    import hashlib
+    import subprocess
+    import sys
+    import textwrap
+
+    from opentelemetry_collector_ray.fixtures import write_transcript_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_transcript_corpus(corpus, 100, files=4)
+
+    def run(ncpu: int) -> str:
+        code = textwrap.dedent(
+            f"""
+            import sys, hashlib
+            sys.path.insert(0, "/root/repo")
+            import ray
+            ray.init(address="local", num_cpus={ncpu},
+                     include_dashboard=False, logging_level="ERROR")
+            from ray.data import DataContext
+            DataContext.get_current().enable_progress_bars = False
+            import __ray_entry__  # pickle-by-value registration
+            from opentelemetry_collector_ray.sources.transcripts import read_transcripts
+            from opentelemetry_collector_ray.stages.parse import parse_batch
+            from opentelemetry_collector_ray.stages.enrich import enrich_batch
+            from opentelemetry_collector_ray.stages.route import explode_sinks_batch
+            ds = read_transcripts("{corpus}")
+            ds = ds.map_batches(parse_batch, batch_format="pyarrow")
+            ds = ds.map_batches(enrich_batch, batch_format="pyarrow")
+            df = ds.map_batches(explode_sinks_batch, batch_format="pyarrow").to_pandas()
+            df = df.sort_values(["sink", "conv_id", "turn_idx"], kind="mergesort")
+            df = df[sorted(df.columns)].reset_index(drop=True)
+            print(hashlib.md5(df.astype(str).to_csv(index=False).encode()).hexdigest())
+            ray.shutdown()
+            """
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd="/tmp",
+        ).stdout
+        return out.strip().splitlines()[-1]
+
+    assert run(2) == run(4)
