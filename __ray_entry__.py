@@ -254,23 +254,28 @@ def q_top_users(sf_dir: str):
     return top
 
 
-def q_ann_topk(sf_dir: str):
-    """Brute-force cosine top-10 for query vectors = embeddings 0..4."""
+def _embedding_queries(sf_dir: str) -> dict:
+    """Deterministic query set: embeddings of vec_id 0..4."""
     import pyarrow.parquet as pq
-    import ray.data
-
-    from opentelemetry_collector_ray.stages.similarity import brute_force_topk
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     qtbl = tbl.filter(pa.compute.less(tbl["vec_id"], 5))
-    queries = {
+    return {
         int(i): v
         for i, v in zip(
             qtbl["vec_id"].to_pylist(), qtbl["embedding"].to_pylist()
         )
     }
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors = embeddings 0..4."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import brute_force_topk
+
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return brute_force_topk(ds, queries, k=10)
+    return brute_force_topk(ds, _embedding_queries(sf_dir), k=10)
 
 
 # -------------------------------- non-SQL-expressible (rows-only gate)
@@ -340,21 +345,12 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_lsh_topk(sf_dir: str):
-    import pyarrow.parquet as pq
     import ray.data
 
     from opentelemetry_collector_ray.stages.similarity import lsh_topk
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    qtbl = tbl.filter(pa.compute.less(tbl["vec_id"], 5))
-    queries = {
-        int(i): v
-        for i, v in zip(
-            qtbl["vec_id"].to_pylist(), qtbl["embedding"].to_pylist()
-        )
-    }
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(ds, queries, k=10, bits=4)
+    return lsh_topk(ds, _embedding_queries(sf_dir), k=10, bits=4)
 
 
 def q_media_decode(sf_dir: str):

@@ -40,12 +40,8 @@ def salted_grouped_sum(
     """
 
     def partial(t: pa.Table) -> pa.Table:
-        if value_col is None:
-            g = t.group_by([key]).aggregate([([], "count_all")])
-            g = g.rename_columns([key, "_pv"])
-        else:
-            g = t.group_by([key]).aggregate([(value_col, "sum")])
-            g = g.rename_columns([key, "_pv"])
+        agg = ([], "count_all") if value_col is None else (value_col, "sum")
+        g = t.group_by([key]).aggregate([agg]).rename_columns([key, "_pv"])
         # salt from a per-worker call counter: identical (key, count)
         # partials from uniform blocks MUST still land on different
         # reducers (content-derived salt degenerates to one value in

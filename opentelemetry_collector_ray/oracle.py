@@ -33,19 +33,20 @@ WITH transcripts AS (
 """
 
 # Parsed view on top of transcripts — mirrors stages/parse.py GROK_PATTERN.
-PARSED_CTE = TRANSCRIPTS_CTE + """
+_GROK_SQL = r"'^\[([A-Z]+)\] action=(\w+) latency_ms=(\d+) msg=(.*)$'"
+
+PARSED_CTE = TRANSCRIPTS_CTE + f"""
 , parsed AS (
   SELECT *,
-    regexp_extract(text, '^\\[([A-Z]+)\\] action=(\\w+) latency_ms=(\\d+) msg=(.*)$', 1) AS _lvl,
-    regexp_matches(text, '^\\[([A-Z]+)\\] action=(\\w+) latency_ms=(\\d+) msg=(.*)$') AS parse_ok
+    regexp_matches(text, {_GROK_SQL}) AS parse_ok
   FROM transcripts
 ),
 parsed2 AS (
   SELECT conv_id, turn_idx, role, text, tool, ts,
-    CASE WHEN parse_ok THEN regexp_extract(text, '^\\[([A-Z]+)\\] action=(\\w+) latency_ms=(\\d+) msg=(.*)$', 1) END AS level,
-    CASE WHEN parse_ok THEN regexp_extract(text, '^\\[([A-Z]+)\\] action=(\\w+) latency_ms=(\\d+) msg=(.*)$', 2) END AS action,
-    CASE WHEN parse_ok THEN cast(regexp_extract(text, '^\\[([A-Z]+)\\] action=(\\w+) latency_ms=(\\d+) msg=(.*)$', 3) AS bigint) END AS latency_ms,
-    CASE WHEN parse_ok THEN regexp_extract(text, '^\\[([A-Z]+)\\] action=(\\w+) latency_ms=(\\d+) msg=(.*)$', 4) END AS msg,
+    CASE WHEN parse_ok THEN regexp_extract(text, {_GROK_SQL}, 1) END AS level,
+    CASE WHEN parse_ok THEN regexp_extract(text, {_GROK_SQL}, 2) END AS action,
+    CASE WHEN parse_ok THEN cast(regexp_extract(text, {_GROK_SQL}, 3) AS bigint) END AS latency_ms,
+    CASE WHEN parse_ok THEN regexp_extract(text, {_GROK_SQL}, 4) END AS msg,
     parse_ok
   FROM parsed
 )

@@ -163,41 +163,22 @@ def run_service(spec: dict | str) -> dict:
 
 
 def _run_one(cfg: PipelineConfig, source: ray.data.Dataset) -> dict:
-    import os
-    import shutil
+    from ..sinks.writers import atomic_write_parquet, write_sinks
 
     ds = _apply_stages(source, cfg)
     out_dir = cfg.sinks.out_dir
-    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
-    os.makedirs(parent, exist_ok=True)
-    tmp = os.path.join(parent, f".tmp-{os.path.basename(out_dir)}-{os.getpid()}")
-    shutil.rmtree(tmp, ignore_errors=True)
+    sizing = (
+        {"min_rows_per_file": cfg.sinks.min_rows_per_file}
+        if cfg.sinks.min_rows_per_file
+        else {}
+    )
     if cfg.sinks.mode == "route":
         from ..stages.route import explode_sinks_batch
 
         exploded = ds.map_batches(explode_sinks_batch, batch_format="pyarrow")
-        # sink-efficiency batching (batch_processor send_batch_size
-        # purpose): bound tiny files without forcing giant ones
-        exploded.write_parquet(
-            tmp,
-            partition_cols=["sink"],
-            min_rows_per_file=cfg.sinks.min_rows_per_file,
-        )
-        per_sink = (
-            ray.data.read_parquet(tmp).groupby("sink").count().to_pandas()
-        )
-        if os.path.exists(out_dir):
-            shutil.rmtree(out_dir)
-        os.rename(tmp, out_dir)
-        return {
-            "out_dir": out_dir,
-            "per_sink": {
-                str(r["sink"]): int(r["count()"]) for _, r in per_sink.iterrows()
-            },
-        }
-    from ..sinks.writers import atomic_write_parquet
-
-    n = atomic_write_parquet(ds, out_dir)
+        per_sink = write_sinks(exploded, out_dir, **sizing)
+        return {"out_dir": out_dir, "per_sink": per_sink}
+    n = atomic_write_parquet(ds, out_dir, **sizing)
     return {"out_dir": out_dir, "rows": int(n)}
 
 

@@ -77,8 +77,7 @@ def run_logs_pipeline(
     from ..sources.transcripts import read_transcripts
     from ..state import metrics as m
 
-    import os
-    import shutil
+    from ..sinks.writers import write_sinks
 
     ds = read_transcripts(input_paths)
     parsed = ds.map_batches(parse_batch, batch_format="pyarrow").map_batches(
@@ -86,30 +85,19 @@ def run_logs_pipeline(
     )
     exploded = parsed.map_batches(explode_sinks_batch, batch_format="pyarrow")
     exploded = exploded.drop_columns(["msg"])
-    # stage + swap: Ray write_parquet APPENDs into an existing dir — a
-    # rerun must replace, not double, the sinks.
-    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
-    os.makedirs(parent, exist_ok=True)
-    tmp = os.path.join(parent, f".tmp-{os.path.basename(out_dir)}-{os.getpid()}")
-    shutil.rmtree(tmp, ignore_errors=True)
-    exploded.write_parquet(tmp, partition_cols=["sink"])
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
-    os.rename(tmp, out_dir)
-
-    # obsreport surface: counts from the written sinks (authoritative —
-    # counted at the exporter boundary like obsreport_exporter.go:42-57).
-    out = ray.data.read_parquet(out_dir)
-    per_sink = out.groupby("sink").count().to_pandas()
+    # atomic one-pass fan-out write; per-sink counts are the obsreport
+    # surface, counted at the exporter boundary like
+    # obsreport_exporter.go:42-57.
+    per_sink = write_sinks(exploded, out_dir)
     actor = m.get_metrics_actor(run_id)
     accepted = int(ds.count())
     updates = {m.receiver_accepted(): accepted}
-    for _, row in per_sink.iterrows():
-        updates[m.exporter_sent(str(row["sink"]))] = int(row["count()"])
+    for sink, n in per_sink.items():
+        updates[m.exporter_sent(sink)] = n
     ray.get(actor.add_many.remote(updates))
     snapshot = ray.get(actor.snapshot.remote())
     return {
         "accepted": accepted,
-        "per_sink": {str(r["sink"]): int(r["count()"]) for _, r in per_sink.iterrows()},
+        "per_sink": per_sink,
         "counters": snapshot,
     }

@@ -49,9 +49,16 @@ def atomic_write_parquet(ds: ray.data.Dataset, out_dir: str, **kwargs) -> int:
     return int(rows)
 
 
-def write_sinks(exploded: ray.data.Dataset, out_dir: str, **kwargs) -> None:
-    """One-pass fan-out write of an exploded (…, sink) dataset."""
-    exploded.write_parquet(out_dir, partition_cols=["sink"], **kwargs)
+def write_sinks(exploded: ray.data.Dataset, out_dir: str, **kwargs) -> dict:
+    """One-pass atomic fan-out write of an exploded (…, sink) dataset;
+    returns per-sink counts (the exporter sent_log_records numbers),
+    computed with the combiner pattern over the written output."""
+    from ..functions.agg import grouped_count_driver
+
+    atomic_write_parquet(exploded, out_dir, partition_cols=["sink"], **kwargs)
+    out = ray.data.read_parquet(out_dir)
+    counts = grouped_count_driver(out, ["sink"])
+    return {str(r["sink"]): int(r["n"]) for _, r in counts.iterrows()}
 
 
 def logging_sink(ds: ray.data.Dataset, *, sample: int = 5, name: str = "debug") -> dict:

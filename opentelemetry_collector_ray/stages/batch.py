@@ -34,10 +34,6 @@ def split_table(tbl: pa.Table, max_rows: int) -> list[pa.Table]:
     ]
 
 
-def _identity(batch: pa.Table) -> pa.Table:
-    return batch
-
-
 def rebatch(
     ds: ray.data.Dataset, rows: int, *, num_blocks: int | None = None
 ) -> ray.data.Dataset:

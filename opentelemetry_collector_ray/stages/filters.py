@@ -77,42 +77,38 @@ class FilterStage:
             return batch
         return batch.filter(mask)
 
+    @staticmethod
+    def _pushdown_expr(colname: str, op: str, value):
+        if op == "matches":
+            return None
+        f = pads.field(colname)
+        return {
+            "==": lambda: f == value,
+            "!=": lambda: f != value,
+            "<": lambda: f < value,
+            "<=": lambda: f <= value,
+            ">": lambda: f > value,
+            ">=": lambda: f >= value,
+            "in": lambda: f.isin(value),
+            "not_in": lambda: ~f.isin(value),
+        }[op]()
+
     def to_parquet_filter(self):
         """Pushdown form for ``read_parquet(filter=...)`` — only valid
         when every predicate is a simple comparison (no regex)."""
         expr = None
         for colname, op, value in self.include:
-            if op in {"matches"}:
+            e = self._pushdown_expr(colname, op, value)
+            if e is None:
                 return None
-            f = pads.field(colname)
-            e = {
-                "==": f == value,
-                "!=": f != value,
-                "<": f < value,
-                "<=": f <= value,
-                ">": f > value,
-                ">=": f >= value,
-                "in": f.isin(value) if op == "in" else None,
-                "not_in": ~f.isin(value) if op == "not_in" else None,
-            }[op]
             expr = e if expr is None else expr & e
         for colname, op, value in self.exclude:
-            if op in {"matches"}:
+            e = self._pushdown_expr(colname, op, value)
+            if e is None:
                 return None
-            f = pads.field(colname)
-            e = {
-                "==": f == value,
-                "!=": f != value,
-                "<": f < value,
-                "<=": f <= value,
-                ">": f > value,
-                ">=": f >= value,
-                "in": f.isin(value) if op == "in" else None,
-                "not_in": ~f.isin(value) if op == "not_in" else None,
-            }[op]
             # match __call__'s null semantics: a null comparison is
             # no-match → KEPT by exclude; bare ~e would evaluate null
             # and the scan would drop the row.
-            ne = ~e | f.is_null()
+            ne = ~e | pads.field(colname).is_null()
             expr = ne if expr is None else expr & ne
         return expr

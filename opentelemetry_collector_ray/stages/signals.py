@@ -42,23 +42,18 @@ def spans_batch(batch: pa.Table) -> pa.Table:
     """Parsed transcripts → span rows (trace_id, span_name, kind,
     duration_ms). Parse misses produce null-duration spans (kept — the
     collector never drops on conversion)."""
-    trace_id = batch["conv_id"]
-    kind = _dict_lookup(batch["role"], SPAN_KIND, default="INTERNAL")
+
+    def col(name):
+        c = batch[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
     return pa.table(
         {
-            "trace_id": trace_id.combine_chunks()
-            if isinstance(trace_id, pa.ChunkedArray)
-            else trace_id,
-            "span_idx": batch["turn_idx"].combine_chunks()
-            if isinstance(batch["turn_idx"], pa.ChunkedArray)
-            else batch["turn_idx"],
-            "span_name": pc.fill_null(batch["action"], "unparsed").combine_chunks()
-            if isinstance(batch["action"], pa.ChunkedArray)
-            else pc.fill_null(batch["action"], "unparsed"),
-            "kind": kind,
-            "duration_ms": batch["latency_ms"].combine_chunks()
-            if isinstance(batch["latency_ms"], pa.ChunkedArray)
-            else batch["latency_ms"],
+            "trace_id": col("conv_id"),
+            "span_idx": col("turn_idx"),
+            "span_name": pc.fill_null(col("action"), "unparsed"),
+            "kind": _dict_lookup(batch["role"], SPAN_KIND, default="INTERNAL"),
+            "duration_ms": col("latency_ms"),
         }
     )
 
