@@ -396,6 +396,24 @@ def q_distinct_values(sf_dir: str):
     return pd.DataFrame({"event_type": vals})
 
 
+def q_config_pipeline(sf_dir: str):
+    """The YAML builder path under the oracle: a config-assembled
+    parse→enrich pipeline must hash-equal the hand-built chain."""
+    from opentelemetry_collector_ray.pipelines.builder import build_dataset
+    from opentelemetry_collector_ray.pipelines.config import load_config
+
+    cfg = load_config(
+        {
+            "pipeline": {
+                "source": {"type": "events_transcripts", "sf_dir": sf_dir},
+                "stages": [{"type": "parse"}, {"type": "enrich"}],
+                "sinks": {"mode": "single", "out_dir": "/tmp/unused"},
+            }
+        }
+    )
+    return build_dataset(cfg)
+
+
 def q_text_codec(sf_dir: str):
     """The third codec (§1.3): logging-exporter text rendering of each
     record, vectorized string concat."""
@@ -811,6 +829,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_clusters": q_dedup_clusters,
     "text_codec": q_text_codec,
     "distinct_values": q_distinct_values,
+    "config_pipeline": q_config_pipeline,
 }
 
 
@@ -1024,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_returnflag, l_linestatus"
         ),
         "distinct_values": "SELECT DISTINCT event_type FROM events",
+        "config_pipeline": o.ENRICHED_CTE + "SELECT * FROM enriched",
         "text_codec": o.TRANSCRIPTS_CTE
         + (
             "SELECT conv_id, turn_idx, "
