@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import glob
 import logging
 import os
 import shutil
@@ -24,19 +25,38 @@ import ray.data
 logger = logging.getLogger(__name__)
 
 
-def atomic_write_parquet(ds: ray.data.Dataset, out_dir: str, **kwargs) -> int:
-    """Write to ``out_dir`` atomically (tmp + rename); returns row count.
+def _recover_and_clean(parent: str, base: str, out_dir: str) -> None:
+    """Crash recovery for the two-rename swap below. The swap is two
+    renames, so a crash can land BETWEEN them: ``out_dir`` absent, the
+    previous good data stranded in ``.old-{base}-*``. Debris is cleaned
+    for ANY pid (a pid-scoped cleanup would strand another process's
+    crash leftovers forever); single-writer-per-sink is the config
+    invariant (config.py rejects shared out_dirs), so nothing live is
+    ever removed here."""
+    olds = sorted(glob.glob(os.path.join(parent, f".old-{base}-*")))
+    if olds and not os.path.exists(out_dir):
+        # mid-swap crash: put the previous complete sink back first
+        os.rename(olds[0], out_dir)
+        olds = olds[1:]
+    for p in olds + glob.glob(os.path.join(parent, f".tmp-{base}-*")):
+        shutil.rmtree(p, ignore_errors=True)
 
-    A crashed write leaves only a ``.tmp-`` directory (cleaned by the
-    next attempt), never a half-complete sink.
+
+def atomic_write_parquet(ds: ray.data.Dataset, out_dir: str, **kwargs) -> int:
+    """Write to ``out_dir`` atomically (tmp + swap); returns row count.
+
+    A crashed write leaves either a ``.tmp-`` directory (cleaned by the
+    next attempt) or — if the crash hits between the two swap renames —
+    a missing ``out_dir`` plus the previous good data in ``.old-``,
+    which the next attempt renames back before rewriting. ``out_dir``
+    is never half-complete.
     """
     parent = os.path.dirname(os.path.abspath(out_dir)) or "."
     os.makedirs(parent, exist_ok=True)
     base = os.path.basename(out_dir)
     tmp = os.path.join(parent, f".tmp-{base}-{os.getpid()}")
     old = os.path.join(parent, f".old-{base}-{os.getpid()}")
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    _recover_and_clean(parent, base, out_dir)
     # write the replacement FIRST; only then swap — a crash mid-write
     # must leave the previous complete sink untouched (the retry
     # contract; rewriting in place would destroy good data).

@@ -66,7 +66,11 @@ def _derive_group(g: pd.DataFrame) -> pd.DataFrame:
     g = g.sort_values(["ts", "event_id"], kind="mergesort")
     uid = g["user_id"].to_numpy()
     et = g["event_type"]
-    level = et.map(EVENT_LEVEL).to_numpy(dtype=object)
+    # unknown event types take the SAME defaults as the oracle CTE's
+    # CASE ... ELSE arms ('DEBUG'/'user'/'') — without the fillna, a new
+    # vocabulary value in future testdata would silently diverge the
+    # twins (null text/role on the Ray side vs defaulted SQL values).
+    level = et.map(EVENT_LEVEL).fillna("DEBUG").to_numpy(dtype=object)
     latency = np.floor(g["value"].to_numpy()).astype(np.int64)
     out = pd.DataFrame(
         {
@@ -74,14 +78,14 @@ def _derive_group(g: pd.DataFrame) -> pd.DataFrame:
                 "conv-", np.char.zfill(uid.astype("U8"), 8)
             ),
             "turn_idx": np.arange(len(g), dtype=np.int32),
-            "role": et.map(EVENT_ROLE).to_numpy(dtype=object),
+            "role": et.map(EVENT_ROLE).fillna("user").to_numpy(dtype=object),
             "text": (
                 "[" + pd.Series(level, index=g.index).astype(str) + "] action="
                 + et.astype(str)
                 + " latency_ms=" + pd.Series(latency, index=g.index).astype(str)
                 + " msg=" + g["props"].astype(str)
             ),
-            "tool": et.map(EVENT_TOOL).to_numpy(dtype=object),
+            "tool": et.map(EVENT_TOOL).fillna("").to_numpy(dtype=object),
             "ts": g["ts"].to_numpy(),
         }
     )

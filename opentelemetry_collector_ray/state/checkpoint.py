@@ -72,32 +72,49 @@ class PartitionLedger:
 
 
 def _input_key(path: str) -> str:
-    """Ledger identity of an input file: name plus size, so in-place
-    rewrites drift (content hash would be exact but costs a full read)."""
+    """Ledger identity of an input file: full (absolute) path + size +
+    mtime_ns. Path, not basename — two shards with the same name in
+    different directories must not collide into one identity. mtime so
+    an in-place rewrite that happens to keep the same byte size still
+    drifts (content hash would be exact but costs a full read)."""
     try:
-        size = os.path.getsize(path)
+        st = os.stat(path)
+        size, mtime = st.st_size, st.st_mtime_ns
     except OSError:
-        size = -1
-    return f"{os.path.basename(path)}:{size}"
+        size, mtime = -1, -1
+    return f"{os.path.abspath(path)}:{size}:{mtime}"
 
 
 def plan_partitions(input_files: list[str], num_partitions: int) -> list[list[str]]:
-    """Deterministic file→partition assignment by basename hash.
+    """Deterministic file→partition assignment by path hash.
 
     Hash-stable, NOT positional: adding new input files to the corpus
     leaves every existing file in its old partition (a round-robin over
     the sorted list would shift assignments and silently invalidate the
     ledger). This is what makes incremental ingestion work: new shards
-    land, only the partitions whose input set changed reprocess.
+    land, only the partitions whose input set changed reprocess. The
+    hash input is the absolute path (same reason as ``_input_key``:
+    same-named shards in different directories are different inputs);
+    relocating the corpus therefore reprocesses — the safe direction.
     """
     import zlib
 
     files = sorted(input_files)
     parts: list[list[str]] = [[] for _ in range(num_partitions)]
     for f in files:
-        pid = zlib.crc32(os.path.basename(f).encode()) % num_partitions
+        pid = zlib.crc32(os.path.abspath(f).encode()) % num_partitions
         parts[pid].append(f)
     return parts
+
+
+def _is_io_failure(e: BaseException) -> bool:
+    """Retryable-error classification for distributed sink writes. I/O
+    failures inside Ray tasks surface as RayTaskError wrapping the
+    OSError — unwrap the cause, or the predicate never fires for
+    exactly the distributed write failures the retry sender exists
+    for."""
+    cause = getattr(e, "cause", None)
+    return isinstance(e, OSError) or isinstance(cause, OSError)
 
 
 def run_partitioned(
@@ -180,10 +197,8 @@ def run_partitioned(
             return ray.data.read_parquet(tmp).count()
 
         # retry I/O failures only — a user-code error in the pipeline
-        # must surface immediately, not after 5 minutes of backoff
-        rows = retry_call(
-            write_once, is_retryable=lambda e: isinstance(e, OSError)
-        )
+        # must surface immediately, not after 5 minutes of backoff.
+        rows = retry_call(write_once, is_retryable=_is_io_failure)
         os.rename(tmp, final)
         ledger.record(LedgerEntry(pid, [_input_key(f) for f in files], int(rows)))
         ray.get(

@@ -144,6 +144,61 @@ def test_rewritten_shard_triggers_drift(corpus, tmp_path):
     assert res["processed"] == len(changed)
 
 
+def test_retry_predicate_matches_distributed_io_failures():
+    """OSErrors raised inside Ray tasks arrive wrapped (RayTaskError);
+    the checkpoint retry predicate must still classify them retryable —
+    and still refuse user-code errors."""
+    import ray
+
+    from opentelemetry_collector_ray.state.checkpoint import _is_io_failure
+
+    @ray.remote
+    def io_boom():
+        raise OSError("disk gone")
+
+    @ray.remote
+    def user_boom():
+        raise ValueError("user bug")
+
+    with pytest.raises(Exception) as ei:
+        ray.get(io_boom.remote())
+    assert _is_io_failure(ei.value)
+    with pytest.raises(Exception) as eu:
+        ray.get(user_boom.remote())
+    assert not _is_io_failure(eu.value)
+    assert _is_io_failure(OSError("local"))
+    assert not _is_io_failure(RuntimeError("other"))
+
+
+def test_same_basename_different_dirs_distinct_identity(tmp_path):
+    """Ledger identity must distinguish same-named shards in different
+    directories (basename-only keys collide them into one identity)."""
+    from opentelemetry_collector_ray.state.checkpoint import _input_key
+
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir(), b_dir.mkdir()
+    (a_dir / "shard.parquet").write_bytes(b"xx")
+    (b_dir / "shard.parquet").write_bytes(b"xx")
+    assert _input_key(str(a_dir / "shard.parquet")) != _input_key(
+        str(b_dir / "shard.parquet")
+    )
+
+
+def test_same_size_rewrite_drifts(tmp_path):
+    """An in-place rewrite that keeps the byte size must still change
+    the ledger identity (mtime component)."""
+    import time
+
+    from opentelemetry_collector_ray.state.checkpoint import _input_key
+
+    p = tmp_path / "f.parquet"
+    p.write_bytes(b"abcd")
+    k1 = _input_key(str(p))
+    time.sleep(0.01)
+    p.write_bytes(b"dcba")  # same size, new content
+    assert _input_key(str(p)) != k1
+
+
 def test_torn_write_is_reprocessed(corpus, tmp_path):
     out = str(tmp_path / "torn")
     run_partitioned(corpus, out, _pipeline, num_partitions=2)

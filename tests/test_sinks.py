@@ -19,6 +19,35 @@ def test_atomic_write_and_rewrite(tmp_path):
     assert not [d for d in os.listdir(tmp_path) if d.startswith(".tmp-")]
 
 
+def test_atomic_write_recovers_mid_swap_crash(tmp_path):
+    """The swap is two renames; a crash between them leaves out_dir
+    absent and the previous good data in .old-*. The next attempt (from
+    ANY pid) must rename the old data back, then proceed — never strand
+    it or leave the sink path missing."""
+    out = str(tmp_path / "sink")
+    atomic_write_parquet(ray.data.range(100), out)
+    # simulate a crash between the two renames, by a FOREIGN pid
+    os.rename(out, str(tmp_path / ".old-sink-99999"))
+    # also drop foreign-pid tmp debris from a crashed mid-write attempt
+    os.makedirs(str(tmp_path / ".tmp-sink-99998"))
+    assert atomic_write_parquet(ray.data.range(50), out) == 50
+    assert ray.data.read_parquet(out).count() == 50
+    debris = [d for d in os.listdir(tmp_path) if d.startswith((".tmp-", ".old-"))]
+    assert debris == []
+
+
+def test_atomic_write_recovery_alone_restores_old(tmp_path):
+    """Recovery with no rewrite: a reader hitting the crash window's
+    aftermath sees the previous complete data once recovery runs."""
+    from opentelemetry_collector_ray.sinks.writers import _recover_and_clean
+
+    out = str(tmp_path / "sink")
+    atomic_write_parquet(ray.data.range(7), out)
+    os.rename(out, str(tmp_path / ".old-sink-424242"))
+    _recover_and_clean(str(tmp_path), "sink", out)
+    assert ray.data.read_parquet(out).count() == 7
+
+
 def test_logging_sink_counts_and_samples():
     ds = ray.data.range(1000)
     rep = logging_sink(ds, sample=3, name="dbg")
