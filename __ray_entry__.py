@@ -280,26 +280,23 @@ def q_ann_topk(sf_dir: str):
 
 # -------------------------------- non-SQL-expressible (rows-only gate)
 def q_minhash_pairs(sf_dir: str):
-    import pyarrow.parquet as pq
-    import ray
+    """MinHash-LSH candidate pairs verified by exact Jaccard — fully
+    distributed: no driver-side corpus read, no broadcast text dict.
+    Candidates collapse to distinct pairs inside the verify groupby."""
     import ray.data
 
     from opentelemetry_collector_ray.stages.dedup import (
         minhash_candidates,
-        verify_jaccard_pairs,
+        verify_jaccard_pairs_joined,
     )
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     cands = minhash_candidates(docs, distinct=False)
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    lookup = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
-    ref = ray.put(lookup)
-    verified = verify_jaccard_pairs(cands, ref, threshold=0.5).to_pandas()
-    # distinct on the driver: the verified pair set is tiny vs the corpus
+    verified = verify_jaccard_pairs_joined(cands, docs, threshold=0.5)
     return (
-        verified.drop_duplicates()
+        verified.to_pandas()
         .sort_values(["doc_a", "doc_b"], kind="mergesort")
         .reset_index(drop=True)
     )
@@ -374,16 +371,28 @@ def q_media_decode(sf_dir: str):
 
 def q_dedup_clusters(sf_dir: str):
     """MinHash near-dup pipeline completed to keep-one-per-cluster:
-    verified pairs → connected components → (doc_id, cluster_rep)."""
-    import pyarrow.parquet as pq
+    verified pairs → DISTRIBUTED connected components (min-label
+    propagation) → (doc_id, cluster_rep). No driver union-find, no
+    driver list of doc ids."""
+    import ray.data
 
-    from opentelemetry_collector_ray.stages.dedup import cluster_pairs
+    from opentelemetry_collector_ray.stages.dedup import (
+        connected_components,
+        minhash_candidates,
+        verify_jaccard_pairs_joined,
+    )
 
-    pairs = q_minhash_pairs(sf_dir)
-    ids = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    )["doc_id"].to_pylist()
-    return cluster_pairs(pairs, all_ids=ids)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cands = minhash_candidates(docs, distinct=False)
+    pairs = verify_jaccard_pairs_joined(cands, docs, threshold=0.5)
+    out = connected_components(pairs, docs.select_columns(["doc_id"]))
+    return (
+        out.to_pandas()
+        .sort_values("doc_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
 
 
 def q_distinct_values(sf_dir: str):

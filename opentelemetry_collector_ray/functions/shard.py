@@ -1,0 +1,97 @@
+"""Bounded-group-count groupby: shard keys by hash, vectorize per shard.
+
+``Dataset.groupby(k).map_groups(fn)`` invokes ``fn`` once per DISTINCT
+KEY — a Python call plus a DataFrame construction per group. With
+high-cardinality keys that per-group overhead dominates (measured at
+sf0.1: ~30k LSH buckets → 3.3 s of pure dispatch for 80k rows; ~20k
+conversation keys → seconds in the flagship derivation). Sharding fixes
+the shape without changing semantics: hash the key columns into
+``shards`` uniform buckets, group by the bucket — complete key groups
+still co-locate, the shuffle moves the same rows — and run a VECTORIZED
+per-shard function once per shard (pandas groupby/merge inside, C
+speed). Group count is now ``shards`` (a cluster-width knob), not key
+cardinality; skew is impossible because the shard key is a hash.
+
+The per-shard function receives complete groups for MANY keys at once
+and must itself respect key boundaries (e.g. a pandas groupby inside).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_FNV = np.uint64(0x100000001B3)
+_SCRAMBLE = np.uint64(11400714819323198485)  # Fibonacci hashing constant
+# pd.util.hash_array key (16 bytes) — fixes the string-hash family so
+# shard assignment is deterministic across processes and runs.
+_HASH_KEY = "otelray-shardkey"
+
+
+def hash_columns(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Combined uint64 hash of the key columns, vectorized."""
+    h = np.zeros(len(t), dtype=np.uint64)
+    for k in keys:
+        vals = t[k].to_numpy(zero_copy_only=False)
+        if vals.dtype.kind in "iu":
+            hk = vals.astype(np.uint64) * _SCRAMBLE
+        else:
+            hk = pd.util.hash_array(
+                np.asarray(vals, dtype=object), hash_key=_HASH_KEY
+            )
+        h = h * _FNV ^ hk
+    return h
+
+
+def shard_column(
+    t: pa.Table, keys: list[str], shards: int, out: str = "_shard"
+) -> pa.Table:
+    s = (hash_columns(t, keys) % np.uint64(shards)).astype(np.int64)
+    return t.append_column(out, pa.array(s))
+
+
+def coalesce_for_shuffle(
+    ds: ray.data.Dataset,
+    *,
+    cpus: int | None = None,
+    block_bytes: int = 128 << 20,
+) -> ray.data.Dataset:
+    """Right-size block count before a shuffle: ``max(cluster CPUs,
+    size/128MB)``. The default parquet read splits small files into
+    dozens of tiny blocks and the sort-based shuffle becomes
+    dispatch-bound (measured: 64 blocks → 6.5 s vs 16 blocks → 2.7 s
+    for the same sf0.1 dedup pipeline); large inputs keep
+    ~``block_bytes`` blocks so parallelism tracks data size, never file
+    count."""
+    import ray as _ray
+
+    if cpus is None:
+        cpus = int(_ray.cluster_resources().get("CPU", 16))
+    try:
+        nbytes = ds.size_bytes() or 0
+    except Exception:
+        nbytes = 0
+    n = max(16, cpus, -(-nbytes // block_bytes))
+    return ds.repartition(n)
+
+
+def sharded_group_map(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    shard_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    *,
+    shards: int = 64,
+) -> ray.data.Dataset:
+    """``groupby(keys).map_groups(fn)`` with group count bounded by
+    ``shards``. One shuffle (on the hash shard), one vectorized
+    ``shard_fn`` call per shard."""
+    tagged = ds.map_batches(
+        lambda t: shard_column(t, keys, shards), batch_format="pyarrow"
+    )
+    return tagged.groupby("_shard").map_groups(
+        lambda g: shard_fn(g.drop(columns=["_shard"])), batch_format="pandas"
+    )

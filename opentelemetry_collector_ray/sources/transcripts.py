@@ -55,15 +55,13 @@ def read_transcripts(paths, **kwargs) -> ray.data.Dataset:
     return ray.data.read_parquet(paths, columns=cols, **kwargs)
 
 
-def _derive_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Per-user derivation: sort by (ts, event_id), number the turns.
-
-    Runs inside ``groupby("user_id").map_groups`` — the one genuine
-    shuffle of the derivation (row_number over a partition needs
-    co-located, ordered groups). user_id is the conv key → same
-    partitioning key the rest of the pipeline reuses.
-    """
-    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+def _derive_shard(g: pd.DataFrame) -> pd.DataFrame:
+    """Derivation for one hash shard of users — fully vectorized: one
+    sort by (user_id, ts, event_id), turn numbering via a grouped
+    cumcount, string assembly in bulk. No per-user Python (the
+    per-group map_groups form paid one Python call per conversation —
+    the dominant cost at ≥20k conversations)."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
     uid = g["user_id"].to_numpy()
     et = g["event_type"]
     # unknown event types take the SAME defaults as the oracle CTE's
@@ -72,12 +70,13 @@ def _derive_group(g: pd.DataFrame) -> pd.DataFrame:
     # twins (null text/role on the Ray side vs defaulted SQL values).
     level = et.map(EVENT_LEVEL).fillna("DEBUG").to_numpy(dtype=object)
     latency = np.floor(g["value"].to_numpy()).astype(np.int64)
+    turn = g.groupby("user_id", sort=False).cumcount().to_numpy().astype(np.int32)
     out = pd.DataFrame(
         {
             "conv_id": np.char.add(
                 "conv-", np.char.zfill(uid.astype("U8"), 8)
             ),
-            "turn_idx": np.arange(len(g), dtype=np.int32),
+            "turn_idx": turn,
             "role": et.map(EVENT_ROLE).fillna("user").to_numpy(dtype=object),
             "text": (
                 "[" + pd.Series(level, index=g.index).astype(str) + "] action="
@@ -100,18 +99,24 @@ def transcripts_from_events(sf_dir: str) -> ray.data.Dataset:
     event within its user by (ts, event_id); text is a grok-parseable
     composition ``[LEVEL] action=<event_type> latency_ms=<floor(value)>
     msg=<props>``.
+
+    Shape: the one genuine shuffle is a SHARDED groupby on user_id
+    (functions/shard.py): users hash into ~2×CPU shards, each shard's
+    derivation is fully vectorized — group count tracks cluster width,
+    not conversation cardinality.
     """
+    import ray as _ray
+
+    from ..functions.shard import coalesce_for_shuffle, sharded_group_map
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
     # coalesce before the groupby: the default read splits one small
     # file into ~200 tiny blocks and the sort-based shuffle becomes
-    # dispatch-bound (same lesson as BASELINE.md block-sizing note).
-    # Target tracks cluster width so large inputs keep full groupby
-    # parallelism (a fixed small constant would cap it).
-    import ray as _ray
-
-    nblocks = max(16, int(_ray.cluster_resources().get("CPU", 16)))
-    ds = ds.repartition(nblocks)
-    return ds.groupby("user_id").map_groups(_derive_group, batch_format="pandas")
+    # dispatch-bound (BASELINE.md block-sizing note); block count
+    # tracks max(cluster width, data size / 128MB), never file count.
+    ds = coalesce_for_shuffle(ds)
+    ncpu = max(16, int(_ray.cluster_resources().get("CPU", 16)))
+    return sharded_group_map(ds, ["user_id"], _derive_shard, shards=2 * ncpu)

@@ -17,18 +17,20 @@ groupbytrace-style processors). Four tiers:
   a blocking key (``lang``) — the SQL-mirrorable ground truth the
   probabilistic tiers are tested against.
 
-Scale notes: candidate-pair verification here broadcasts the doc→token
-sets when the corpus side is small (testdata); at 100 TB the verify is
-a self-join: explode candidates to (doc_id, pair_id), hash-join text
-back by doc_id (bucketed groupby), compute Jaccard per pair inside
-map_groups. Connected components use iterated min-label propagation
-(bounded rounds), never a driver-side union-find over the full corpus.
+Scale notes: candidate-pair verification has two tiers —
+``verify_jaccard_pairs`` broadcasts the doc→shingle sets (small corpus
+side only), ``verify_jaccard_pairs_joined`` is the 100 TB shape
+(explode candidates, bucketed-join shingle sets back by doc_id, Jaccard
+per pair inside map_groups — O(candidates), never O(corpus) on any one
+node). Connected components likewise: ``cluster_pairs`` is a driver
+union-find for tiny verified-pair graphs; ``connected_components`` is
+distributed min-label propagation (bounded rounds, driver holds one
+scalar per round).
 """
 
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -48,40 +50,104 @@ def exact_dedup(
     ds: ray.data.Dataset, col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
     """One row per distinct ``col`` value, keeping the min ``id_col``
-    (deterministic representative — parallelism-invariant)."""
+    (deterministic representative — parallelism-invariant). Sharded
+    groupby: group count bounded by the shard knob, keep-first is a
+    vectorized sort + drop_duplicates per shard."""
+    from ..functions.shard import sharded_group_map
 
     def add_hash(batch: pa.Table) -> pa.Table:
         return md5_column(batch, col)
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").head(1)
+    def keep_first_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_md5", id_col], kind="mergesort")
+        return g.drop_duplicates("_md5").drop(columns=["_md5"])
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return (
-        hashed.groupby("_md5")
-        .map_groups(keep_first, batch_format="pandas")
-        .drop_columns(["_md5"])
-    )
+    return sharded_group_map(hashed, ["_md5"], keep_first_shard)
 
 
 # --------------------------------------------------------- shingles
 
 
 def _word_shingles(text: str, n: int = 3) -> set[str]:
+    """String shingle set — the readable reference form; the hot path
+    below hashes shingles batch-wide without materializing strings."""
     words = text.split()
     if len(words) < n:
         return {" ".join(words)} if words else set()
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
-def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """crc32 of each word n-gram — deterministic, C-speed."""
-    sh = _word_shingles(text, n)
-    if not sh:
-        return np.zeros(1, dtype=np.uint64)
-    return np.fromiter(
-        (zlib.crc32(s.encode()) for s in sh), dtype=np.uint64, count=len(sh)
+# pd.util.hash_array key (must be 16 bytes): fixes the word-hash family
+# across processes/runs — signatures are deterministic cluster-wide.
+_HASH_KEY = "otelray-shingles"
+_FNV = np.uint64(0x100000001B3)
+
+
+def batch_shingle_hashes(
+    texts: list[str], n: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' word-``n``-gram shingle hashes in ONE vectorized pass.
+
+    Returns ``(flat, offsets)``: ``flat`` holds every doc's shingle
+    hashes (uint64, deduped + sorted within doc — set semantics),
+    ``offsets`` (len ndocs+1) delimits each doc's slice. Word hashing is
+    pandas' C siphash over the flat word array; n-gram combination is a
+    rolling multiply-xor over the hash array — no per-shingle Python.
+    Docs with 0 < words < n get one shingle covering all their words
+    (mirrors ``_word_shingles``); empty docs get the single hash 0, so
+    every doc has ≥1 entry (reduceat-safe downstream).
+    """
+    ndocs = len(texts)
+    words_per_doc = [t.split() for t in texts]
+    counts = np.fromiter((len(w) for w in words_per_doc), np.int64, count=ndocs)
+    flat_words = [w for ws in words_per_doc for w in ws]
+    wh = (
+        pd.util.hash_array(np.asarray(flat_words, dtype=object), hash_key=_HASH_KEY)
+        if flat_words
+        else np.empty(0, np.uint64)
     )
+    word_off = np.zeros(ndocs + 1, np.int64)
+    np.cumsum(counts, out=word_off[1:])
+    total = len(wh)
+    m = max(total - n + 1, 0)
+    if m:
+        # rolling combine: acc_i = ((w_i*P ^ w_{i+1})*P ^ ...) over n words
+        acc = wh[:m].copy()
+        for j in range(1, n):
+            acc = acc * _FNV ^ wh[j : m + j]
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+        valid = doc_idx[:m] == doc_idx[n - 1 : n - 1 + m]
+        h, d = acc[valid], doc_idx[:m][valid]
+    else:
+        h = np.empty(0, np.uint64)
+        d = np.empty(0, np.int64)
+    # short docs (< n words): one shingle of all their words
+    short = np.nonzero((counts > 0) & (counts < n))[0]
+    if len(short):
+        sh = np.empty(len(short), np.uint64)
+        for i, di in enumerate(short):
+            seg = wh[word_off[di] : word_off[di + 1]]
+            a = seg[0]
+            for x in seg[1:]:
+                a = a * _FNV ^ x
+            sh[i] = a
+        h = np.concatenate([h, sh])
+        d = np.concatenate([d, short.astype(np.int64)])
+    empty = np.nonzero(counts == 0)[0]
+    if len(empty):
+        h = np.concatenate([h, np.zeros(len(empty), np.uint64)])
+        d = np.concatenate([d, empty.astype(np.int64)])
+    # set semantics: drop duplicate hashes within each doc, sort within doc
+    order = np.lexsort((h, d))
+    h, d = h[order], d[order]
+    if len(h):
+        keep = np.ones(len(h), bool)
+        keep[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+        h, d = h[keep], d[keep]
+    offsets = np.zeros(ndocs + 1, np.int64)
+    np.cumsum(np.bincount(d, minlength=ndocs), out=offsets[1:])
+    return h, offsets
 
 
 _MH_PRIME = np.uint64((1 << 61) - 1)
@@ -90,7 +156,10 @@ _MH_PRIME = np.uint64((1 << 61) - 1)
 class MinHashStage:
     """Per-doc MinHash signature: ``num_hashes`` permutations via the
     (a*x + b) mod p family; coefficients derived from a fixed seed once
-    per actor. Emits ``minhash: list<uint64>``."""
+    per actor. Emits ``minhash: list<uint64>``. Fully vectorized: one
+    ``batch_shingle_hashes`` pass, then per-doc mins via
+    ``np.minimum.reduceat`` (hash functions chunked to bound the (S, K)
+    intermediate)."""
 
     def __init__(self, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42):
         rng = np.random.RandomState(seed)
@@ -99,22 +168,33 @@ class MinHashStage:
         self.shingle_n = shingle_n
         self.num_hashes = num_hashes
 
-    def signature(self, text: str) -> np.ndarray:
-        x = _shingle_hashes(text, self.shingle_n)  # (S,) uint64 < 2^32
-        # (S, K): a*x < 2^63, + b safe; mod Mersenne keeps exactness.
-        h = (x[:, None] * self.a[None, :] + self.b[None, :]) % _MH_PRIME
-        return h.min(axis=0)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pandas()
-        if len(texts) == 0:
+        texts = batch["text"].to_pylist()
+        if not texts:
             sigs = np.empty((0, self.num_hashes), dtype=np.uint64)
         else:
-            sigs = np.stack([self.signature(t) for t in texts])
+            flat, offsets = batch_shingle_hashes(texts, self.shingle_n)
+            # fold 64-bit shingle hashes to 32 bits so a*x + b stays
+            # exact (< 2^63) under the Mersenne-61 modulus
+            x = ((flat >> np.uint64(32)) ^ flat) & np.uint64(0xFFFFFFFF)
+            parts = []
+            for k0 in range(0, self.num_hashes, 16):
+                a, b = self.a[k0 : k0 + 16], self.b[k0 : k0 + 16]
+                hk = (x[:, None] * a[None, :] + b[None, :]) % _MH_PRIME
+                parts.append(np.minimum.reduceat(hk, offsets[:-1], axis=0))
+            sigs = np.concatenate(parts, axis=1)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.ravel(), type=pa.uint64()), self.num_hashes
         )
         return batch.append_column("minhash", col)
+
+
+def _combine_columns(mat: np.ndarray) -> np.ndarray:
+    """Row-wise multiply-xor fold of a (N, r) uint64 matrix → (N,)."""
+    acc = mat[:, 0].copy()
+    for j in range(1, mat.shape[1]):
+        acc = acc * _FNV ^ mat[:, j]
+    return acc
 
 
 class LSHBandStage:
@@ -141,15 +221,10 @@ class LSHBandStage:
         ids = batch[self.id_col].to_numpy()
         rows_id, rows_band, rows_hash = [], [], []
         for b in range(self.bands):
-            chunk = np.ascontiguousarray(sigs[:, b * r : (b + 1) * r])
-            bh = np.fromiter(
-                (zlib.crc32(chunk[i].tobytes()) for i in range(n)),
-                dtype=np.int64,
-                count=n,
-            )
+            bh = _combine_columns(sigs[:, b * r : (b + 1) * r])
             rows_id.append(ids)
             rows_band.append(np.full(n, b, dtype=np.int64))
-            rows_hash.append(bh)
+            rows_hash.append((bh >> np.uint64(1)).astype(np.int64))
         return pa.table(
             {
                 self.id_col: np.concatenate(rows_id),
@@ -159,12 +234,35 @@ class LSHBandStage:
         )
 
 
-def _bucket_pairs(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    ids = np.sort(g[id_col].unique())
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-    a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+def _bucket_pairs_shard(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """All candidate pairs within every (band, band_hash) bucket of one
+    shard. Singleton buckets (the vast majority) are filtered out
+    vectorized; the Python loop runs only over colliding buckets, with
+    numpy pair expansion inside."""
+    sizes = g.groupby(["band", "band_hash"], sort=False)[id_col].transform("size")
+    g2 = g[sizes >= 2]
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for _, grp in g2.groupby(["band", "band_hash"], sort=False):
+        ids = np.sort(grp[id_col].unique())
+        if len(ids) < 2:
+            continue
+        a, b = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[a])
+        out_b.append(ids[b])
+    if not out_a:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "doc_a": np.concatenate(out_a).astype(np.int64),
+            "doc_b": np.concatenate(out_b).astype(np.int64),
+        }
+    )
 
 
 # Per-worker-process stage cache: the stateless-task alternative to an
@@ -208,17 +306,24 @@ def minhash_candidates(
         )
         return st(batch)
 
+    from ..functions.shard import coalesce_for_shuffle, sharded_group_map
+
+    docs = coalesce_for_shuffle(docs)
     signed = docs.map_batches(minhash_fn, batch_format="pyarrow")
     banded = signed.map_batches(band_fn, batch_format="pyarrow")
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, id_col), batch_format="pandas"
+    # sharded groupby: the (band, band_hash) key space is huge (≈ one
+    # bucket per doc per band) — per-key map_groups would pay a Python
+    # call per bucket; hashing buckets into shards bounds group count
+    # while keeping every bucket's rows co-located.
+    pairs = sharded_group_map(
+        banded, ["band", "band_hash"], lambda g: _bucket_pairs_shard(g, id_col)
     )
     if distinct:
         # distinct pairs (a doc pair can collide in several bands); a
         # second shuffle — skip it (distinct=False) when a downstream
         # step dedupes anyway (candidate sets are tiny vs the corpus)
-        pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-            lambda g: g.head(1), batch_format="pandas"
+        pairs = sharded_group_map(
+            pairs, ["doc_a", "doc_b"], lambda g: g.drop_duplicates()
         )
     return pairs
 
@@ -232,8 +337,8 @@ def verify_jaccard_pairs(
 ) -> ray.data.Dataset:
     """Exact word-shingle Jaccard over candidate pairs; keeps pairs with
     jaccard >= threshold. ``docs_lookup_ref`` is a ``ray.put`` handle to
-    a dict id→text (broadcast small side; see module docstring for the
-    100 TB join-based variant)."""
+    a dict id→text — the BROADCAST (small-side) tier; the scale tier is
+    ``verify_jaccard_pairs_joined`` (no corpus broadcast)."""
 
     def verify_fn(batch: pa.Table) -> pa.Table:
         import ray as _ray
@@ -246,8 +351,15 @@ def verify_jaccard_pairs(
             )
             return {k: _word_shingles(v, shingle_n) for k, v in lookup.items()}
 
-        key = ("jaccard_sets", getattr(docs_lookup_ref, "hex", lambda: id(docs_lookup_ref))(), shingle_n)
-        sets = _cached_stage(key, build)
+        if isinstance(docs_lookup_ref, _ray.ObjectRef):
+            # ObjectRef hex is globally unique → safe cache key. A plain
+            # dict has no stable identity (id() is recycled after GC and
+            # could serve a stale corpus) — rebuild per call instead.
+            sets = _cached_stage(
+                ("jaccard_sets", docs_lookup_ref.hex(), shingle_n), build
+            )
+        else:
+            sets = build()
         da = batch["doc_a"].to_numpy()
         db = batch["doc_b"].to_numpy()
         keep = np.zeros(len(da), dtype=bool)
@@ -260,36 +372,114 @@ def verify_jaccard_pairs(
     return pairs.map_batches(verify_fn, batch_format="pyarrow")
 
 
+def shingle_sets_batch(
+    batch: pa.Table, *, shingle_n: int = 3, id_col: str = "doc_id"
+) -> pa.Table:
+    """(id, text, …) → (id, shingles: list<uint64>) — each doc's deduped
+    sorted shingle-hash set, computed in one vectorized pass."""
+    texts = batch["text"].to_pylist()
+    flat, offsets = batch_shingle_hashes(texts, shingle_n)
+    col = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.uint64())
+    )
+    return pa.table({id_col: batch[id_col], "shingles": col})
+
+
+def verify_jaccard_pairs_joined(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    *,
+    threshold: float,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    buckets: int = 16,
+) -> ray.data.Dataset:
+    """Distributed exact-Jaccard verification — the 100 TB shape. No
+    driver-side corpus read, no broadcast dict: candidate pairs are
+    exploded to (doc_id, doc_a, doc_b), each doc's shingle-hash set is
+    joined back by doc_id (bucketed hash join — uniform keys), and the
+    Jaccard is computed per pair inside ``map_groups`` on the pair key.
+    Duplicate candidates (a pair colliding in several LSH bands) land in
+    the same pair group and collapse there — the output is distinct pairs
+    with jaccard >= threshold, no separate distinct pass needed.
+
+    Shuffles: one join by doc_id + one groupby on (doc_a, doc_b) — both
+    uniform keys, both O(candidate pairs), never O(corpus)."""
+    from ..functions.join import bucketed_hash_join
+    from ..functions.shard import coalesce_for_shuffle
+
+    docs = coalesce_for_shuffle(docs)
+    sets_ds = docs.map_batches(
+        lambda t: shingle_sets_batch(t, shingle_n=shingle_n, id_col=id_col),
+        batch_format="pyarrow",
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        da = t["doc_a"].to_numpy()
+        db = t["doc_b"].to_numpy()
+        return pa.table(
+            {
+                id_col: np.concatenate([da, db]),
+                "doc_a": np.concatenate([da, da]),
+                "doc_b": np.concatenate([db, db]),
+            }
+        )
+
+    from ..functions.shard import sharded_group_map
+
+    exploded = pairs.map_batches(explode, batch_format="pyarrow")
+    joined = bucketed_hash_join(exploded, sets_ds, on=id_col, buckets=buckets)
+
+    def verify_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # collapse duplicate candidates (multi-band collisions) first,
+        # then one tight loop over this shard's pairs
+        g = g.drop_duplicates(subset=["doc_a", "doc_b", id_col])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for (a, b), grp in g.groupby(["doc_a", "doc_b"], sort=False):
+            if len(grp) != 2:
+                continue
+            sa = np.asarray(grp["shingles"].iloc[0], dtype=np.uint64)
+            sb = np.asarray(grp["shingles"].iloc[1], dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union > 0 and inter / union >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+        return pd.DataFrame(
+            {
+                "doc_a": np.asarray(out_a, dtype=np.int64),
+                "doc_b": np.asarray(out_b, dtype=np.int64),
+            }
+        )
+
+    return sharded_group_map(joined, ["doc_a", "doc_b"], verify_shard)
+
+
 # ----------------------------------------------------------- simhash
 
 
 class SimHashStage:
-    """64-bit SimHash over word-shingle crc hashes (sign-aggregated bit
-    votes). Near-dups have small Hamming distance."""
+    """64-bit SimHash over word-shingle hashes (sign-aggregated bit
+    votes). Near-dups have small Hamming distance. Vectorized batch-wide:
+    one ``batch_shingle_hashes`` pass, per-doc bit votes via
+    ``np.add.reduceat`` — no per-doc or per-shingle Python."""
 
     def __init__(self, shingle_n: int = 1):
         self.shingle_n = shingle_n
         self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
-    def signature(self, text: str) -> np.uint64:
-        sh = sorted(_word_shingles(text, self.shingle_n))
-        if not sh:
-            return np.uint64(0)
-        # widen crc32 to 64 bits deterministically: crc(s) || crc(reversed s)
-        h64 = np.array(
-            [
-                (zlib.crc32(s.encode()) << 32) | zlib.crc32(s.encode()[::-1])
-                for s in sh
-            ],
-            dtype=np.uint64,
-        )
-        votes = ((h64[:, None] & self.bits[None, :]) != 0).sum(axis=0)
-        sig = (votes * 2 >= len(h64)).astype(np.uint64)
-        return np.uint64((sig * self.bits).sum())
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pandas()
-        sigs = np.array([self.signature(t) for t in texts], dtype=np.uint64)
+        texts = batch["text"].to_pylist()
+        if not texts:
+            sigs = np.empty(0, dtype=np.uint64)
+        else:
+            flat, offsets = batch_shingle_hashes(texts, self.shingle_n)
+            bitmat = (flat[:, None] & self.bits[None, :]) != 0  # (S, 64)
+            votes = np.add.reduceat(bitmat, offsets[:-1], axis=0)  # (N, 64)
+            counts = np.diff(offsets)[:, None]
+            sig_bits = (votes * 2 >= counts).astype(np.uint64)
+            sigs = (sig_bits * self.bits[None, :]).sum(axis=1, dtype=np.uint64)
         return batch.append_column("simhash", pa.array(sigs, type=pa.uint64()))
 
 
@@ -337,6 +527,117 @@ def cluster_pairs(pairs_df, all_ids=None):
         {"doc_id": list(rows.keys()), "cluster_rep": list(rows.values())}
     ).astype("int64")
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    max_rounds: int = 50,
+) -> ray.data.Dataset:
+    """Verified near-dup pairs → (doc_id, cluster_rep) with rep = the
+    component's min doc_id — DISTRIBUTED min-label propagation, the
+    100 TB replacement for the driver union-find in ``cluster_pairs``.
+
+    ``pairs`` has (doc_a, doc_b); ``nodes`` has one ``id_col`` row per
+    doc (isolated docs become their own rep). Per round: every node's
+    current label is pushed along its edges (groupby co-locates a
+    node's label row with its edge rows), then each node keeps the min
+    incoming label (second groupby). Labels only decrease, so the total
+    label sum strictly decreases until fixpoint — the driver holds one
+    scalar per round, never the graph. Rounds = component diameter
+    (near-dup clusters are shallow); ``max_rounds`` bounds pathological
+    chains.
+    """
+    from ray.data.aggregate import Min
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        return pa.table(
+            {
+                "node": np.concatenate([a, b]).astype(np.int64),
+                "nbr": np.concatenate([b, a]).astype(np.int64),
+            }
+        )
+
+    from ..functions.shard import coalesce_for_shuffle, sharded_group_map
+
+    edges = coalesce_for_shuffle(
+        pairs.map_batches(undirect, batch_format="pyarrow")
+    ).materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        return pa.table({"node": ids, "label": ids})
+
+    # round 0 fused into the seed: with identity labels, the label a
+    # node receives from a neighbor IS the neighbor's id — so the first
+    # propagation needs no label join, just one groupby-min over
+    # (self ∪ neighbor-id) candidate rows. Saves a full shuffle round.
+    def nbr_candidates(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "label": t["nbr"]})
+
+    labels = coalesce_for_shuffle(
+        nodes.map_batches(seed, batch_format="pyarrow")
+        .union(edges.map_batches(nbr_candidates, batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+    ).materialize()
+
+    def pad_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "nbr": pa.nulls(len(t), type=pa.int64()),
+                "label": t["label"],
+            }
+        )
+
+    def pad_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "nbr": t["nbr"],
+                "label": pa.nulls(len(t), type=pa.int64()),
+            }
+        )
+
+    def push_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized label push for every node in the shard: each
+        # node's label row + its edge rows are co-located here; one
+        # merge propagates labels across all the shard's edges at once
+        lab = g.loc[g["label"].notna(), ["node", "label"]]
+        ed = g.loc[g["nbr"].notna(), ["node", "nbr"]]
+        fwd = (
+            ed.merge(lab, on="node", how="inner")
+            .loc[:, ["nbr", "label"]]
+            .rename(columns={"nbr": "node"})
+        )
+        out = pd.concat([lab, fwd], ignore_index=True)
+        return out.astype({"node": "int64", "label": "int64"})
+
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        tagged = labels.map_batches(pad_labels, batch_format="pyarrow").union(
+            edges.map_batches(pad_edges, batch_format="pyarrow")
+        )
+        pushed = sharded_group_map(tagged, ["node"], push_shard)
+        labels = coalesce_for_shuffle(
+            pushed.groupby("node").aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def to_out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: t["node"], "cluster_rep": t["label"]}
+        )
+
+    return labels.map_batches(to_out, batch_format="pyarrow")
 
 
 # ----------------------------------- exact blocked n-gram Jaccard

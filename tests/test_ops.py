@@ -214,6 +214,109 @@ def test_cluster_pairs_components():
     assert rep[42] == 42
 
 
+def test_batch_shingle_hashes_matches_string_shingles():
+    """The vectorized hash path must agree with the readable string-set
+    form on cardinality (equal sets up to negligible 64-bit collisions),
+    stay sorted+unique within each doc, and give empty docs one entry."""
+    from opentelemetry_collector_ray.stages.dedup import (
+        _word_shingles,
+        batch_shingle_hashes,
+    )
+
+    texts = ["a b c d e", "a b", "", "x y z x y z x y z", "a a a a", "solo"]
+    flat, off = batch_shingle_hashes(texts, 3)
+    assert len(off) == len(texts) + 1
+    for i, t in enumerate(texts):
+        got = flat[off[i] : off[i + 1]]
+        want = _word_shingles(t, 3)
+        assert len(got) == max(len(want), 1)
+        assert (np.diff(got.astype(np.uint64)) > 0).all()  # sorted unique
+    # determinism across calls/processes (fixed hash key)
+    flat2, off2 = batch_shingle_hashes(texts, 3)
+    assert (flat == flat2).all() and (off == off2).all()
+
+
+def test_joined_verify_equals_broadcast_verify():
+    """The distributed (join-based) Jaccard verify must produce the same
+    pair set as the broadcast-dict tier on the same candidates."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from opentelemetry_collector_ray.stages.dedup import (
+        minhash_candidates,
+        verify_jaccard_pairs,
+        verify_jaccard_pairs_joined,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cands = minhash_candidates(docs, distinct=False)
+    joined = verify_jaccard_pairs_joined(cands, docs, threshold=0.5).to_pandas()
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    lookup = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    bcast = (
+        verify_jaccard_pairs(cands, ray.put(lookup), threshold=0.5)
+        .to_pandas()
+        .drop_duplicates()
+    )
+    assert set(zip(joined["doc_a"], joined["doc_b"])) == set(
+        zip(bcast["doc_a"], bcast["doc_b"])
+    )
+
+
+def test_distributed_components_equal_union_find():
+    """Distributed min-label propagation == driver union-find, including
+    a 5-node chain (multi-round propagation) and an isolated node."""
+    import pandas as pd
+    import ray
+
+    from opentelemetry_collector_ray.stages.dedup import (
+        cluster_pairs,
+        connected_components,
+    )
+
+    pairs_df = pd.DataFrame(
+        {
+            "doc_a": [1, 2, 7, 9, 20, 21, 22, 23],
+            "doc_b": [2, 3, 8, 1, 21, 22, 23, 24],
+        }
+    )
+    ids = [1, 2, 3, 7, 8, 9, 20, 21, 22, 23, 24, 42]
+    got = (
+        connected_components(
+            ray.data.from_pandas(pairs_df),
+            ray.data.from_pandas(pd.DataFrame({"doc_id": ids})),
+        )
+        .to_pandas()
+        .sort_values("doc_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = cluster_pairs(pairs_df, all_ids=ids)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_dedup_clusters_distributed_equals_driver():
+    """End-to-end: the distributed dedup_clusters query equals the
+    driver union-find over the same verified pairs on real testdata."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+    from opentelemetry_collector_ray.stages.dedup import cluster_pairs
+
+    got = em.queries()["dedup_clusters"](SF_DIR)
+    pairs = em.queries()["minhash_pairs"](SF_DIR)
+    ids = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    want = cluster_pairs(pairs, all_ids=ids)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"), want.astype("int64")
+    )
+
+
 def test_rebatch_bytes_targets_size():
     from opentelemetry_collector_ray.stages.codec import (
         rebatch_bytes,
