@@ -584,24 +584,33 @@ def q_asof_join(sf_dir: str):
 
 
 def q_distinct_users(sf_dir: str):
-    """count(DISTINCT) per group — per-group exact distinct via
-    map_groups (the mergeable-sketch slot; exact at this width)."""
+    """count(DISTINCT) per group — two-phase: (1) distinct on the
+    high-cardinality (event_type, user_id) pair via a sharded
+    uniform-key groupby, (2) combiner count per event_type. No reducer
+    ever holds one event_type's full row set (the old map_groups shape
+    put ~1/5 of the corpus in a single pandas group); the approximate
+    tier for this slot is hll_distinct (functions/sketch.py)."""
     import pandas as pd
+    import pyarrow as pa
     import ray.data
+
+    from opentelemetry_collector_ray.functions.agg import grouped_count
+    from opentelemetry_collector_ray.functions.shard import sharded_group_map
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
 
-    def nuniq(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "n": [int(g["user_id"].nunique())],
-            }
-        )
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
 
-    return ds.groupby("event_type").map_groups(nuniq, batch_format="pandas")
+    pairs = ds.map_batches(batch_distinct, batch_format="pyarrow")
+    distinct = sharded_group_map(
+        pairs,
+        ["event_type", "user_id"],
+        lambda g: g.drop_duplicates(["event_type", "user_id"]),
+    )
+    return grouped_count(distinct, ["event_type"], alias="n")
 
 
 def q_obs_counters(sf_dir: str):
@@ -616,9 +625,12 @@ def q_obs_counters(sf_dir: str):
     from opentelemetry_collector_ray.pipelines.logs import sink_counts
     from opentelemetry_collector_ray.state import metrics as m
 
-    enriched = _enriched(sf_dir)
-    accepted = int(_transcripts(sf_dir).count())
-    per_sink = sink_counts(enriched)
+    per_sink = sink_counts(_enriched(sf_dir))
+    # ONE derivation pass: every enriched row is routed exactly once to
+    # its route sink plus once more to 'errors' when level=ERROR — so
+    # receiver-accepted = Σ route-sink counts (routes never collide
+    # with the literal 'errors' sink name).
+    accepted = int(per_sink.loc[per_sink["sink"] != "errors", "n"].sum())
     actor = m.get_metrics_actor(uuid.uuid4().hex[:8])
     updates = {m.receiver_accepted(): accepted}
     for _, r in per_sink.iterrows():
@@ -665,6 +677,50 @@ def q_span_stats(sf_dir: str):
     spans = _parsed(sf_dir).map_batches(spans_batch, batch_format="pyarrow")
     return spans.groupby("span_name").aggregate(
         Count(alias_name="n"), Sum("duration_ms", alias_name="sum_ms")
+    )
+
+
+def q_span_details(sf_dir: str):
+    """Span structure beyond flat spans: status code, link to the
+    previous span of the trace, event name (generated_span.go:59-184)."""
+    from opentelemetry_collector_ray.stages.signals import span_details_batch
+
+    return _parsed(sf_dir).map_batches(span_details_batch, batch_format="pyarrow")
+
+
+def q_trace_groups(sf_dir: str):
+    """groupbytrace idiom: trace-complete summary per conversation."""
+    from opentelemetry_collector_ray.stages.signals import (
+        spans_batch,
+        trace_groups,
+    )
+
+    spans = _parsed(sf_dir).map_batches(spans_batch, batch_format="pyarrow")
+    return trace_groups(spans)
+
+
+def q_latency_histogram(sf_dir: str):
+    """Explicit-bucket latency histogram per route — the Histogram
+    metric type / spanmetrics idiom, mergeable bucket counts."""
+    from opentelemetry_collector_ray.stages.signals import latency_histogram
+
+    return latency_histogram(
+        _enriched(sf_dir), group="route", value="latency_ms", bounds=(10, 100, 1000)
+    )
+
+
+def q_ipc_roundtrip(sf_dir: str):
+    """Binary codec parity (§1.3 pb slot): transcripts → Arrow-IPC wire
+    payloads → decoded back; content identical."""
+    from opentelemetry_collector_ray.stages.codec import (
+        from_ipc_batch,
+        to_ipc_batch,
+    )
+
+    return (
+        _transcripts(sf_dir)
+        .map_batches(to_ipc_batch, batch_format="pyarrow")
+        .map_batches(from_ipc_batch, batch_format="pyarrow")
     )
 
 
@@ -790,8 +846,28 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup_pairs(ds, mat, ids, threshold=0.4)
 
 
+def q_embedding_near_dup_lsh(sf_dir: str):
+    """LSH-bucketed embedding near-dup pairs — the beyond-broadcast
+    scale tier (approximate; recall pinned vs the exact pair set in
+    tests). Rows-only gate."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        embedding_near_dup_lsh(ds, threshold=0.4, bits=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "sliding_window": q_sliding_window,
     "topk_per_group": q_topk_per_group,
     "quantiles": q_quantiles,
@@ -799,6 +875,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_distinct": q_hll_distinct,
     "spans": q_spans,
     "span_stats": q_span_stats,
+    "span_details": q_span_details,
+    "trace_groups": q_trace_groups,
+    "latency_histogram": q_latency_histogram,
+    "ipc_roundtrip": q_ipc_roundtrip,
     "cumulative_delta": q_cumulative_delta,
     "salted_counts": q_salted_counts,
     "asof_join": q_asof_join,
@@ -999,6 +1079,31 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, cast(sum(latency_ms) AS bigint) AS sum_ms "
             "FROM parsed2 GROUP BY 1"
         ),
+        "span_details": o.PARSED_CTE
+        + (
+            "SELECT conv_id AS trace_id, turn_idx AS span_idx, "
+            "CASE WHEN coalesce(level, '') = 'ERROR' THEN 'ERROR' "
+            "ELSE 'UNSET' END AS status, "
+            "CASE WHEN turn_idx > 0 THEN cast(turn_idx - 1 AS bigint) END "
+            "AS linked_span_idx, "
+            "coalesce(action, 'unparsed') AS event_name FROM parsed2"
+        ),
+        "trace_groups": o.PARSED_CTE
+        + (
+            "SELECT conv_id AS trace_id, count(*) AS n_spans, "
+            "cast(sum(coalesce(latency_ms, 0)) AS bigint) AS sum_ms, "
+            "cast(sum(CASE WHEN action IS NULL THEN 1 ELSE 0 END) "
+            "AS bigint) AS n_unparsed FROM parsed2 GROUP BY conv_id"
+        ),
+        "latency_histogram": o.ENRICHED_CTE
+        + (
+            "SELECT route, CASE WHEN latency_ms <= 10 THEN '10' "
+            "WHEN latency_ms <= 100 THEN '100' "
+            "WHEN latency_ms <= 1000 THEN '1000' ELSE 'inf' END AS le, "
+            "count(*) AS n FROM enriched "
+            "WHERE latency_ms IS NOT NULL GROUP BY 1, 2"
+        ),
+        "ipc_roundtrip": o.TRANSCRIPTS_CTE + "SELECT * FROM transcripts",
         "cumulative_delta": (
             "SELECT event_id, user_id, ts, value, "
             "CASE WHEN lag(value) OVER w IS NULL THEN value "

@@ -163,7 +163,12 @@ def run_service(spec: dict | str) -> dict:
 
 
 def _run_one(cfg: PipelineConfig, source: ray.data.Dataset) -> dict:
+    from ..sinks.retry import AttemptTimeout, RetryPolicy, retry_call
     from ..sinks.writers import atomic_write_parquet, write_sinks
+    from ..state.checkpoint import _is_io_failure
+
+    def _retryable(e: BaseException) -> bool:
+        return _is_io_failure(e) or isinstance(e, AttemptTimeout)
 
     ds = _apply_stages(source, cfg)
     out_dir = cfg.sinks.out_dir
@@ -172,13 +177,37 @@ def _run_one(cfg: PipelineConfig, source: ray.data.Dataset) -> dict:
         if cfg.sinks.min_rows_per_file
         else {}
     )
+    # the exporter helper chain on the config path: obsreport counts
+    # (per-sink report) ← retry sender ← timeout sender; the queue is
+    # the streaming executor's backpressure. Per-attempt deadline =
+    # sinks.write_timeout while engine.timeoutSender is on; each
+    # attempt is idempotent (stage+swap), so abandoning one is safe.
+    use_deadline = cfg.gates.get("engine.timeoutSender", True)
+    policy = RetryPolicy(
+        timeout=cfg.sinks.write_timeout if use_deadline else None
+    )
     if cfg.sinks.mode == "route":
         from ..stages.route import explode_sinks_batch
 
         exploded = ds.map_batches(explode_sinks_batch, batch_format="pyarrow")
-        per_sink = write_sinks(exploded, out_dir, **sizing)
+        sort_within = (
+            ("conv_id", "turn_idx")
+            if cfg.gates.get("engine.sortedSinkWrites")
+            else None
+        )
+        per_sink = retry_call(
+            lambda: write_sinks(
+                exploded, out_dir, sort_within=sort_within, **sizing
+            ),
+            policy=policy,
+            is_retryable=_retryable,
+        )
         return {"out_dir": out_dir, "per_sink": per_sink}
-    n = atomic_write_parquet(ds, out_dir, **sizing)
+    n = retry_call(
+        lambda: atomic_write_parquet(ds, out_dir, **sizing),
+        policy=policy,
+        is_retryable=_retryable,
+    )
     return {"out_dir": out_dir, "rows": int(n)}
 
 

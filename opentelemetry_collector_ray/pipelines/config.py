@@ -4,8 +4,10 @@ Mirrors the collector's config surface shrunk to batch semantics: the
 service pipeline shape ``{receivers[], processors[], exporters[]}`` with
 validation (≥1 receiver, ≥1 exporter, no duplicate processors —
 service/config.go:70-98), YAML unmarshalling via confmap
-(confmap/resolver.go:60-76) minus providers/hot-reload (batch jobs
-rebuild instead, SURVEY.md §2.8).
+(confmap/resolver.go:60-76), ``${env:VAR}`` expansion + multi-URI merge
+(confmap/resolver.go:128-170, confmap/provider/envprovider), and
+feature gates (featuregate/registry.go:24-40). Hot-reload is out of
+scope — batch jobs rebuild instead (SURVEY.md §2.8).
 
 Spec::
 
@@ -13,15 +15,147 @@ Spec::
       source:  {type: parquet|transcripts|events_transcripts, paths|sf_dir, columns?}
       stages:  [{type: parse|enrich|attributes|filter|rebatch|route|..., ...}]
       sinks:   {mode: route|single, out_dir: ...}
+      feature_gates: [engine.sortedSinkWrites, -engine.timeoutSender]
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 
 class ConfigError(ValueError):
     pass
+
+
+# ------------------------------------------------ confmap providers
+
+# ${env:VAR} with optional default ${env:VAR:-default}
+# (confmap/provider/envprovider syntax)
+_ENV_RE = re.compile(r"\$\{env:([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}")
+
+
+def expand_env(obj, env: dict | None = None):
+    """Recursive ``${env:VAR}`` expansion over a loaded config tree.
+    Unset variables without a ``:-default`` are an error (the resolver
+    fails loudly rather than silently passing the placeholder through,
+    confmap/resolver.go expandValueRecursively semantics)."""
+    import os
+
+    env = os.environ if env is None else env
+
+    def sub(m: re.Match) -> str:
+        name, default = m.group(1), m.group(2)
+        if name in env:
+            return str(env[name])
+        if default is not None:
+            return default
+        raise ConfigError(f"environment variable not set: {name!r}")
+
+    if isinstance(obj, str):
+        return _ENV_RE.sub(sub, obj)
+    if isinstance(obj, dict):
+        return {k: expand_env(v, env) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [expand_env(v, env) for v in obj]
+    return obj
+
+
+def merge_configs(*specs: dict) -> dict:
+    """Deep-merge config mappings, later sources override earlier —
+    maps merge recursively, scalars and lists REPLACE (confmap.Conf
+    merge semantics, confmap/confmap.go Merge)."""
+    out: dict = {}
+    for spec in specs:
+        if not isinstance(spec, dict):
+            raise ConfigError("each config source must be a mapping")
+        for k, v in spec.items():
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k] = merge_configs(out[k], v)
+            else:
+                out[k] = v
+    return out
+
+
+def resolve_config(sources: list, env: dict | None = None) -> dict:
+    """The confmap.Resolver analogue: load each source URI (dict, YAML
+    string, or file path), deep-merge in order (later overrides
+    earlier), then expand ``${env:}`` references over the merged tree
+    (confmap/resolver.go:128-170)."""
+    if not sources:
+        raise ConfigError("at least one config source required")
+    loaded = [_load_yaml(s) for s in sources]
+    for i, d in enumerate(loaded):
+        if not isinstance(d, dict):
+            raise ConfigError(f"config source {i} did not parse to a mapping")
+    return expand_env(merge_configs(*loaded), env)
+
+
+# -------------------------------------------------- feature gates
+
+
+@dataclass(frozen=True)
+class FeatureGate:
+    """featuregate.Gate analogue (featuregate/gate.go): identified
+    flag with a lifecycle stage and a default."""
+
+    id: str
+    stage: str  # alpha (default off) | beta (default on) | stable
+    default: bool
+    description: str = ""
+
+
+FEATURE_GATES: dict[str, FeatureGate] = {
+    "engine.sortedSinkWrites": FeatureGate(
+        "engine.sortedSinkWrites",
+        "alpha",
+        False,
+        "sort each sink file by (conv_id, turn_idx) before writing",
+    ),
+    "engine.timeoutSender": FeatureGate(
+        "engine.timeoutSender",
+        "beta",
+        True,
+        "per-attempt deadline on sink writes (exporter timeout sender)",
+    ),
+}
+
+
+def register_gate(
+    gate_id: str,
+    *,
+    stage: str = "alpha",
+    default: bool | None = None,
+    description: str = "",
+) -> FeatureGate:
+    """featuregate.Registry.MustRegister analogue: duplicate ids are
+    rejected; beta gates default on, alpha off (gate.go stage rules)."""
+    if gate_id in FEATURE_GATES:
+        raise ConfigError(f"feature gate already registered: {gate_id!r}")
+    if stage not in {"alpha", "beta", "stable"}:
+        raise ConfigError(f"unknown gate stage: {stage!r}")
+    if default is None:
+        default = stage in {"beta", "stable"}
+    g = FeatureGate(gate_id, stage, default, description)
+    FEATURE_GATES[gate_id] = g
+    return g
+
+
+def resolve_gates(specs: list[str] | None) -> dict[str, bool]:
+    """Apply +/- gate overrides (the ``--feature-gates`` list syntax:
+    ``gate`` or ``+gate`` enables, ``-gate`` disables). Unknown ids and
+    attempts to flip a stable gate are rejected
+    (featuregate/registry.go Set)."""
+    state = {g.id: g.default for g in FEATURE_GATES.values()}
+    for spec in specs or []:
+        enable = not spec.startswith("-")
+        gate_id = spec.lstrip("+-")
+        if gate_id not in FEATURE_GATES:
+            raise ConfigError(f"unknown feature gate: {gate_id!r}")
+        if FEATURE_GATES[gate_id].stage == "stable" and not enable:
+            raise ConfigError(f"cannot disable stable gate: {gate_id!r}")
+        state[gate_id] = enable
+    return state
 
 
 KNOWN_SOURCES = {"parquet", "transcripts", "events_transcripts"}
@@ -48,6 +182,11 @@ class SinkConfig:
     out_dir: str | None = None
     # file-sizing knob (SURVEY §4 "Batching for sink efficiency")
     min_rows_per_file: int | None = None
+    # per-attempt write deadline in seconds (timeout sender,
+    # exporterhelper/common.go:194-209); sized by the operator to the
+    # partition write time — a fixed default would kill legitimate
+    # large writes. Effective only while engine.timeoutSender is on.
+    write_timeout: float | None = None
 
 
 @dataclass
@@ -55,6 +194,8 @@ class PipelineConfig:
     source: SourceConfig
     stages: list[StageConfig]
     sinks: SinkConfig
+    # resolved feature-gate state (registry defaults + spec overrides)
+    gates: dict = field(default_factory=dict)
 
 
 def load_service_config(spec: dict | str) -> dict[str, PipelineConfig]:
@@ -103,9 +244,17 @@ def _load_yaml(spec: dict | str) -> dict:
     return spec
 
 
-def load_config(spec: dict | str) -> PipelineConfig:
-    """Parse + validate a pipeline spec (dict, YAML string, or path)."""
-    spec = _load_yaml(spec)
+def load_config(
+    spec: dict | str | list, env: dict | None = None
+) -> PipelineConfig:
+    """Parse + validate a pipeline spec (dict, YAML string, or path —
+    or a LIST of them, deep-merged in order with later sources
+    overriding earlier). ``${env:VAR}`` references are expanded over
+    the resolved tree."""
+    if isinstance(spec, list):
+        spec = resolve_config(spec, env)
+    else:
+        spec = expand_env(_load_yaml(spec), env)
     if not isinstance(spec, dict) or "pipeline" not in spec:
         raise ConfigError("spec must contain a top-level 'pipeline' key")
     p = spec["pipeline"]
@@ -155,10 +304,16 @@ def load_config(spec: dict | str) -> PipelineConfig:
         mode=sk.get("mode", "route"),
         out_dir=sk.get("out_dir"),
         min_rows_per_file=sk.get("min_rows_per_file"),
+        write_timeout=sk.get("write_timeout"),
     )
     if sinks.mode not in {"route", "single"}:
         raise ConfigError(f"unknown sink mode: {sinks.mode!r}")
     if not sinks.out_dir:
         raise ConfigError("sinks need out_dir")
 
-    return PipelineConfig(source=source, stages=stages, sinks=sinks)
+    gate_specs = p.get("feature_gates", [])
+    if not isinstance(gate_specs, list):
+        raise ConfigError("'feature_gates' must be a list of gate ids")
+    gates = resolve_gates(gate_specs)
+
+    return PipelineConfig(source=source, stages=stages, sinks=sinks, gates=gates)

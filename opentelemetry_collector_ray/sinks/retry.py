@@ -25,14 +25,49 @@ class PermanentError(Exception):
     """Non-retryable — dropped immediately (consumererror.Permanent)."""
 
 
+class AttemptTimeout(Exception):
+    """An attempt exceeded the per-attempt deadline (timeout sender,
+    exporterhelper/common.go:194-209). Retryable by default."""
+
+
 @dataclass
 class RetryPolicy:
     initial_interval: float = 5.0   # queued_retry.go:270
     multiplier: float = 1.5         # :272
     max_interval: float = 30.0      # :273
     max_elapsed: float = 300.0      # :276
+    # per-attempt deadline — the timeout sender, the last wrapper of the
+    # exporter helper chain (common.go:194-209; reference default 5 s).
+    # None disables (no deadline — the pre-round-2 behavior where a hung
+    # sink write blocked retries forever).
+    timeout: float | None = None
     # tests override sleep to count calls instead of waiting
     sleep = staticmethod(time.sleep)
+
+
+def _call_with_deadline(fn, timeout: float | None):
+    """Run ``fn()`` under a wall-clock deadline. Python can't cancel a
+    running call, so a timed-out attempt's thread is ABANDONED (daemon
+    executor thread; it may still complete in the background — safe here
+    because sink writes are idempotent stage+swap). Mirrors the
+    reference's context-deadline semantics: the send is given up on and
+    handed to the retry sender, not waited out."""
+    if not timeout:
+        return fn()
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import TimeoutError as _FTimeout
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(fn)
+        try:
+            return fut.result(timeout=timeout)
+        except _FTimeout:
+            raise AttemptTimeout(
+                f"attempt exceeded {timeout}s deadline"
+            ) from None
+    finally:
+        ex.shutdown(wait=False)
 
 
 def retry_call(
@@ -52,7 +87,7 @@ def retry_call(
     slept = 0.0  # tests stub sleep, so track budget explicitly too
     while True:
         try:
-            return fn()
+            return _call_with_deadline(fn, policy.timeout)
         except Exception as e:  # noqa: BLE001 - classification decides
             if not is_retryable(e):
                 raise

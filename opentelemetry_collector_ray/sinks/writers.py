@@ -69,12 +69,29 @@ def atomic_write_parquet(ds: ray.data.Dataset, out_dir: str, **kwargs) -> int:
     return int(rows)
 
 
-def write_sinks(exploded: ray.data.Dataset, out_dir: str, **kwargs) -> dict:
+def write_sinks(
+    exploded: ray.data.Dataset,
+    out_dir: str,
+    *,
+    sort_within: tuple[str, ...] | None = None,
+    **kwargs,
+) -> dict:
     """One-pass atomic fan-out write of an exploded (…, sink) dataset;
     returns per-sink counts (the exporter sent_log_records numbers),
-    computed with the combiner pattern over the written output."""
+    computed with the combiner pattern over the written output.
+
+    ``sort_within``: sort each BLOCK by (sink, *sort_within) before the
+    partitioned write — each output file is then internally ordered by
+    ``sort_within`` (the §2.6 stable (conv_id, turn_idx) promise at the
+    file level; per-file, not global — a global sort would be an
+    unnecessary all-to-all). Gated by ``engine.sortedSinkWrites``."""
     from ..functions.agg import grouped_count_driver
 
+    if sort_within:
+        keys = [("sink", "ascending")] + [(c, "ascending") for c in sort_within]
+        exploded = exploded.map_batches(
+            lambda t: t.sort_by(keys), batch_format="pyarrow"
+        )
     atomic_write_parquet(exploded, out_dir, partition_cols=["sink"], **kwargs)
     out = ray.data.read_parquet(out_dir)
     counts = grouped_count_driver(out, ["sink"])

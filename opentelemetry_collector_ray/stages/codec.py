@@ -55,6 +55,39 @@ def to_text_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def to_ipc_batch(batch: pa.Table) -> pa.Table:
+    """Binary marshal (the OTLP-protobuf slot, pdata/plog/pb.go:24-44):
+    each batch becomes ONE wire message — an Arrow IPC stream payload
+    (binary column) plus its record count, the ExportLogsServiceRequest
+    framing restated. Arrow IPC is the engine's native binary encoding;
+    a protobuf library is deliberately not reimplemented."""
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, batch.schema) as writer:
+        writer.write_table(batch)
+    payload = sink.getvalue().to_pybytes()
+    return pa.table(
+        {
+            "payload": pa.array([payload], type=pa.binary()),
+            "n_records": pa.array([len(batch)], type=pa.int64()),
+        }
+    )
+
+
+def from_ipc_batch(batch: pa.Table) -> pa.Table:
+    """Binary unmarshal: decode every IPC payload in the batch back to
+    its record rows (pb.go unmarshal slot). Count invariance against
+    ``n_records`` is asserted — a truncated payload fails loudly."""
+    tables = []
+    for payload, n in zip(
+        batch["payload"].to_pylist(), batch["n_records"].to_pylist()
+    ):
+        t = pa.ipc.open_stream(pa.BufferReader(payload)).read_all()
+        if len(t) != n:
+            raise ValueError(f"payload decoded {len(t)} rows, framed {n}")
+        tables.append(t)
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
 def table_size_bytes(batch: pa.Table) -> int:
     """Sizer: in-memory payload bytes of a batch (buffer sizes)."""
     return int(batch.nbytes)

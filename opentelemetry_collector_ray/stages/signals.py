@@ -58,6 +58,105 @@ def spans_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+SPAN_STATUS_ERROR = "ERROR"  # ptrace/status.go StatusCode vocabulary
+SPAN_STATUS_UNSET = "UNSET"
+
+
+def span_details_batch(batch: pa.Table) -> pa.Table:
+    """Span structure beyond the flat projection (generated_span.go:
+    59-184): status code (level=ERROR → STATUS_ERROR else UNSET,
+    status.go), a link to the causally-previous span of the same trace
+    (linked_span_idx = turn_idx-1, null for roots — span links), and
+    the span's event name (the parsed action — span events)."""
+
+    def col(name):
+        c = batch[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    turn = col("turn_idx").to_numpy(zero_copy_only=False).astype(np.int32)
+    linked = turn.astype(np.int64) - 1
+    level = col("level")
+    status = pc.if_else(
+        pc.equal(pc.fill_null(level, ""), "ERROR"),
+        SPAN_STATUS_ERROR,
+        SPAN_STATUS_UNSET,
+    )
+    return pa.table(
+        {
+            "trace_id": col("conv_id"),
+            "span_idx": col("turn_idx"),
+            "status": status,
+            "linked_span_idx": pa.array(
+                np.where(linked >= 0, linked, None), type=pa.int64()
+            ),
+            "event_name": pc.fill_null(col("action"), "unparsed"),
+        }
+    )
+
+
+def trace_groups(spans: ray.data.Dataset) -> ray.data.Dataset:
+    """The groupbytrace idiom (contrib groupbytraceprocessor): assemble
+    each trace's spans and emit one trace-complete summary row. The
+    trace key (conv_id) is high-cardinality, so this uses the sharded
+    groupby (one uniform shuffle, vectorized pandas aggregate per
+    shard — never one Python call per trace)."""
+    from ..functions.shard import sharded_group_map
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.assign(
+                _err=(g["span_name"] == "unparsed").astype("int64"),
+                _dur=g["duration_ms"].fillna(0).astype("int64"),
+            )
+            .groupby("trace_id", sort=False)
+            .agg(
+                n_spans=("span_idx", "size"),
+                sum_ms=("_dur", "sum"),
+                n_unparsed=("_err", "sum"),
+            )
+            .reset_index()
+        )
+        return agg.astype(
+            {"n_spans": "int64", "sum_ms": "int64", "n_unparsed": "int64"}
+        )
+
+    return sharded_group_map(spans, ["trace_id"], per_shard)
+
+
+def latency_histogram(
+    ds: ray.data.Dataset,
+    *,
+    group: str = "route",
+    value: str = "latency_ms",
+    bounds: tuple[int, ...] = (10, 100, 1000),
+) -> ray.data.Dataset:
+    """Explicit-bucket histogram per group — the Histogram metric type
+    (pdata/pmetric/metric_type.go:18-28, spanmetrics latency-histogram
+    idiom). OTel le-bucket semantics: bucket ``le`` counts values
+    ``v <= le``, partitioned into (prev, le]; the overflow bucket is
+    'inf'. Mergeable by construction: per-batch partial counts on
+    (group, le) combine through one tiny uniform groupby — the combiner
+    shape, never a per-series reducer."""
+    from ..functions.agg import grouped_count
+
+    bounds_arr = np.asarray(bounds, dtype=np.int64)
+    labels = np.asarray([str(int(b)) for b in bounds] + ["inf"], dtype=object)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value]))
+        v = t[value].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(bounds_arr, v, side="left")
+        return pa.table(
+            {
+                group: t[group],
+                "le": pa.array(labels[idx], type=pa.string()),
+            }
+        )
+
+    rows = ds.map_batches(bucketize, batch_format="pyarrow")
+    return grouped_count(rows, [group, "le"], alias="n")
+
+
 def cumulative_to_delta(
     series: ray.data.Dataset,
     *,

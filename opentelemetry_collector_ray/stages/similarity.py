@@ -73,22 +73,10 @@ class BruteTopK:
         )
 
 
-def brute_force_topk(
-    ds: ray.data.Dataset,
-    queries: dict[int, np.ndarray],
-    k: int = 10,
-    id_col: str = "vec_id",
-) -> pd.DataFrame:
-    """Exact cosine top-k: returns (query_id, rank, vec_id) — integer
-    output so equality checks don't hash floats. Ties broken by
-    (score desc, vec_id asc), deterministically."""
-    qref = ray.put(queries)
-    partials = ds.map_batches(
-        BruteTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=2,
-    ).to_pandas()
+def _merge_topk_partials(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Final merge of per-block/per-bucket partial top-k rows
+    (query_id, vec_id, score) — O(queries × k × partial-sources) rows,
+    tiny by construction. Ties broken (score desc, vec_id asc)."""
     out = []
     for qid, g in partials.groupby("query_id"):
         g = g.sort_values(
@@ -108,6 +96,25 @@ def brute_force_topk(
         if out
         else pd.DataFrame(columns=["query_id", "rank", "vec_id"], dtype=np.int64)
     )
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: dict[int, np.ndarray],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k: returns (query_id, rank, vec_id) — integer
+    output so equality checks don't hash floats. Ties broken by
+    (score desc, vec_id asc), deterministically."""
+    qref = ray.put(queries)
+    partials = ds.map_batches(
+        BruteTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    return _merge_topk_partials(partials, k)
 
 
 # --------------------------------------------------------------- LSH
@@ -180,6 +187,106 @@ def embedding_near_dup_pairs(
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
+def embedding_near_dup_lsh(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.4,
+    bits: int = 4,
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """LSH-bucketed embedding near-dup pairs — the scale path beyond
+    ~10M vectors where ``embedding_near_dup_pairs``'s broadcast matrix
+    no longer fits a worker. Every vector is exploded to its sign-LSH
+    bucket plus all Hamming-1 probes (bits+1 rows); buckets co-group via
+    a sharded groupby and each bucket compares only its own members
+    (BLAS matmul). A pair is found iff its buckets differ in ≤2 bits —
+    approximate; recall is pinned against the exact oracle pair set in
+    tests. ``bits`` is the partition knob (bucket ≈ corpus·(bits+1)/2^bits
+    rows must fit a worker); duplicates from multi-bucket meetings
+    collapse in a final sharded distinct."""
+    from ..functions.shard import coalesce_for_shuffle, sharded_group_map
+
+    first = ds.take(1)
+    dim = len(np.asarray(first[0]["embedding"]))
+    planes = _hyperplanes(dim, bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "embedding": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        vecs = _matrix(t["embedding"])
+        b0 = (((vecs @ planes.T) >= 0) * weights[None, :]).sum(axis=1)
+        ids = t[id_col].to_numpy()
+        out_id = [ids]
+        out_bk = [b0]
+        out_vec = [vecs]
+        for bit in range(bits):
+            out_id.append(ids)
+            out_bk.append(b0 ^ (1 << bit))
+            out_vec.append(vecs)
+        return pa.table(
+            {
+                id_col: np.concatenate(out_id),
+                "bucket": np.concatenate(out_bk).astype(np.int64),
+                "embedding": pa.array(
+                    list(np.concatenate(out_vec, axis=0)),
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    exploded = coalesce_for_shuffle(ds).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for _, grp in g.groupby("bucket", sort=False):
+            grp = grp.drop_duplicates(subset=[id_col])
+            if len(grp) < 2:
+                continue
+            vecs = _norm_rows(
+                np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+            )
+            ids = grp[id_col].to_numpy()
+            scores = vecs @ vecs.T
+            ia, ib = np.nonzero(np.triu(scores >= threshold, k=1))
+            a, b = ids[ia], ids[ib]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a).astype(np.int64),
+                "id_b": np.concatenate(out_b).astype(np.int64),
+            }
+        )
+
+    pairs = sharded_group_map(exploded, ["bucket"], per_shard)
+    return sharded_group_map(
+        pairs, ["id_a", "id_b"], lambda g: g.drop_duplicates()
+    )
+
+
+# per-worker cache of broadcast query state (keyed by ObjectRef hex —
+# globally unique, so stale-corpus reuse is impossible)
+_QUERY_CACHE: dict = {}
+
+
 def lsh_topk(
     ds: ray.data.Dataset,
     queries: dict[int, np.ndarray],
@@ -187,11 +294,22 @@ def lsh_topk(
     bits: int = 4,
     id_col: str = "vec_id",
 ) -> pd.DataFrame:
-    """ANN via sign-LSH: search only buckets within Hamming distance 1 of
-    each query's bucket. Approximate — compare recall against
-    ``brute_force_topk`` in tests; at scale, bucket is a partition key
-    (groupby bucket → per-bucket scan), so a query touches
-    (bits+1)/2^bits of the data."""
+    """ANN via sign-LSH: search only buckets within Hamming distance 1
+    of each query's bucket. Approximate — recall pinned against
+    ``brute_force_topk`` in tests.
+
+    Scale shape: candidate scoring runs INSIDE a per-bucket
+    ``groupby("bucket").map_groups`` — no driver-side materialization
+    of the probed buckets (the old form pulled (bits+1)/2^bits of the
+    corpus to the driver). Each bucket group holds ~corpus/2^bits rows,
+    so ``bits`` is the partition knob: size it so a bucket fits a
+    worker. Only the tiny per-bucket partial top-k rows
+    (queries × k × probed-buckets) leave workers; the driver does the
+    final merge. At rest, a bucketed corpus would be a
+    partition_cols=["bucket"] parquet sink so probing reads only the
+    matching partitions (partition pruning)."""
+    import pyarrow.compute as pc
+
     dim = len(next(iter(queries.values())))
     planes = _hyperplanes(dim, bits)
     bucketed = ds.map_batches(
@@ -202,35 +320,57 @@ def lsh_topk(
     qsigns = (qm @ planes.T) >= 0
     weights = 1 << np.arange(bits)
     qbuckets = (qsigns * weights).sum(axis=1)
-    probe: dict[int, set[int]] = {}
-    for qi, qb in zip(qids, qbuckets):
-        buckets = {int(qb)}
-        for bit in range(bits):
-            buckets.add(int(qb) ^ (1 << bit))
-        probe[qi] = buckets
-    allowed = sorted(set().union(*probe.values()))
-    import pyarrow.compute as pc
+    bucket_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        probes = {int(qbuckets[qi])} | {
+            int(qbuckets[qi]) ^ (1 << bit) for bit in range(bits)
+        }
+        for b in probes:
+            bucket_to_q.setdefault(b, []).append(qi)
+    allowed = sorted(bucket_to_q)
+    qref = ray.put((_norm_rows(qm), np.asarray(qids, dtype=np.int64), bucket_to_q))
 
     cand = bucketed.map_batches(
         lambda b: b.filter(pc.is_in(b["bucket"], value_set=pa.array(allowed))),
         batch_format="pyarrow",
     )
-    pdf = cand.to_pandas()
-    vecs = _norm_rows(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
-    qn = _norm_rows(qm)
-    out = []
-    for qi_idx, qid in enumerate(qids):
-        mask = pdf["bucket"].isin(probe[qid]).to_numpy()
-        scores = qn[qi_idx] @ vecs[mask].T
-        ids = pdf[id_col].to_numpy()[mask]
-        order = np.lexsort((ids, -scores))[:k]
-        out.append(
-            pd.DataFrame(
-                {
-                    "query_id": np.full(len(order), qid, dtype=np.int64),
-                    "rank": np.arange(1, len(order) + 1, dtype=np.int64),
-                    "vec_id": ids[order].astype(np.int64),
-                }
-            )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        state = _QUERY_CACHE.get(qref.hex())
+        if state is None:
+            state = _QUERY_CACHE[qref.hex()] = ray.get(qref)
+        qn, qid_arr, b2q = state
+        sel = b2q.get(int(g["bucket"].iloc[0]), [])
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
         )
-    return pd.concat(out, ignore_index=True)
+        if not sel or not len(g):
+            return empty
+        vecs = _norm_rows(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        ids = g[id_col].to_numpy()
+        scores = qn[sel] @ vecs.T  # (Qsel, Nbucket)
+        kk = min(k, scores.shape[1])
+        out = []
+        for row, qi in enumerate(sel):
+            order = np.lexsort((ids, -scores[row]))[:kk]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(kk, qid_arr[qi], dtype=np.int64),
+                        "vec_id": ids[order].astype(np.int64),
+                        "score": scores[row, order],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partials = (
+        cand.groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return _merge_topk_partials(partials, k)

@@ -45,16 +45,30 @@ def topk_per_group(
     k: int = 3,
 ) -> ray.data.Dataset:
     """Top-k rows per group by (order_by desc, tiebreak asc), with a
-    1-based ``rank`` column — row_number()-over-partition semantics."""
+    1-based ``rank`` column — row_number()-over-partition semantics.
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+    Scale shape: per-BATCH partial top-k first (each batch emits at most
+    groups×k rows), then the final per-group selection runs over only
+    the partials — O(groups × k × blocks) rows through the shuffle, so
+    a low-cardinality ``group`` (the common case for top-k) never puts
+    a constant fraction of the corpus into one reducer."""
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [group, order_by, tiebreak],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return g.groupby(group, sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
             [order_by, tiebreak], ascending=[False, True], kind="mergesort"
         ).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
 
-    return ds.groupby(group).map_groups(per_group, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(group).map_groups(final, batch_format="pandas")
 
 
 def discrete_quantiles(
@@ -65,21 +79,46 @@ def discrete_quantiles(
     quantiles: tuple[float, ...] = (0.5, 0.95),
     prefix: str = "q",
     out_dtype: str | None = None,
-) -> ray.data.Dataset:
+) -> "pd.DataFrame":
     """Per-group discrete quantiles: the actual element at 1-based rank
     ``ceil(q*n)`` of the sorted non-null values — DuckDB
     ``quantile_disc`` semantics, so results are exact data values (no
-    float interpolation → hash-safe across engines)."""
+    float interpolation → hash-safe across engines).
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g[value].dropna().to_numpy())
-        if out_dtype:
-            v = v.astype(out_dtype)
-        n = len(v)
-        row = {group: g[group].iloc[0]}
+    Scale shape: EXACT quantiles from a distributed value histogram —
+    per-batch partial counts on (group, value) combined through one
+    uniform-key groupby; the driver sees only the tiny
+    (group, distinct-value, count) table and walks cumulative counts to
+    the quantile ranks. Valid while distinct values per group are
+    bounded (integer-valued latencies etc. — the documented
+    assumption); for unbounded continuous values switch to a mergeable
+    quantile sketch (t-digest tier)."""
+    import pyarrow.compute as pc
+
+    from ..functions.agg import grouped_count
+
+    nonnull = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[value])), batch_format="pyarrow"
+    )
+    hist = grouped_count(nonnull, [group, value], alias="_n").to_pandas()
+    rows = []
+    for gval, g in hist.groupby(group, sort=True):
+        g = g.sort_values(value, kind="mergesort")
+        cum = g["_n"].cumsum().to_numpy()
+        n = int(cum[-1]) if len(cum) else 0
+        row = {group: gval}
         for q in quantiles:
             name = f"{prefix}{int(round(q * 100))}"  # 0.57*100 → 57, not 56
-            row[name] = v[max(int(np.ceil(q * n)) - 1, 0)] if n else None
-        return pd.DataFrame([row])
-
-    return ds.groupby(group).map_groups(per_group, batch_format="pandas")
+            if n:
+                target = max(int(np.ceil(q * n)), 1)
+                idx = int(np.searchsorted(cum, target, side="left"))
+                v = g[value].iloc[idx]
+                row[name] = v
+            else:
+                row[name] = None
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    if out_dtype and len(out):
+        qcols = [c for c in out.columns if c != group]
+        out = out.astype({c: out_dtype for c in qcols})
+    return out.reset_index(drop=True)

@@ -206,6 +206,145 @@ def test_retry_policy_semantics():
     assert waits == [20.0, 10.0]  # 20, then capped to the 10 remaining
 
 
+def test_env_expansion_and_defaults(corpus, tmp_path):
+    """${env:VAR} resolves from the environment (confmap envprovider);
+    ${env:VAR:-default} falls back; unset without default errors."""
+    from opentelemetry_collector_ray.pipelines.config import expand_env
+
+    env = {"SF_DIR": corpus, "MODE": "single"}
+    spec = {
+        "pipeline": {
+            "source": {"type": "parquet", "paths": ["${env:SF_DIR}"]},
+            "stages": [{"type": "parse"}],
+            "sinks": {
+                "mode": "${env:MODE}",
+                "out_dir": "${env:OUT_DIR:-" + str(tmp_path / "out") + "}",
+            },
+        }
+    }
+    cfg = load_config(spec, env=env)
+    assert cfg.source.paths == [corpus]
+    assert cfg.sinks.mode == "single"
+    assert cfg.sinks.out_dir == str(tmp_path / "out")
+    with pytest.raises(ConfigError, match="not set"):
+        expand_env({"x": "${env:DEFINITELY_UNSET_VAR_42}"}, env={})
+    # substring expansion inside a larger string
+    assert (
+        expand_env("pre-${env:A}-post", env={"A": "mid"}) == "pre-mid-post"
+    )
+
+
+def test_multi_source_merge(corpus, tmp_path):
+    """Later config sources override earlier (maps merge recursively,
+    scalars/lists replace — confmap resolver merge order)."""
+    base = {
+        "pipeline": {
+            "source": {"type": "parquet", "paths": [corpus]},
+            "stages": [{"type": "parse"}, {"type": "enrich"}],
+            "sinks": {"mode": "route", "out_dir": "/tmp/base_out"},
+        }
+    }
+    override = {"pipeline": {"sinks": {"out_dir": str(tmp_path / "real")}}}
+    cfg = load_config([base, override])
+    assert cfg.sinks.out_dir == str(tmp_path / "real")
+    assert cfg.sinks.mode == "route"  # untouched sibling key survives
+    assert [s.type for s in cfg.stages] == ["parse", "enrich"]
+    # a YAML-string source merges the same way as a dict source
+    cfg2 = load_config(
+        [base, f"pipeline:\n  sinks:\n    out_dir: {tmp_path}/y\n"]
+    )
+    assert cfg2.sinks.out_dir == f"{tmp_path}/y"
+
+
+def test_feature_gates(corpus):
+    from opentelemetry_collector_ray.pipelines.config import (
+        register_gate,
+        resolve_gates,
+    )
+
+    spec = {
+        "pipeline": {
+            "source": {"type": "parquet", "paths": [corpus]},
+            "stages": [],
+            "sinks": {"mode": "single", "out_dir": "/tmp/unused"},
+            "feature_gates": ["engine.sortedSinkWrites", "-engine.timeoutSender"],
+        }
+    }
+    cfg = load_config(spec)
+    assert cfg.gates["engine.sortedSinkWrites"] is True  # alpha, enabled
+    assert cfg.gates["engine.timeoutSender"] is False  # beta, disabled
+    # defaults when no gates given: alpha off, beta on
+    cfg2 = load_config(_spec(corpus, "/tmp/unused"))
+    assert cfg2.gates["engine.sortedSinkWrites"] is False
+    assert cfg2.gates["engine.timeoutSender"] is True
+    with pytest.raises(ConfigError, match="unknown feature gate"):
+        resolve_gates(["engine.noSuchGate"])
+    g = register_gate("engine.testStableGate", stage="stable")
+    assert g.default is True
+    with pytest.raises(ConfigError, match="stable"):
+        resolve_gates(["-engine.testStableGate"])
+    with pytest.raises(ConfigError, match="already registered"):
+        register_gate("engine.testStableGate")
+
+
+def test_timeout_sender_abandons_hung_attempt():
+    """A hung write attempt is abandoned at the per-attempt deadline
+    (timeout sender) and retried within policy; a fast second attempt
+    succeeds."""
+    import time as _time
+
+    from opentelemetry_collector_ray.sinks.retry import (
+        AttemptTimeout,
+        RetryPolicy,
+        retry_call,
+    )
+
+    sleeps = []
+    policy = RetryPolicy(timeout=0.2, max_elapsed=30.0)
+    policy.sleep = sleeps.append
+    calls = {"n": 0}
+
+    def hangs_once():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            _time.sleep(5.0)  # hung first attempt (abandoned thread)
+        return "ok"
+
+    t0 = _time.monotonic()
+    assert retry_call(policy=policy, fn=hangs_once) == "ok"
+    assert _time.monotonic() - t0 < 3.0  # did NOT wait out the hang
+    assert calls["n"] == 2 and len(sleeps) == 1
+
+    # deadline errors are retryable by classification, not permanent
+    policy2 = RetryPolicy(timeout=0.05, max_elapsed=0.01)
+    policy2.sleep = lambda _: None
+    with pytest.raises(AttemptTimeout):
+        retry_call(policy=policy2, fn=lambda: _time.sleep(1.0))
+
+
+def test_sorted_sink_writes_gate(corpus, tmp_path):
+    """engine.sortedSinkWrites: every written sink FILE is internally
+    ordered by (conv_id, turn_idx)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "sorted_sinks")
+    spec = _spec(corpus, out)
+    spec["pipeline"]["feature_gates"] = ["engine.sortedSinkWrites"]
+    report = run_pipeline(spec)
+    assert report["per_sink"]
+    files = glob.glob(os.path.join(out, "sink=*", "*.parquet"))
+    assert files
+    for f in files:
+        df = pq.read_table(f, columns=["conv_id", "turn_idx"]).to_pandas()
+        assert (
+            df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+            .equals(df.reset_index(drop=True))
+        )
+
+
 def test_register_custom_stage(corpus):
     calls = {}
 

@@ -145,6 +145,21 @@ def test_lsh_topk_recall_vs_brute():
     assert np.mean(recalls) >= 0.5  # 4-bit LSH on 64-dim random data
 
 
+def test_embedding_lsh_near_dup_recall_vs_exact():
+    """LSH-bucketed near-dup pairs: no false positives (every emitted
+    pair is exactly verified in-bucket) and decent recall vs the exact
+    broadcast tier."""
+    import __ray_entry__ as em
+
+    exact = em.queries()["embedding_near_dup"](SF_DIR).to_pandas()
+    approx = em.queries()["embedding_near_dup_lsh"](SF_DIR)
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    approx_pairs = set(zip(approx["id_a"], approx["id_b"]))
+    assert approx_pairs <= exact_pairs
+    if exact_pairs:
+        assert len(approx_pairs) / len(exact_pairs) >= 0.5
+
+
 def test_media_decode_plumbing():
     media = ray.data.from_arrow(synth_media_table(32))
     out = media.map_batches(
