@@ -176,19 +176,32 @@ def asof_join(
     # the null-padded union upcasts ints to float in pandas groups —
     # restore the declared integer dtypes on the way out.
     int_cols = [c for c, t in types.items() if pa.types.is_integer(t)]
+    from .shard import sharded_group_map
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g.loc[g["_side"] == 0, lcols].sort_values(left_ts, kind="mergesort")
-        rg = g.loc[g["_side"] == 1, rcols].sort_values(right_ts, kind="mergesort")
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # pd.merge_asof(by=key) matches every key in the shard in one
+        # vectorized pass — frames need only be globally sorted on the
+        # time column (no per-key DataFrames)
+        lg = g.loc[g["_side"] == 0, lcols].sort_values(
+            left_ts, kind="mergesort"
+        )
+        rg = g.loc[g["_side"] == 1, [key] + rcols].sort_values(
+            right_ts, kind="mergesort"
+        )
         if rg.empty or lg.empty:
             out = lg.iloc[0:0].copy()
             for c in rcols:
                 out[c] = pd.Series(dtype=rg[c].dtype if c in rg else object)
             return out.astype({c: "int64" for c in int_cols if c in out})
         merged = pd.merge_asof(
-            lg, rg, left_on=left_ts, right_on=right_ts, direction="backward"
+            lg,
+            rg,
+            left_on=left_ts,
+            right_on=right_ts,
+            by=key,
+            direction="backward",
         )
         merged = merged.dropna(subset=[right_ts])
         return merged.astype({c: "int64" for c in int_cols if c in merged})
 
-    return both.groupby(key).map_groups(per_key, batch_format="pandas")
+    return sharded_group_map(both, [key], per_shard)

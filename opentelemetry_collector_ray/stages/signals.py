@@ -157,6 +157,60 @@ def latency_histogram(
     return grouped_count(rows, [group, "le"], alias="n")
 
 
+ZERO_BUCKET = -100  # sentinel for the ExponentialHistogram zero_count slot
+
+
+def exponential_histogram(
+    ds: ray.data.Dataset,
+    *,
+    group: str = "route",
+    value: str = "latency_ms",
+) -> ray.data.Dataset:
+    """ExponentialHistogram metric type at scale 0 (pdata/pmetric/
+    metric_type.go:18-28, exponential_histogram_data_point.go): bucket
+    index i covers (2^i, 2^(i+1)], so idx = ceil(log2(v)) - 1; zero
+    values land in the dedicated zero bucket (``ZERO_BUCKET`` sentinel —
+    the zero_count field). Mergeable combiner counts, same shape as the
+    fixed-bucket histogram. Safe for the hash gate: log2 of an integer
+    is ≥1e-12 away from the nearest integer except at exact powers of
+    two (where it is exact), so both engines' libm round identically."""
+    from ..functions.agg import grouped_count
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value]))
+        v = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            idx = np.ceil(np.log2(np.maximum(v, 1.0))).astype(np.int64) - 1
+        idx = np.where(v == 0, ZERO_BUCKET, idx)
+        return pa.table(
+            {group: t[group], "bucket_idx": pa.array(idx, type=pa.int64())}
+        )
+
+    rows = ds.map_batches(bucketize, batch_format="pyarrow")
+    return grouped_count(rows, [group, "bucket_idx"], alias="n")
+
+
+def gauge_last(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    order_tiebreak: str = "event_id",
+) -> ray.data.Dataset:
+    """Gauge metric type: last-observed value per series (the gauge
+    semantic — no aggregation, latest point wins by (ts, tiebreak)).
+    Sharded groupby, vectorized last-per-key inside each shard."""
+    from ..functions.shard import sharded_group_map
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, order_tiebreak], kind="mergesort")
+        out = g.groupby(key, as_index=False).last()[[key, value]]
+        return out.rename(columns={value: "last_value"})
+
+    return sharded_group_map(ds, [key], per_shard)
+
+
 def cumulative_to_delta(
     series: ray.data.Dataset,
     *,
@@ -165,16 +219,20 @@ def cumulative_to_delta(
     value: str,
     order_tiebreak: str,
 ) -> ray.data.Dataset:
-    """Per-series delta conversion: one groupby(key) shuffle, ordered
-    diff inside the group. First point of each series keeps its value
-    (the cumulativetodelta 'initial value' convention)."""
+    """Per-series delta conversion: one sharded groupby(key) shuffle,
+    ordered diff vectorized over every series in the shard at once.
+    First point of each series keeps its value (the cumulativetodelta
+    'initial value' convention)."""
+    from ..functions.shard import sharded_group_map
 
-    def per_series(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts, order_tiebreak], kind="mergesort")
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, order_tiebreak], kind="mergesort")
         v = g[value].to_numpy()
-        delta = np.empty_like(v)
-        delta[0] = v[0]
+        k = g[key].to_numpy()
+        delta = v.copy()
         delta[1:] = v[1:] - v[:-1]
+        firsts = np.r_[True, k[1:] != k[:-1]]
+        delta[firsts] = v[firsts]
         return g.assign(delta=delta)
 
-    return series.groupby(key).map_groups(per_series, batch_format="pandas")
+    return sharded_group_map(series, [key], per_shard)

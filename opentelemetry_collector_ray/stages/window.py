@@ -23,31 +23,32 @@ def sessionize(
     session: (user_id, session_id, n_events, start_ts, end_ts,
     sum_value). session_id is 0-based per user in time order —
     deterministic and SQL-mirrorable (window-function form)."""
+    from ..functions.shard import sharded_group_map
+
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over ALL the shard's users at once: one sort, one
+        # boundary scan, one grouped aggregate — no per-user Python
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
         new = np.ones(len(g), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new) - 1
-        g = g.assign(session_id=sid.astype(np.int64))
-        out = (
-            g.groupby("session_id")
-            .agg(
-                n_events=("event_id", "size"),
-                start_ts=("ts", "min"),
-                end_ts=("ts", "max"),
-            )
-            .reset_index()
+        new[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        g = g.assign(_sid=np.cumsum(new) - 1)  # globally increasing
+        first = g.groupby("user_id", sort=False)["_sid"].transform("min")
+        g["session_id"] = (g["_sid"] - first).astype(np.int64)
+        out = g.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
         )
         # no float sums in the comparable output: double accumulation
         # order differs across engines; integer/timestamp fields only.
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         out["n_events"] = out["n_events"].astype(np.int64)
         return out
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return sharded_group_map(events, ["user_id"], per_shard)
 
 
 def tumbling_counts(

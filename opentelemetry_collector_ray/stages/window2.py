@@ -24,16 +24,27 @@ def sliding_count(
     (RANGE ... CURRENT ROW semantics incl. ts-peers). Vectorized per
     group: two binary searches over the sorted ts array — O(n log n)
     per key, no per-row Python."""
+    from ..functions.shard import sharded_group_map
+
     win_us = np.int64(window_minutes * 60 * 1_000_000)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="mergesort")
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # one sort for the whole shard; per key just two C searchsorted
+        # calls over its contiguous segment (no per-key DataFrames)
+        g = g.sort_values([key, ts], kind="mergesort")
         t = g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
-        left = np.searchsorted(t, t - win_us, side="left")
-        right = np.searchsorted(t, t, side="right")
-        return g.assign(**{out: (right - left).astype(np.int64)})
+        k = g[key].to_numpy()
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        n = np.empty(len(k), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            seg = t[s:e]
+            lo = np.searchsorted(seg, seg - win_us, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            n[s:e] = hi - lo
+        return g.assign(**{out: n})
 
-    return events.groupby(key).map_groups(per_key, batch_format="pandas")
+    return sharded_group_map(events, [key], per_shard)
 
 
 def topk_per_group(
