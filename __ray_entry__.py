@@ -220,6 +220,70 @@ def q_jaccard_pairs(sf_dir: str):
     return jaccard_pairs_blocked(ds, block_col="lang", threshold=0.5)
 
 
+def q_tail_sample(sf_dir: str):
+    """Tail-based sampling: all-or-nothing per trace — error traces
+    plus a deterministic 1/20 sample (tailsamplingprocessor idiom)."""
+    from opentelemetry_collector_ray.stages.signals import (
+        span_details_batch,
+        tail_sample,
+    )
+
+    spans_d = _parsed(sf_dir).map_batches(
+        span_details_batch, batch_format="pyarrow"
+    )
+    return tail_sample(spans_d, keep_mod=20)
+
+
+def q_vocab_topk(sf_dir: str):
+    """Vocabulary building: global top-100 tokens by frequency
+    (WordCount with the combiner shape)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import vocab_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return vocab_topk(docs, k=100)
+
+
+def q_redact(sf_dir: str):
+    """PII scrub: sequential regex redaction over document text."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import redact_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(redact_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "text_redacted"]
+    )
+
+
+def q_curate(sf_dir: str):
+    """Composite training-data curation: quality gate (score == 2) →
+    exact dedup (min doc_id per text) → (doc_id, lang). The end-to-end
+    corpus-cleaning pipeline assembled from the individual operators."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import exact_dedup
+    from opentelemetry_collector_ray.stages.text import quality_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    scored = docs.map_batches(quality_batch, batch_format="pyarrow")
+    kept = scored.map_batches(
+        lambda t: t.filter(pc.equal(t["quality_score"], 2)),
+        batch_format="pyarrow",
+    )
+    return exact_dedup(kept, col="text", id_col="doc_id").select_columns(
+        ["doc_id", "lang"]
+    )
+
+
 def q_sessionize(sf_dir: str):
     import ray.data
 
@@ -326,27 +390,45 @@ def q_minhash_pairs(sf_dir: str):
 def q_simhash(sf_dir: str):
     import ray.data
 
-    from opentelemetry_collector_ray.stages.dedup import SimHashStage
+    from opentelemetry_collector_ray.stages.dedup import (
+        SimHashStage,
+        _cached_stage,
+    )
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return ds.map_batches(
-        SimHashStage, batch_format="pyarrow", concurrency=2
-    ).select_columns(["doc_id", "simhash"])
+
+    # stage state is trivial (a bit mask) → per-worker cached stage in
+    # elastic tasks, not a fixed actor pool (no reserved CPUs, no
+    # startup latency; see dedup._cached_stage rationale)
+    def fn(b):
+        return _cached_stage(("simhash_q",), SimHashStage)(b)
+
+    return ds.map_batches(fn, batch_format="pyarrow").select_columns(
+        ["doc_id", "simhash"]
+    )
 
 
 def q_langid(sf_dir: str):
     import ray.data
 
+    from opentelemetry_collector_ray.stages.dedup import _cached_stage
     from opentelemetry_collector_ray.stages.text import LangIdStage
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return ds.map_batches(
-        LangIdStage, batch_format="pyarrow", concurrency=2
-    ).select_columns(["doc_id", "lang", "lang_pred", "lang_conf"])
+
+    # regex-profile state is cheap to build → per-worker cached stage
+    # (the actor-pool form stays right for EXPENSIVE state like models;
+    # stages/multimodal.py keeps that shape)
+    def fn(b):
+        return _cached_stage(("langid_q",), LangIdStage)(b)
+
+    return ds.map_batches(fn, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang", "lang_pred", "lang_conf"]
+    )
 
 
 def q_fingerprint(sf_dir: str):
@@ -923,6 +1005,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "latency_histogram": q_latency_histogram,
     "exp_histogram": q_exp_histogram,
     "gauge_last": q_gauge_last,
+    "tail_sample": q_tail_sample,
+    "vocab_topk": q_vocab_topk,
+    "redact": q_redact,
+    "curate": q_curate,
     "ipc_roundtrip": q_ipc_roundtrip,
     "cumulative_delta": q_cumulative_delta,
     "salted_counts": q_salted_counts,
@@ -1160,6 +1246,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, value AS last_value FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "tail_sample": o.PARSED_CTE
+        + (
+            "SELECT trace_id, span_idx FROM ("
+            "SELECT conv_id AS trace_id, turn_idx AS span_idx, "
+            "5 * sum(CASE WHEN coalesce(level, '') = 'ERROR' THEN 1 ELSE 0 "
+            "END) OVER (PARTITION BY conv_id) AS e5, "
+            "count(*) OVER (PARTITION BY conv_id) AS tot, "
+            "cast(substr(conv_id, 6) AS bigint) % 20 AS m FROM parsed2) "
+            "WHERE e5 > tot OR m = 0"
+        ),
+        "vocab_topk": (
+            "WITH t AS (SELECT unnest(regexp_extract_all(text, '\\S+')) "
+            "AS token FROM documents) "
+            "SELECT token, count(*) AS n FROM t GROUP BY token "
+            "ORDER BY n DESC, token LIMIT 100"
+        ),
+        "redact": (
+            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+            "text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), "
+            "'\\b\\d{13,16}\\b', '<CARD>', 'g') AS text_redacted "
+            "FROM documents"
+        ),
+        "curate": (
+            "WITH f AS (SELECT doc_id, text, lang, "
+            "cast(len(regexp_extract_all(text, '\\S+')) >= 20 AS bigint) + "
+            "cast(len(regexp_extract_all(text, "
+            "'\\b(?:the|a|of|to|and|in|is|it)\\b')) > 0 AS bigint) AS score "
+            "FROM documents) "
+            "SELECT doc_id, lang FROM f WHERE score = 2 "
+            "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"
         ),
         "cumulative_delta": (
             "SELECT event_id, user_id, ts, value, "

@@ -157,6 +157,34 @@ def latency_histogram(
     return grouped_count(rows, [group, "le"], alias="n")
 
 
+def tail_sample(
+    span_details: ray.data.Dataset, *, keep_mod: int = 20
+) -> ray.data.Dataset:
+    """Tail-based sampling (contrib tailsamplingprocessor): the keep
+    decision needs the COMPLETE trace, then applies all-or-nothing per
+    trace — two composed policies: ``status_code``-rate (keep every
+    trace where ERROR spans exceed 20% of its spans — compared in
+    integers, 5·errors > spans, so both engines agree bit-exactly) and
+    deterministic ``probabilistic`` (keep 1/keep_mod of the rest, keyed
+    on the trace's numeric suffix). One sharded co-group on trace_id;
+    the whole trace's spans are co-located when the decision is
+    evaluated — exactly the groupbytrace-then-decide shape."""
+    from ..functions.shard import sharded_group_map
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        is_err = g["status"].eq(SPAN_STATUS_ERROR).astype(np.int64)
+        err_n = is_err.groupby(g["trace_id"], sort=False).transform("sum")
+        tot_n = g.groupby("trace_id", sort=False)["span_idx"].transform("size")
+        err_heavy = 5 * err_n > tot_n
+        sampled = (
+            g["trace_id"].str.slice(5).astype(np.int64) % keep_mod == 0
+        )
+        out = g.loc[err_heavy | sampled, ["trace_id", "span_idx"]]
+        return out.astype({"span_idx": "int32"})
+
+    return sharded_group_map(span_details, ["trace_id"], per_shard)
+
+
 ZERO_BUCKET = -100  # sentinel for the ExponentialHistogram zero_count slot
 
 

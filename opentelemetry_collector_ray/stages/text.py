@@ -80,6 +80,59 @@ def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     )
 
 
+# -------------------------------------------------------- vocabulary
+
+
+def vocab_topk(docs, *, col: str = "text", k: int = 100):
+    """Vocabulary building: global token frequencies, top-k — WordCount
+    at corpus scale. Combiner shape: each batch emits its own
+    ``value_counts`` partials (Arrow kernels, tokens×1 rows per batch,
+    never raw tokens), one uniform-key groupby sums them, then a global
+    sort+limit over the tiny (distinct-token, n) table. Deterministic
+    boundary: ties at rank k break by (n desc, token asc)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.list_flatten(pc.utf8_split_whitespace(text))
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "_pc": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    counts = partials.groupby("token").aggregate(Sum("_pc", alias_name="n"))
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+# ------------------------------------------------------------ redact
+
+# RE2-safe patterns, identical semantics in pyarrow and DuckDB
+REDACT_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{13,16}\b", "<CARD>"),
+)
+
+
+def redact_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """PII scrub for training corpora: sequential regex redaction rules
+    (emails, SSN-shaped, long digit runs) applied as vectorized RE2
+    replacements — the attributesprocessor replace_pattern idiom at
+    document scale. Emits ``text_redacted`` beside the id column."""
+    text = batch[col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    for pat, rep in REDACT_RULES:
+        text = pc.replace_substring_regex(text, pat, rep)
+    return batch.append_column("text_redacted", text)
+
+
 # ------------------------------------------------------------ langid
 
 
