@@ -849,6 +849,76 @@ def q_gauge_last(sf_dir: str):
     )
 
 
+def q_delta_cumulative(sf_dir: str):
+    """Metrics signal: delta→cumulative temporality conversion per
+    series (contrib deltatocumulative idiom) — integer deltas so the
+    running sum is exact on both engines."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.signals import (
+        delta_to_cumulative,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def to_int_delta(t: pa.Table) -> pa.Table:
+        delta = pc.cast(pc.floor(t["value"]), pa.int64())
+        return t.drop_columns(["value"]).append_column("delta", delta)
+
+    series = ds.map_batches(to_int_delta, batch_format="pyarrow")
+    return delta_to_cumulative(
+        series, key="user_id", ts="ts", value="delta", order_tiebreak="event_id"
+    )
+
+
+def q_regroup_attrs(sf_dir: str):
+    """groupbyattrs idiom: re-key enriched datapoints onto the reduced
+    {service} label set, merging collapsed points (count + sum)."""
+    from opentelemetry_collector_ray.stages.signals import regroup_attrs
+
+    return regroup_attrs(
+        _enriched(sf_dir), keep=["service"], value="latency_ms"
+    )
+
+
+def q_log_dedup(sf_dir: str):
+    """logdedup processor idiom: collapse identical log bodies within an
+    hourly window into (body, window, count, first-seen conv)."""
+    from opentelemetry_collector_ray.stages.dedup import log_dedup
+
+    return log_dedup(_transcripts(sf_dir))
+
+
+def q_mix_sample(sf_dir: str):
+    """Deterministic stratified sampling (data mixing): per-language
+    keep rates, engine-exact integer keep rule — no RNG state."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import mix_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return mix_sample(docs, {"en": 60}, default_rate=30)
+
+
+def q_doc_freq(sf_dir: str):
+    """Corpus TF/DF statistics (the TF-IDF weighting input): per token,
+    total occurrences and document frequency, df >= 5."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import doc_freq
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return doc_freq(docs, min_df=5)
+
+
 def q_cumulative_delta(sf_dir: str):
     """Metrics signal: cumulative→delta temporality conversion per
     series (user_id), ordered by (ts, event_id)."""
@@ -1011,6 +1081,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "curate": q_curate,
     "ipc_roundtrip": q_ipc_roundtrip,
     "cumulative_delta": q_cumulative_delta,
+    "delta_cumulative": q_delta_cumulative,
+    "regroup_attrs": q_regroup_attrs,
+    "log_dedup": q_log_dedup,
+    "mix_sample": q_mix_sample,
+    "doc_freq": q_doc_freq,
     "salted_counts": q_salted_counts,
     "asof_join": q_asof_join,
     "distinct_users": q_distinct_users,
@@ -1284,6 +1359,40 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "delta_cumulative": (
+            "WITH d AS (SELECT event_id, user_id, ts, "
+            "cast(floor(value) AS bigint) AS delta FROM events) "
+            "SELECT event_id, user_id, ts, delta, "
+            "cast(sum(delta) OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id ROWS UNBOUNDED PRECEDING) AS bigint) AS cumulative "
+            "FROM d"
+        ),
+        "regroup_attrs": o.ENRICHED_CTE
+        + (
+            "SELECT service, count(*) AS n, "
+            "cast(sum(latency_ms) AS bigint) AS sum_latency_ms "
+            "FROM enriched GROUP BY service"
+        ),
+        "log_dedup": o.TRANSCRIPTS_CTE
+        + (
+            "SELECT text, date_trunc('hour', ts) AS window_start, "
+            "count(*) AS n, min(conv_id) AS first_seen "
+            "FROM transcripts GROUP BY 1, 2"
+        ),
+        "mix_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE (doc_id * 48271) % 100 < "
+            "CASE lang WHEN 'en' THEN 60 ELSE 30 END"
+        ),
+        "doc_freq": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS token "
+            "FROM documents), "
+            "agg AS (SELECT token, count(*) AS tf, "
+            "count(DISTINCT doc_id) AS df FROM toks GROUP BY token) "
+            "SELECT token, cast(tf AS bigint) AS tf, "
+            "cast(df AS bigint) AS df FROM agg WHERE df >= 5"
         ),
         "salted_counts": (
             "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"

@@ -33,6 +33,34 @@ def grouped_count(
     return out
 
 
+def grouped_stats(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value: str,
+    *,
+    count_alias: str = "n",
+    sum_alias: str | None = None,
+) -> ray.data.Dataset:
+    """count(*) + sum(value) per key-combination via per-batch Arrow
+    partials + a tiny final groupby (null values skipped by the sum,
+    counted by the count — SQL semantics). Output columns:
+    keys + [count_alias, sum_alias] with the sum cast to int64 when the
+    per-batch partial sums are integral."""
+    from ray.data.aggregate import Sum
+
+    sum_alias = sum_alias or f"sum_{value}"
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([([], "count_all"), (value, "sum")])
+        return g.rename_columns(keys + ["_pc", "_ps"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(keys).aggregate(
+        Sum("_pc", alias_name=count_alias), Sum("_ps", alias_name=sum_alias)
+    )
+    return out
+
+
 def grouped_count_driver(
     ds: ray.data.Dataset, keys: list[str], *, alias: str = "n"
 ) -> pd.DataFrame:

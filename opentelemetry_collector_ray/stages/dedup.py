@@ -35,6 +35,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 # ------------------------------------------------------------- exact
@@ -683,3 +684,39 @@ def jaccard_pairs_blocked(
         )
 
     return docs.groupby(block_col).map_groups(per_block, batch_format="pandas")
+
+
+# --------------------------------------------------------- log dedup
+
+
+def log_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    first_col: str = "conv_id",
+) -> ray.data.Dataset:
+    """The contrib logdedupprocessor idiom: collapse identical log
+    bodies within a tumbling time window (hourly) into one row carrying
+    the occurrence count and the first-seen carrier (min of
+    ``first_col`` — deterministic representative). Pure combiner shape:
+    per-batch Arrow partials on (body, window) — count + min — merged
+    through one groupby whose keys are high-cardinality and uniform
+    (the body text itself), so no reducer ever holds more than a few
+    partial rows per distinct body."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t[ts_col], unit="hour")
+        body = t[text_col]
+        g = (
+            pa.table({text_col: body, "window_start": win, first_col: t[first_col]})
+            .group_by([text_col, "window_start"])
+            .aggregate([([], "count_all"), (first_col, "min")])
+        )
+        return g.rename_columns([text_col, "window_start", "_pc", "_pf"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby([text_col, "window_start"]).aggregate(
+        Sum("_pc", alias_name="n"), Min("_pf", alias_name="first_seen")
+    )

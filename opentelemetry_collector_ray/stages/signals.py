@@ -239,6 +239,48 @@ def gauge_last(
     return sharded_group_map(ds, [key], per_shard)
 
 
+def delta_to_cumulative(
+    series: ray.data.Dataset,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    order_tiebreak: str,
+) -> ray.data.Dataset:
+    """Delta→cumulative temporality conversion — the inverse of
+    ``cumulative_to_delta`` and the contrib deltatocumulative idiom
+    (AggregationTemporality, pdata/pmetric/aggregation_temporality.go):
+    per series, ordered by (ts, tiebreak), running sum of the deltas.
+    Same single sharded-groupby shuffle; the cumsum is one vectorized
+    pandas pass over every series in the shard. Integer-valued deltas
+    keep the running sum exact (bit-stable vs a SQL window SUM)."""
+    from ..functions.shard import sharded_group_map
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, order_tiebreak], kind="mergesort")
+        return g.assign(
+            cumulative=g.groupby(key, sort=False)[value].cumsum()
+        )
+
+    return sharded_group_map(series, [key], per_shard)
+
+
+def regroup_attrs(
+    ds: ray.data.Dataset, *, keep: list[str], value: str
+) -> ray.data.Dataset:
+    """The contrib groupbyattrsprocessor idiom: re-key datapoints onto a
+    REDUCED label set (drop the other attributes) and merge the points
+    that collapse together — count plus sum of the metric value. Pure
+    combiner shape: per-batch Arrow partial aggregates on the kept keys,
+    one tiny uniform groupby to merge; nothing per-series ever runs."""
+    from ..functions.agg import grouped_stats
+
+    projected = ds.map_batches(
+        lambda t: t.select(keep + [value]), batch_format="pyarrow"
+    )
+    return grouped_stats(projected, keep, value)
+
+
 def cumulative_to_delta(
     series: ray.data.Dataset,
     *,

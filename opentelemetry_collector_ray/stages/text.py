@@ -225,3 +225,95 @@ def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
             acc = (acc + terms[s : s + (1 << 20)].sum() ) % _FP_MOD
         out[i] = acc
     return batch.append_column("fingerprint", pa.array(out, type=pa.uint64()))
+
+
+# ------------------------------------------------------- data mixing
+
+# multiplicative hash for deterministic sampling: doc_id * A % 100 gives
+# a uniform-enough, engine-exact pseudo-percentile. A is the MINSTD
+# multiplier; int64 cannot overflow for doc_id < 2^63/48271 ≈ 1.9e14
+# (documented bound — ids are sequence numbers, far below).
+_MIX_A = 48271
+
+
+def mix_sample(
+    docs,
+    rates: dict[str, int],
+    *,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: int = 0,
+):
+    """Deterministic stratified sampling / data mixing: keep a document
+    iff ``(doc_id * 48271) % 100 < rates[lang]`` — the per-category
+    mixture-weights idiom of training-corpus assembly, with a
+    seed-free, engine-exact keep rule (pure int64 math, identical in
+    SQL). One stateless vectorized filter; no shuffle, no RNG state —
+    re-runs and resumes keep exactly the same rows."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pctl = (ids * _MIX_A) % 100
+        langs = t[key_col].to_numpy(zero_copy_only=False)
+        thresh = np.asarray(
+            [rates.get(v, default_rate) for v in langs], dtype=np.int64
+        )
+        return t.filter(pa.array(pctl < thresh))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- corpus TF / DF
+
+
+def doc_freq(docs, *, col: str = "text", min_df: int = 5):
+    """Corpus term statistics for TF-IDF weighting: per token, total
+    occurrences (tf) and document frequency (df = docs containing it),
+    filtered to ``df >= min_df``. Integer outputs (idf = log(N/df) is a
+    trivial driver-side map; kept out so the result is bit-exact).
+
+    Combiner shape twice over: each batch emits value_counts partials
+    for tf (all tokens) and df (per-document DISTINCT tokens — distinct
+    within a row, so no cross-batch state), then ONE uniform groupby on
+    the token merges both. No reducer ever sees raw token streams."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.utf8_split_whitespace(text)
+        tf_vc = pc.list_flatten(toks).value_counts()
+        df_vc = pc.list_flatten(_distinct_per_list(toks)).value_counts()
+        tf_t = pa.table(
+            {
+                "token": tf_vc.field("values"),
+                "_tf": pc.cast(tf_vc.field("counts"), pa.int64()),
+                "_df": pa.nulls(len(tf_vc), pa.int64()),
+            }
+        )
+        df_t = pa.table(
+            {
+                "token": df_vc.field("values"),
+                "_tf": pa.nulls(len(df_vc), pa.int64()),
+                "_df": pc.cast(df_vc.field("counts"), pa.int64()),
+            }
+        )
+        return pa.concat_tables([tf_t, df_t])
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    merged = partials.groupby("token").aggregate(
+        Sum("_tf", alias_name="tf"), Sum("_df", alias_name="df")
+    )
+    return merged.filter(expr=f"df >= {min_df}")
+
+
+def _distinct_per_list(toks: pa.ListArray) -> pa.ListArray:
+    """Row-wise distinct of a list<string> column (Arrow has no kernel
+    for this; pandas unique per row is the fallback — bounded by tokens
+    per document, not corpus size)."""
+    vals = toks.to_pylist()
+    return pa.array(
+        [None if v is None else list(dict.fromkeys(v)) for v in vals],
+        type=pa.list_(pa.string()),
+    )

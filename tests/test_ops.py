@@ -350,3 +350,45 @@ def test_rebatch_bytes_targets_size():
     # every full batch lands within ~2x of the target
     assert all(s <= 2 * 64 * 1024 for s in sizes)
     assert sum(sizes) > 0
+
+
+def test_mix_sample_deterministic_and_stratified():
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import mix_sample
+
+    df = pd.DataFrame(
+        {"doc_id": range(1000), "lang": (["en"] * 500 + ["de"] * 500)}
+    )
+    rates = {"en": 60, "de": 20}
+    a = mix_sample(ray.data.from_pandas(df), rates).to_pandas()
+    b = mix_sample(ray.data.from_pandas(df), rates).to_pandas()
+    assert a.equals(b)  # seed-free determinism
+    en = (a["lang"] == "en").sum() / 500
+    de = (a["lang"] == "de").sum() / 500
+    assert abs(en - 0.6) < 0.1 and abs(de - 0.2) < 0.1
+    # keep decision is a pure function of doc_id — subset invariance
+    half = mix_sample(
+        ray.data.from_pandas(df.iloc[::2]), rates
+    ).to_pandas()
+    assert set(half["doc_id"]) == set(a["doc_id"]) & set(df.iloc[::2]["doc_id"])
+
+
+def test_doc_freq_counts_tf_and_df():
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import doc_freq
+
+    df = pd.DataFrame(
+        {"text": ["a a b", "a c", "b a", None, ""]}
+    )
+    out = (
+        doc_freq(ray.data.from_pandas(df), min_df=2)
+        .to_pandas()
+        .set_index("token")
+    )
+    assert out.loc["a", "tf"] == 4 and out.loc["a", "df"] == 3
+    assert out.loc["b", "tf"] == 2 and out.loc["b", "df"] == 2
+    assert "c" not in out.index  # df=1 < min_df

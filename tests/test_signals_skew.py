@@ -64,3 +64,66 @@ def test_salted_sum_matches_plain_groupby_on_hot_key():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_delta_to_cumulative_inverts_cumulative_to_delta():
+    from opentelemetry_collector_ray.stages.signals import delta_to_cumulative
+
+    df = pd.DataFrame(
+        {
+            "k": [1] * 5 + [2] * 3,
+            "ts": list(range(5)) + list(range(3)),
+            "i": range(8),
+            "v": [1, 3, 6, 10, 15, 2, 4, 8],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    deltas = cumulative_to_delta(
+        ds, key="k", ts="ts", value="v", order_tiebreak="i"
+    ).drop_columns(["v"]).rename_columns({"delta": "v"})
+    back = delta_to_cumulative(
+        deltas, key="k", ts="ts", value="v", order_tiebreak="i"
+    )
+    got = back.to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    assert got["cumulative"].tolist() == df["v"].tolist()
+
+
+def test_regroup_attrs_merges_dropped_labels():
+    from opentelemetry_collector_ray.stages.signals import regroup_attrs
+
+    df = pd.DataFrame(
+        {
+            "service": ["a", "a", "b", "a"],
+            "route": ["x", "y", "x", "y"],
+            "latency_ms": [10, 20, 30, None],
+        }
+    )
+    out = (
+        regroup_attrs(ray.data.from_pandas(df), keep=["service"], value="latency_ms")
+        .to_pandas()
+        .sort_values("service")
+        .reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [3, 1]  # null latency still counted
+    assert out["sum_latency_ms"].tolist() == [30, 30]
+
+
+def test_log_dedup_collapses_identical_bodies_within_window():
+    from opentelemetry_collector_ray.stages.dedup import log_dedup
+
+    ts = pd.to_datetime(
+        ["2024-01-01 10:05", "2024-01-01 10:55", "2024-01-01 11:05",
+         "2024-01-01 10:30"]
+    )
+    df = pd.DataFrame(
+        {
+            "text": ["dup", "dup", "dup", "other"],
+            "ts": ts,
+            "conv_id": ["c3", "c1", "c2", "c9"],
+        }
+    )
+    out = log_dedup(ray.data.from_pandas(df)).to_pandas()
+    dup10 = out[(out["text"] == "dup")
+                & (out["window_start"].dt.hour == 10)].iloc[0]
+    assert dup10["n"] == 2 and dup10["first_seen"] == "c1"
+    assert len(out) == 3  # (dup,10h) (dup,11h) (other,10h)
