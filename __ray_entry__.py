@@ -453,6 +453,20 @@ def q_lsh_topk(sf_dir: str):
     return lsh_topk(ds, _embedding_queries(sf_dir), k=10, bits=4)
 
 
+def q_ivf_topk(sf_dir: str):
+    """ANN via inverted file: sample-trained coarse centroids, per-list
+    map_groups scoring of the nprobe closest lists (recall pinned vs
+    the brute-force oracle in tests)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import ivf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(
+        ds, _embedding_queries(sf_dir), k=10, nlist=16, nprobe=6
+    )
+
+
 def q_media_decode(sf_dir: str):
     import ray.data
 
@@ -919,6 +933,19 @@ def q_doc_freq(sf_dir: str):
     return doc_freq(docs, min_df=5)
 
 
+def q_contamination(sf_dir: str):
+    """Train/test contamination scan: distinct 5-gram overlap between
+    each held-out doc (doc_id % 10 == 0) and the training split."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import contamination_check
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return contamination_check(docs, n=5, test_mod=10)
+
+
 def q_cumulative_delta(sf_dir: str):
     """Metrics signal: cumulative→delta temporality conversion per
     series (user_id), ordered by (ts, event_id)."""
@@ -1086,6 +1113,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "log_dedup": q_log_dedup,
     "mix_sample": q_mix_sample,
     "doc_freq": q_doc_freq,
+    "contamination": q_contamination,
     "salted_counts": q_salted_counts,
     "asof_join": q_asof_join,
     "distinct_users": q_distinct_users,
@@ -1119,6 +1147,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
     "dedup_clusters": q_dedup_clusters,
@@ -1379,6 +1408,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT text, date_trunc('hour', ts) AS window_start, "
             "count(*) AS n, min(conv_id) AS first_seen "
             "FROM transcripts GROUP BY 1, 2"
+        ),
+        "contamination": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(text, '\\S+') AS w FROM documents), "
+            "s AS (SELECT doc_id, w, unnest(generate_series(1, "
+            "greatest(len(w)-4, 0))) AS gs FROM t), "
+            "g AS (SELECT doc_id, array_to_string(w[gs:gs+4], ' ') "
+            "AS gram FROM s), "
+            "gd AS (SELECT DISTINCT doc_id, gram FROM g), "
+            "test_g AS (SELECT doc_id, gram FROM gd WHERE doc_id % 10 = 0), "
+            "train_g AS (SELECT DISTINCT gram FROM gd "
+            "WHERE doc_id % 10 <> 0) "
+            "SELECT tg.doc_id, count(*) AS n_shared FROM test_g tg "
+            "JOIN train_g USING (gram) GROUP BY tg.doc_id"
         ),
         "mix_sample": (
             "SELECT doc_id, lang FROM documents "

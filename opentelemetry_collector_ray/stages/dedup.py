@@ -720,3 +720,86 @@ def log_dedup(
     return partials.groupby([text_col, "window_start"]).aggregate(
         Sum("_pc", alias_name="n"), Min("_pf", alias_name="first_seen")
     )
+
+
+# ------------------------------------------- train/test contamination
+
+
+def contamination_check(
+    docs: ray.data.Dataset,
+    *,
+    n: int = 5,
+    test_mod: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 64,
+) -> ray.data.Dataset:
+    """Train/test contamination scan: for every held-out document
+    (``doc_id % test_mod == 0``), count the distinct word-``n``-grams it
+    shares with ANY training document — the eval-leakage check a
+    training-corpus pipeline runs before a data release.
+
+    Shape: explode each doc to its distinct gram HASHES (the vectorized
+    ``batch_shingle_hashes`` rolling hash — 8 bytes/gram through the
+    shuffle instead of the gram text; collisions are ~(grams²)/2⁶⁴,
+    negligible), one sharded groupby co-locates each gram's postings,
+    a vectorized per-shard pass emits (test_doc, shared-gram) partials,
+    and a tiny uniform groupby sums per-doc counts. Nothing holds more
+    than one shard's postings; no driver-side state. Docs shorter than
+    ``n`` words have no grams (strict windows — mirrors the SQL oracle
+    exactly; the padded-shingle semantics of the minhash tier would
+    diverge on short docs)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.shard import sharded_group_map
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not texts:
+            return pa.table(
+                {
+                    "gram": pa.array([], type=pa.uint64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "is_test": pa.array([], type=pa.bool_()),
+                }
+            )
+        flat, offsets = batch_shingle_hashes(texts, n)
+        words = np.fromiter(
+            (len(v.split()) if v is not None else 0 for v in texts),
+            np.int64,
+            count=len(texts),
+        )
+        lens = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        # strict n-gram windows only: drop the padded shingles that
+        # batch_shingle_hashes emits for docs with < n words
+        mask = words[doc_idx] >= n
+        d = ids[doc_idx[mask]]
+        return pa.table(
+            {
+                "gram": pa.array(flat[mask], type=pa.uint64()),
+                id_col: pa.array(d, type=pa.int64()),
+                "is_test": pa.array(d % test_mod == 0),
+            }
+        )
+
+    postings = docs.map_batches(explode, batch_format="pyarrow")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        is_train = ~g["is_test"].to_numpy()
+        has_train = (
+            pd.Series(is_train)
+            .groupby(g["gram"].to_numpy(), sort=False)
+            .transform("max")
+            .to_numpy()
+        )
+        hits = g.loc[g["is_test"].to_numpy() & has_train, [id_col, "gram"]]
+        hits = hits.drop_duplicates()  # distinct grams per test doc
+        out = hits.groupby(id_col, as_index=False).size()
+        return out.rename(columns={"size": "_pc"}).astype(
+            {id_col: "int64", "_pc": "int64"}
+        )
+
+    partials = sharded_group_map(postings, ["gram"], per_shard, shards=shards)
+    return partials.groupby(id_col).aggregate(Sum("_pc", alias_name="n_shared"))

@@ -374,3 +374,142 @@ def lsh_topk(
         .to_pandas()
     )
     return _merge_topk_partials(partials, k)
+
+
+# --------------------------------------------------------------- IVF
+
+
+def train_ivf_centroids(
+    ds: ray.data.Dataset,
+    *,
+    nlist: int = 16,
+    sample_mod: int = 7,
+    max_sample: int = 100_000,
+    iters: int = 8,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train IVF coarse centroids by k-means on a BOUNDED deterministic
+    sample — the standard inverted-file practice (FAISS trains on a
+    sample, not the corpus): training cost is independent of corpus
+    size, so this step never becomes the 100 TB bottleneck. Sample =
+    vectors with ``id % sample_mod == 0``, capped at ``max_sample``;
+    init = first ``nlist`` sample vectors by id (deterministic — no
+    RNG, reproducible across runs/parallelism); ``iters`` Lloyd rounds
+    of spherical k-means (cosine assignment, mean + renormalize).
+    Returns (nlist, dim) unit-norm centroids."""
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(ids % sample_mod == 0))
+
+    sample = ds.map_batches(pick, batch_format="pyarrow")
+    pdf = sample.limit(max_sample).to_pandas().sort_values(id_col)
+    vecs = _norm_rows(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+    nlist = min(nlist, len(vecs))
+    cents = vecs[:nlist].copy()
+    for _ in range(iters):
+        assign = (vecs @ cents.T).argmax(axis=1)
+        for c in range(nlist):
+            members = vecs[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _norm_rows(cents)
+    return cents
+
+
+def ivf_assign_batch(
+    batch: pa.Table, centroids: np.ndarray, id_col: str = "vec_id"
+) -> pa.Table:
+    """Append ``list_id``: nearest coarse centroid by cosine. At rest
+    this would be the partition column of a partition_cols=["list_id"]
+    parquet layout, so probes read only matching partitions."""
+    if len(batch) == 0:
+        return batch.append_column("list_id", pa.array([], type=pa.int64()))
+    vecs = _norm_rows(_matrix(batch["embedding"]))
+    lid = (vecs @ centroids.T).argmax(axis=1).astype(np.int64)
+    return batch.append_column("list_id", pa.array(lid, type=pa.int64()))
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: dict[int, np.ndarray],
+    k: int = 10,
+    *,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """ANN via an inverted file (IVF): corpus vectors are bucketed by
+    nearest coarse centroid; each query scores only its ``nprobe``
+    closest lists. Approximate — recall pinned against
+    ``brute_force_topk`` in tests; (nlist, nprobe) is the
+    recall/throughput knob (touch ~nprobe/nlist of the corpus).
+
+    Same scale shape as ``lsh_topk``: candidate scoring runs INSIDE a
+    per-list ``groupby.map_groups`` (each group ≈ corpus/nlist rows —
+    size nlist so a list fits a worker); only the tiny per-list partial
+    top-k rows leave workers; driver does the final merge of
+    O(queries × k × nprobe) rows."""
+    import pyarrow.compute as pc
+
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, nlist=nlist, id_col=id_col)
+    qids = sorted(queries.keys())
+    qm = _norm_rows(np.stack([queries[i] for i in qids]).astype(np.float64))
+    qsims = qm @ centroids.T  # (Q, nlist)
+    nprobe = min(nprobe, centroids.shape[0])
+    probe_lists = np.argsort(-qsims, axis=1)[:, :nprobe]  # (Q, nprobe)
+    list_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for lid in probe_lists[qi]:
+            list_to_q.setdefault(int(lid), []).append(qi)
+    allowed = sorted(list_to_q)
+    qref = ray.put((qm, np.asarray(qids, dtype=np.int64), list_to_q))
+
+    bucketed = ds.map_batches(
+        lambda b: ivf_assign_batch(b, centroids, id_col),
+        batch_format="pyarrow",
+    )
+    cand = bucketed.map_batches(
+        lambda b: b.filter(pc.is_in(b["list_id"], value_set=pa.array(allowed))),
+        batch_format="pyarrow",
+    )
+
+    def per_list(g: pd.DataFrame) -> pd.DataFrame:
+        state = _QUERY_CACHE.get(qref.hex())
+        if state is None:
+            state = _QUERY_CACHE[qref.hex()] = ray.get(qref)
+        qn, qid_arr, l2q = state
+        sel = l2q.get(int(g["list_id"].iloc[0]), [])
+        if not sel or not len(g):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "vec_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+        vecs = _norm_rows(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        ids = g[id_col].to_numpy()
+        scores = qn[sel] @ vecs.T
+        kk = min(k, scores.shape[1])
+        out = []
+        for row, qi in enumerate(sel):
+            order = np.lexsort((ids, -scores[row]))[:kk]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(kk, qid_arr[qi], dtype=np.int64),
+                        "vec_id": ids[order].astype(np.int64),
+                        "score": scores[row, order],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partials = (
+        cand.groupby("list_id")
+        .map_groups(per_list, batch_format="pandas")
+        .to_pandas()
+    )
+    return _merge_topk_partials(partials, k)

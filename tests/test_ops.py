@@ -392,3 +392,59 @@ def test_doc_freq_counts_tf_and_df():
     assert out.loc["a", "tf"] == 4 and out.loc["a", "df"] == 3
     assert out.loc["b", "tf"] == 2 and out.loc["b", "df"] == 2
     assert "c" not in out.index  # df=1 < min_df
+
+
+def test_contamination_check_strict_windows():
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import contamination_check
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 10, 20, 30],
+            "text": [
+                "a b c d e f g",   # test: shares 'a b c d e' with doc 1
+                "a b c d e x y",   # train
+                "c d e f g h",     # test: no overlap with TRAIN docs
+                "short doc",       # test, < 5 words -> no grams ever
+                "a b c d e f g",   # test: identical to doc 0, overlaps doc 1
+            ],
+        }
+    )
+    out = (
+        contamination_check(ray.data.from_pandas(df), n=5, test_mod=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 30]
+    assert out["n_shared"].tolist() == [1, 1]
+
+
+def test_ivf_topk_recall_vs_brute():
+    import __ray_entry__ as em
+
+    brute = em.queries()["ann_topk"](SF_DIR)
+    approx = em.queries()["ivf_topk"](SF_DIR)
+    recalls = []
+    for qid in brute["query_id"].unique():
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    # 6/16 lists probed on 64-dim data
+    assert np.mean(recalls) >= 0.5
+
+
+def test_ivf_centroids_deterministic():
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import (
+        train_ivf_centroids,
+    )
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    c1 = train_ivf_centroids(ds, nlist=8)
+    c2 = train_ivf_centroids(ds, nlist=8)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
