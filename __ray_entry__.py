@@ -933,6 +933,37 @@ def q_doc_freq(sf_dir: str):
     return doc_freq(docs, min_df=5)
 
 
+def q_processor_counters(sf_dir: str):
+    """Per-stage obsreport counters recorded on the data plane
+    (obs_processor.go accepted/dropped names, engine.processorCounters
+    gate): a parse→filter pipeline run end-to-end, counter table out."""
+    import tempfile
+
+    import pandas as pd
+
+    from opentelemetry_collector_ray.pipelines.builder import run_pipeline
+
+    out_dir = tempfile.mkdtemp(prefix="otel_ray_pc_")
+    spec = {
+        "pipeline": {
+            "source": {"type": "events_transcripts", "sf_dir": sf_dir},
+            "stages": [
+                {"type": "parse"},
+                {
+                    "type": "filter",
+                    "include": [["level", "in", ["WARN", "ERROR"]]],
+                },
+            ],
+            "sinks": {"mode": "single", "out_dir": f"{out_dir}/sink"},
+            "feature_gates": ["engine.processorCounters"],
+        }
+    }
+    c = run_pipeline(spec)["processor_counters"]
+    return pd.DataFrame(
+        {"name": sorted(c), "value": [int(c[k]) for k in sorted(c)]}
+    )
+
+
 def q_contamination(sf_dir: str):
     """Train/test contamination scan: distinct 5-gram overlap between
     each held-out doc (doc_id % 10 == 0) and the training split."""
@@ -1114,6 +1145,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "mix_sample": q_mix_sample,
     "doc_freq": q_doc_freq,
     "contamination": q_contamination,
+    "processor_counters": q_processor_counters,
     "salted_counts": q_salted_counts,
     "asof_join": q_asof_join,
     "distinct_users": q_distinct_users,
@@ -1408,6 +1440,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT text, date_trunc('hour', ts) AS window_start, "
             "count(*) AS n, min(conv_id) AS first_seen "
             "FROM transcripts GROUP BY 1, 2"
+        ),
+        "processor_counters": o.PARSED_CTE
+        + (
+            "SELECT 'processor/filter/accepted_log_records' AS name, "
+            "count(*) AS value FROM parsed2 "
+            "WHERE coalesce(level, '') IN ('WARN', 'ERROR') "
+            "UNION ALL "
+            "SELECT 'processor/filter/dropped_log_records', count(*) "
+            "FROM parsed2 WHERE coalesce(level, '') NOT IN ('WARN', 'ERROR') "
+            "UNION ALL "
+            "SELECT 'processor/parse/accepted_log_records', count(*) "
+            "FROM parsed2"
         ),
         "contamination": (
             "WITH t AS (SELECT doc_id, "

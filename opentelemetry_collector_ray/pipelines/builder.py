@@ -22,7 +22,39 @@ from collections.abc import Callable
 
 import ray.data
 
+from ..state import metrics as _metrics
 from .config import ConfigError, PipelineConfig, load_config
+
+
+class _CountedStage:
+    """Data-plane obsreport wrapper (obs_processor.go:24-33 names):
+    counts rows out as ``accepted`` and rows in minus rows out as
+    ``dropped`` per stage, via ONE fire-and-forget RPC per block to the
+    run's named counter actor (never awaited — no data-plane stall; the
+    actor is num_cpus=0). ``refused`` stays a structural zero in batch
+    mode (backpressure replaces refusal). Wraps either a plain batch fn
+    or a stage class (constructed once per actor, the stateful idiom).
+    Gated by ``engine.processorCounters`` — default off, so ungated
+    pipelines carry zero overhead."""
+
+    def __init__(self, *, stage_name, run_id, fn=None, cls=None, kwargs=None):
+        self.inner = fn if fn is not None else cls(**(kwargs or {}))
+        self.stage_name = stage_name
+        self.run_id = run_id
+        self._actor = None
+
+    def __call__(self, batch):
+        out = self.inner(batch)
+        if self._actor is None:
+            self._actor = _metrics.get_metrics_actor(self.run_id)
+        updates = {
+            _metrics.processor_accepted(self.stage_name): len(out)
+        }
+        dropped = len(batch) - len(out)
+        if dropped > 0:
+            updates[_metrics.processor_dropped(self.stage_name)] = dropped
+        self._actor.add_many.remote(updates)
+        return out
 
 
 def _build_parse(opts):
@@ -170,7 +202,19 @@ def _run_one(cfg: PipelineConfig, source: ray.data.Dataset) -> dict:
     def _retryable(e: BaseException) -> bool:
         return _is_io_failure(e) or isinstance(e, AttemptTimeout)
 
-    ds = _apply_stages(source, cfg)
+    counters_run_id = None
+    counters_actor = None
+    if cfg.gates.get("engine.processorCounters"):
+        import uuid
+
+        counters_run_id = uuid.uuid4().hex[:8]
+        # the DRIVER must own the named actor AND hold its handle for
+        # the whole run: a named (non-detached) actor is destroyed when
+        # its last handle drops, and worker get_if_exists handles are
+        # transient — without this reference every worker would talk to
+        # its own short-lived recreation
+        counters_actor = _metrics.get_metrics_actor(counters_run_id)
+    ds = _apply_stages(source, cfg, counters_run_id=counters_run_id)
     out_dir = cfg.sinks.out_dir
     sizing = (
         {"min_rows_per_file": cfg.sinks.min_rows_per_file}
@@ -202,16 +246,28 @@ def _run_one(cfg: PipelineConfig, source: ray.data.Dataset) -> dict:
             policy=policy,
             is_retryable=_retryable,
         )
-        return {"out_dir": out_dir, "per_sink": per_sink}
-    n = retry_call(
-        lambda: atomic_write_parquet(ds, out_dir, **sizing),
-        policy=policy,
-        is_retryable=_retryable,
-    )
-    return {"out_dir": out_dir, "rows": int(n)}
+        report = {"out_dir": out_dir, "per_sink": per_sink}
+    else:
+        n = retry_call(
+            lambda: atomic_write_parquet(ds, out_dir, **sizing),
+            policy=policy,
+            is_retryable=_retryable,
+        )
+        report = {"out_dir": out_dir, "rows": int(n)}
+    if counters_actor is not None:
+        report["processor_counters"] = _metrics.settle_snapshot(
+            counters_actor
+        )
+    return report
 
 
-def _apply_stages(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset:
+def _apply_stages(
+    ds: ray.data.Dataset,
+    cfg: PipelineConfig,
+    *,
+    counters_run_id: str | None = None,
+) -> ray.data.Dataset:
+    seen: dict[str, int] = {}
     for st in cfg.stages:
         if st.type == "rebatch":
             from ..stages.batch import rebatch
@@ -222,14 +278,43 @@ def _apply_stages(ds: ray.data.Dataset, cfg: PipelineConfig) -> ray.data.Dataset
                 num_blocks=st.options.get("num_blocks"),
             )
             continue
+        # unique obsreport name per stage instance (a pipeline may use
+        # the same stage type twice; config validation already forbids
+        # exact duplicates, this disambiguates type reuse)
+        idx = seen[st.type] = seen.get(st.type, 0) + 1
+        stage_name = st.type if idx == 1 else f"{st.type}#{idx}"
         built = STAGE_REGISTRY[st.type](st.options)
         if isinstance(built, tuple):
             cls, kwargs = built
+            if counters_run_id is not None:
+                ds = ds.map_batches(
+                    _CountedStage,
+                    fn_constructor_kwargs={
+                        "stage_name": stage_name,
+                        "run_id": counters_run_id,
+                        "cls": cls,
+                        "kwargs": kwargs,
+                    },
+                    batch_format="pyarrow",
+                    concurrency=st.options.get("concurrency", (1, 8)),
+                )
+            else:
+                ds = ds.map_batches(
+                    cls,
+                    fn_constructor_kwargs=kwargs,
+                    batch_format="pyarrow",
+                    concurrency=st.options.get("concurrency", (1, 8)),
+                )
+        elif counters_run_id is not None:
             ds = ds.map_batches(
-                cls,
-                fn_constructor_kwargs=kwargs,
+                _CountedStage,
+                fn_constructor_kwargs={
+                    "stage_name": stage_name,
+                    "run_id": counters_run_id,
+                    "fn": built,
+                },
                 batch_format="pyarrow",
-                concurrency=st.options.get("concurrency", (1, 8)),
+                concurrency=(1, 8),
             )
         else:
             ds = ds.map_batches(built, batch_format="pyarrow")

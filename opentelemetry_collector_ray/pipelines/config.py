@@ -118,6 +118,13 @@ FEATURE_GATES: dict[str, FeatureGate] = {
         True,
         "per-attempt deadline on sink writes (exporter timeout sender)",
     ),
+    "engine.processorCounters": FeatureGate(
+        "engine.processorCounters",
+        "alpha",
+        False,
+        "per-stage accepted/dropped obsreport counters on the data "
+        "plane (one fire-and-forget actor RPC per block per stage)",
+    ),
 }
 
 

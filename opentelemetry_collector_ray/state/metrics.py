@@ -65,3 +65,31 @@ def exporter_send_failed(sink: str, signal: str = "log_records") -> str:
 
 def processor_dropped(stage: str, signal: str = "log_records") -> str:
     return f"processor/{stage}/dropped_{signal}"
+
+
+def processor_accepted(stage: str, signal: str = "log_records") -> str:
+    return f"processor/{stage}/accepted_{signal}"
+
+
+def processor_refused(stage: str, signal: str = "log_records") -> str:
+    return f"processor/{stage}/refused_{signal}"
+
+
+def settle_snapshot(actor, *, attempts: int = 40, sleep_s: float = 0.05):
+    """Snapshot the counter actor once in-flight fire-and-forget adds
+    have drained: per-stage counts are submitted asynchronously from
+    map tasks (never awaited on the data plane), so a snapshot taken
+    the instant the pipeline returns can race the last adds. Poll until
+    two consecutive snapshots agree — each batch's add was submitted
+    before its task finished, so agreement means the queue drained."""
+    import time
+
+    time.sleep(sleep_s)  # headroom for the final block's in-flight adds
+    prev = ray.get(actor.snapshot.remote())
+    for _ in range(attempts):
+        time.sleep(sleep_s)
+        cur = ray.get(actor.snapshot.remote())
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev

@@ -368,3 +368,36 @@ def test_register_custom_stage(corpus):
     assert build_dataset(cfg).count() > 0
     with pytest.raises(ConfigError, match="already registered"):
         register_stage("my_custom", my_builder)
+
+
+def test_processor_counters_gate(corpus, tmp_path):
+    """engine.processorCounters: per-stage accepted/dropped obsreport
+    counters recorded on the data plane (obs_processor.go names),
+    exact vs the pipeline's own row counts."""
+    import ray.data
+
+    spec = {
+        "pipeline": {
+            "source": {"type": "parquet", "paths": [corpus]},
+            "stages": [
+                {"type": "parse"},
+                {
+                    "type": "filter",
+                    "include": [["level", "in", ["WARN", "ERROR"]]],
+                },
+            ],
+            "sinks": {"mode": "single", "out_dir": str(tmp_path / "out")},
+            "feature_gates": ["engine.processorCounters"],
+        }
+    }
+    report = run_pipeline(spec)
+    n_in = ray.data.read_parquet(corpus).count()
+    n_out = report["rows"]
+    c = report["processor_counters"]
+    assert c["processor/parse/accepted_log_records"] == n_in
+    assert "processor/parse/dropped_log_records" not in c  # parse drops none
+    assert c["processor/filter/accepted_log_records"] == n_out
+    assert c["processor/filter/dropped_log_records"] == n_in - n_out
+    # ungated run carries no counter surface
+    spec["pipeline"]["feature_gates"] = []
+    assert "processor_counters" not in run_pipeline(spec)
