@@ -933,6 +933,27 @@ def q_doc_freq(sf_dir: str):
     return doc_freq(docs, min_df=5)
 
 
+def q_spanmetrics(sf_dir: str):
+    """spanmetrics connector idiom: R.E.D. metrics (requests, errors,
+    duration) per span name via the combiner shape."""
+    from opentelemetry_collector_ray.stages.signals import span_red_metrics
+
+    return span_red_metrics(_parsed(sf_dir))
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition quality signal: dominant 2-gram share
+    per document (boilerplate / degenerate-repetition gate)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import repetition_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(repetition_batch, batch_format="pyarrow")
+
+
 def q_processor_counters(sf_dir: str):
     """Per-stage obsreport counters recorded on the data plane
     (obs_processor.go accepted/dropped names, engine.processorCounters
@@ -959,8 +980,12 @@ def q_processor_counters(sf_dir: str):
         }
     }
     c = run_pipeline(spec)["processor_counters"]
+    # row-count counters only: the batch_send_size histogram slots also
+    # land in the snapshot but depend on physical block layout (not
+    # SQL-derivable — pinned by test_config instead)
+    names = sorted(k for k in c if k.endswith("_log_records"))
     return pd.DataFrame(
-        {"name": sorted(c), "value": [int(c[k]) for k in sorted(c)]}
+        {"name": names, "value": [int(c[k]) for k in names]}
     )
 
 
@@ -1146,6 +1171,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_freq": q_doc_freq,
     "contamination": q_contamination,
     "processor_counters": q_processor_counters,
+    "spanmetrics": q_spanmetrics,
+    "repetition": q_repetition,
     "salted_counts": q_salted_counts,
     "asof_join": q_asof_join,
     "distinct_users": q_distinct_users,
@@ -1440,6 +1467,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT text, date_trunc('hour', ts) AS window_start, "
             "count(*) AS n, min(conv_id) AS first_seen "
             "FROM transcripts GROUP BY 1, 2"
+        ),
+        "spanmetrics": o.PARSED_CTE
+        + (
+            "SELECT coalesce(action, 'unparsed') AS span_name, "
+            "count(*) AS n, "
+            "cast(sum(CASE WHEN coalesce(level, '') = 'ERROR' "
+            "THEN 1 ELSE 0 END) AS bigint) AS n_errors, "
+            "cast(sum(coalesce(latency_ms, 0)) AS bigint) AS sum_ms "
+            "FROM parsed2 GROUP BY 1"
+        ),
+        "repetition": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(text, '\\S+') AS w FROM documents "
+            "WHERE text IS NOT NULL), "
+            "s AS (SELECT doc_id, w, unnest(generate_series(1, "
+            "greatest(len(w)-1, 0))) AS gs FROM t), "
+            "g AS (SELECT doc_id, w[gs] || ' ' || w[gs+1] AS gram FROM s), "
+            "c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2), "
+            "a AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot "
+            "FROM c GROUP BY 1) "
+            "SELECT doc_id, cast(mx AS bigint) AS max_2gram, "
+            "cast(tot AS bigint) AS n_2grams, "
+            "cast(mx AS double) / cast(tot AS double) AS top_2gram_frac "
+            "FROM a"
         ),
         "processor_counters": o.PARSED_CTE
         + (

@@ -43,6 +43,10 @@ class _CountedStage:
         self.run_id = run_id
         self._actor = None
 
+    # batch_send_size histogram bounds (processor/batchprocessor/
+    # metrics.go:111-219 idiom: distribution of emitted batch sizes)
+    SIZE_BOUNDS = (1024, 8192, 65536)
+
     def __call__(self, batch):
         out = self.inner(batch)
         if self._actor is None:
@@ -53,6 +57,10 @@ class _CountedStage:
         dropped = len(batch) - len(out)
         if dropped > 0:
             updates[_metrics.processor_dropped(self.stage_name)] = dropped
+        le = next(
+            (str(b) for b in self.SIZE_BOUNDS if len(out) <= b), "inf"
+        )
+        updates[f"processor/{self.stage_name}/batch_send_size/le_{le}"] = 1
         self._actor.add_many.remote(updates)
         return out
 

@@ -306,3 +306,32 @@ def cumulative_to_delta(
         return g.assign(delta=delta)
 
     return sharded_group_map(series, [key], per_shard)
+
+
+def span_red_metrics(parsed: ray.data.Dataset) -> ray.data.Dataset:
+    """The spanmetricsconnector idiom (contrib): derive R.E.D. metrics —
+    Requests, Errors, Duration — per span name from the span stream.
+    Combiner shape: per-batch Arrow partials (count, error-flag sum,
+    duration sum) merge through one tiny groupby on span_name; no
+    per-span reducer, no second pass over the corpus for errors."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        name = pc.fill_null(t["action"], "unparsed")
+        err = pc.cast(
+            pc.equal(pc.fill_null(t["level"], ""), "ERROR"), pa.int64()
+        )
+        dur = pc.fill_null(t["latency_ms"], 0)
+        g = (
+            pa.table({"span_name": name, "_e": err, "_d": dur})
+            .group_by(["span_name"])
+            .aggregate([([], "count_all"), ("_e", "sum"), ("_d", "sum")])
+        )
+        return g.rename_columns(["span_name", "_pc", "_pe", "_pd"])
+
+    partials = parsed.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("span_name").aggregate(
+        Sum("_pc", alias_name="n"),
+        Sum("_pe", alias_name="n_errors"),
+        Sum("_pd", alias_name="sum_ms"),
+    )

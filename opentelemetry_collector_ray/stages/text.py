@@ -317,3 +317,79 @@ def _distinct_per_list(toks: pa.ListArray) -> pa.ListArray:
         [None if v is None else list(dict.fromkeys(v)) for v in vals],
         type=pa.list_(pa.string()),
     )
+
+
+# -------------------------------------------------------- repetition
+
+# reuse the shingle word-hash family so gram identity is deterministic
+# across processes (collisions within one document merge two gram
+# counts — ~grams²/2⁶⁴, negligible)
+_REP_HASH_KEY = "otelray-shingles"
+_REP_FNV = np.uint64(0x100000001B3)
+
+
+def repetition_batch(
+    batch: pa.Table, *, id_col: str = "doc_id", col: str = "text"
+) -> pa.Table:
+    """Gopher-style repetition signal: the dominant word-2-gram's share
+    of all 2-gram occurrences per document (high share ⇒ boilerplate /
+    degenerate repetition — a standard web-corpus quality gate). One
+    vectorized pass: flat word hashes → rolling 2-gram combine →
+    lexsort + run-length counts → per-doc segment max. No per-gram
+    Python, no per-doc loop. Docs with < 2 words emit nothing."""
+    import pandas as _pd
+
+    texts = batch[col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "max_2gram": pa.array([], type=pa.int64()),
+            "n_2grams": pa.array([], type=pa.int64()),
+            "top_2gram_frac": pa.array([], type=pa.float64()),
+        }
+    )
+    if not texts:
+        return empty
+    words_per_doc = [t.split() if t is not None else [] for t in texts]
+    counts = np.fromiter(
+        (len(w) for w in words_per_doc), np.int64, count=len(texts)
+    )
+    flat_words = [w for ws in words_per_doc for w in ws]
+    if not flat_words:
+        return empty
+    wh = _pd.util.hash_array(
+        np.asarray(flat_words, dtype=object), hash_key=_REP_HASH_KEY
+    )
+    m = len(wh) - 1
+    if m <= 0:
+        return empty
+    acc = wh[:m] * _REP_FNV ^ wh[1:]
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    valid = doc_idx[:m] == doc_idx[1:]
+    gh, gd = acc[valid], doc_idx[:m][valid]
+    if not len(gh):
+        return empty
+    order = np.lexsort((gh, gd))
+    gh, gd = gh[order], gd[order]
+    run_start = np.r_[True, (gh[1:] != gh[:-1]) | (gd[1:] != gd[:-1])]
+    starts = np.nonzero(run_start)[0]
+    run_len = np.diff(np.r_[starts, len(gh)])
+    run_doc = gd[starts]
+    # per-doc max over its runs (runs are doc-contiguous after the sort)
+    doc_start = np.r_[True, run_doc[1:] != run_doc[:-1]]
+    seg = np.nonzero(doc_start)[0]
+    max_per_doc = np.maximum.reduceat(run_len, seg)
+    out_docs = run_doc[seg]
+    totals = np.bincount(gd, minlength=len(texts))[out_docs]
+    return pa.table(
+        {
+            id_col: pa.array(ids[out_docs], type=pa.int64()),
+            "max_2gram": pa.array(max_per_doc, type=pa.int64()),
+            "n_2grams": pa.array(totals, type=pa.int64()),
+            "top_2gram_frac": pa.array(
+                max_per_doc.astype(np.float64) / totals.astype(np.float64),
+                type=pa.float64(),
+            ),
+        }
+    )

@@ -398,6 +398,15 @@ def test_processor_counters_gate(corpus, tmp_path):
     assert "processor/parse/dropped_log_records" not in c  # parse drops none
     assert c["processor/filter/accepted_log_records"] == n_out
     assert c["processor/filter/dropped_log_records"] == n_in - n_out
+    # batch_send_size histogram: every stage emitted >= 1 block, and the
+    # two stages saw the same number of blocks (1:1 batch mapping here)
+    def hist_total(stage):
+        return sum(
+            v for k, v in c.items()
+            if k.startswith(f"processor/{stage}/batch_send_size/")
+        )
+    assert hist_total("parse") >= 1
+    assert hist_total("parse") == hist_total("filter")
     # ungated run carries no counter surface
     spec["pipeline"]["feature_gates"] = []
     assert "processor_counters" not in run_pipeline(spec)

@@ -448,3 +448,31 @@ def test_ivf_centroids_deterministic():
     c2 = train_ivf_centroids(ds, nlist=8)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_repetition_signal_values():
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import repetition_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "buy now buy now buy now",  # 'buy now' 3x of 5 grams
+                "all words here differ",    # all 2-grams unique
+                "one",                      # < 2 words -> no output
+                None,
+            ],
+        }
+    )
+    out = (
+        ray.data.from_pandas(df)
+        .map_batches(repetition_batch, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "max_2gram"] == 3 and out.loc[1, "n_2grams"] == 5
+    assert out.loc[2, "max_2gram"] == 1 and out.loc[2, "n_2grams"] == 3
