@@ -695,6 +695,39 @@ def q_asof_join(sf_dir: str):
     )
 
 
+def q_range_join(sf_dir: str):
+    """Range (interval) join: every purchase within 72 hours AFTER any
+    signup of the same user — all matches, not just the latest."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.join import range_join
+
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    signups = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "signup")).select(
+            ["user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    ).rename_columns({"ts": "signup_ts"})
+    return range_join(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="signup_ts",
+        window=pd.Timedelta(hours=72),
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """count(DISTINCT) per group — two-phase: (1) distinct on the
     high-cardinality (event_type, user_id) pair via a sharded
@@ -931,6 +964,29 @@ def q_doc_freq(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["text"]
     )
     return doc_freq(docs, min_df=5)
+
+
+def q_lm_score(sf_dir: str):
+    """Unigram-LM quality scoring (batched model-inference archetype):
+    fit token logprobs on the corpus, broadcast once, score per doc."""
+    import ray
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import (
+        LMScoreStage,
+        build_unigram_lm,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    lm_ref = ray.put(build_unigram_lm(docs))
+    return docs.map_batches(
+        LMScoreStage,
+        fn_constructor_kwargs={"vocab_ref": lm_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
 
 
 def q_spanmetrics(sf_dir: str):
@@ -1172,9 +1228,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "contamination": q_contamination,
     "processor_counters": q_processor_counters,
     "spanmetrics": q_spanmetrics,
+    "lm_score": q_lm_score,
     "repetition": q_repetition,
     "salted_counts": q_salted_counts,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "distinct_users": q_distinct_users,
     "obs_counters": q_obs_counters,
     "json_roundtrip": q_json_roundtrip,
@@ -1542,6 +1600,15 @@ def oracle_sql() -> dict[str, str]:
             "ASOF JOIN (SELECT user_id, ts AS signup_ts FROM events "
             "WHERE event_type = 'signup') s "
             "ON e.user_id = s.user_id AND e.ts >= s.signup_ts"
+        ),
+        "range_join": (
+            "SELECT e.event_id, e.user_id, e.ts, s.signup_ts "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') e "
+            "JOIN (SELECT user_id, ts AS signup_ts FROM events "
+            "WHERE event_type = 'signup') s "
+            "ON e.user_id = s.user_id AND e.ts >= s.signup_ts "
+            "AND e.ts <= s.signup_ts + INTERVAL 72 HOUR"
         ),
         "distinct_users": (
             "SELECT event_type, cast(count(DISTINCT user_id) AS bigint) AS n "

@@ -205,3 +205,67 @@ def asof_join(
         return merged.astype({c: "int64" for c in int_cols if c in merged})
 
     return sharded_group_map(both, [key], per_shard)
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window,
+) -> ray.data.Dataset:
+    """Interval (range) join: EVERY (left, right) pair with the same
+    ``key`` where ``right_ts <= left_ts <= right_ts + window`` — unlike
+    the as-of join (latest single match), a left row matches all right
+    rows whose window covers it. ``window`` is a ``pd.Timedelta`` (or
+    anything addable to the ts dtype).
+
+    Shape: same single-shuffle co-group as ``asof_join`` (pad both
+    sides to a common schema, union, sharded groupby on ``key``), then
+    a per-shard pandas equi-merge on the key filtered by the time
+    predicate. The per-key cartesian is bounded by per-key row counts —
+    fine for per-entity event logs; salt a pathological hot key into
+    time-range sub-buckets replicated across the boundary if one key
+    dominates (same remedy as the bucketed hash join)."""
+    lcols = list(left.schema().names)
+    rcols = [c for c in right.schema().names if c != key]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"rename right-side columns first: {sorted(overlap)}")
+    ltypes = dict(zip(left.schema().names, left.schema().types))
+    rtypes = dict(zip(right.schema().names, right.schema().types))
+    all_cols = lcols + rcols
+    types = {**ltypes, **rtypes}
+
+    def pad(have: list[str], side: int):
+        missing = [c for c in all_cols if c not in have]
+
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in missing:
+                batch = batch.append_column(c, pa.nulls(len(batch), type=types[c]))
+            batch = batch.append_column(
+                "_side", pa.array(np.full(len(batch), side, dtype=np.int8))
+            )
+            return batch.select(all_cols + ["_side"])
+
+        return fn
+
+    both = left.map_batches(pad(lcols, 0), batch_format="pyarrow").union(
+        right.map_batches(pad([key] + rcols, 1), batch_format="pyarrow")
+    )
+    int_cols = [c for c, t in types.items() if pa.types.is_integer(t)]
+    from .shard import sharded_group_map
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["_side"] == 0, lcols]
+        rg = g.loc[g["_side"] == 1, [key] + rcols]
+        merged = lg.merge(rg, on=key, how="inner")
+        keep = (merged[left_ts] >= merged[right_ts]) & (
+            merged[left_ts] <= merged[right_ts] + window
+        )
+        out = merged.loc[keep]
+        return out.astype({c: "int64" for c in int_cols if c in out})
+
+    return sharded_group_map(both, [key], per_shard)

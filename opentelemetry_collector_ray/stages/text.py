@@ -393,3 +393,81 @@ def repetition_batch(
             ),
         }
     )
+
+
+# --------------------------------------------------- unigram LM score
+
+import pandas as _pd  # noqa: E402  (module-level: worker-safe)
+
+
+def build_unigram_lm(docs, *, top: int = 10_000):
+    """Fit a unigram language model from the corpus itself: top-k token
+    frequencies (the combiner-shaped ``vocab_topk``) → log-probabilities
+    plus an out-of-vocabulary floor of log(1/total). Returns the plain
+    (tokens, logprobs, oov) tuple — `ray.put` it once and hand the ref
+    to ``LMScoreStage`` (model broadcast once, never per batch)."""
+    counts = vocab_topk(docs, k=top).to_pandas()
+    total = float(counts["n"].sum())
+    logp = np.log(counts["n"].to_numpy(dtype=np.float64) / total)
+    return (
+        counts["token"].to_numpy(dtype=object),
+        logp,
+        float(np.log(1.0 / total)),
+    )
+
+
+class LMScoreStage:
+    """Quality scoring by unigram LM likelihood — the batched
+    model-inference archetype: the 'model' (token→logprob table) is
+    resolved from its broadcast ObjectRef ONCE per actor in
+    ``__init__``; ``__call__`` scores each document as the mean token
+    log-probability (higher = more natural relative to the corpus;
+    degenerate/gibberish text scores near the OOV floor). Vectorized:
+    one flat token map per batch + segment sums, no per-doc loop.
+    Emits ``lm_score`` (float64) and ``n_oov`` (int64)."""
+
+    def __init__(self, vocab_ref):
+        import ray as _ray
+
+        state = (
+            _ray.get(vocab_ref)
+            if isinstance(vocab_ref, _ray.ObjectRef)
+            else vocab_ref
+        )
+        tokens, logp, oov = state
+        self.lookup = _pd.Series(logp, index=tokens)
+        self.oov = oov
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        words_per_doc = [t.split() if t is not None else [] for t in texts]
+        counts = np.fromiter(
+            (len(w) for w in words_per_doc), np.int64, count=len(texts)
+        )
+        flat = [w for ws in words_per_doc for w in ws]
+        offsets = np.zeros(len(texts) + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        if flat:
+            lp = (
+                _pd.Series(np.asarray(flat, dtype=object))
+                .map(self.lookup)
+                .to_numpy(dtype=np.float64, na_value=np.nan)
+            )
+            oov_mask = np.isnan(lp)
+            lp[oov_mask] = self.oov
+            sums = np.add.reduceat(
+                np.r_[lp, 0.0], np.minimum(offsets[:-1], len(lp))
+            )
+            sums[counts == 0] = 0.0
+            oovs = np.add.reduceat(
+                np.r_[oov_mask.astype(np.int64), 0],
+                np.minimum(offsets[:-1], len(lp)),
+            )
+            oovs[counts == 0] = 0
+        else:
+            sums = np.zeros(len(texts))
+            oovs = np.zeros(len(texts), dtype=np.int64)
+        score = np.where(counts > 0, sums / np.maximum(counts, 1), self.oov)
+        return batch.append_column(
+            "lm_score", pa.array(score, type=pa.float64())
+        ).append_column("n_oov", pa.array(oovs, type=pa.int64()))

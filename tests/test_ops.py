@@ -476,3 +476,43 @@ def test_repetition_signal_values():
     assert list(out.index) == [1, 2]
     assert out.loc[1, "max_2gram"] == 3 and out.loc[1, "n_2grams"] == 5
     assert out.loc[2, "max_2gram"] == 1 and out.loc[2, "n_2grams"] == 3
+
+
+def test_lm_score_ranks_natural_above_gibberish():
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import (
+        LMScoreStage,
+        build_unigram_lm,
+    )
+
+    corpus = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "the cat sat on the mat",
+                "the dog sat on the rug",
+                "the cat and the dog",
+                "qzx vbn plm wrt qzx",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(corpus)
+    lm_ref = ray.put(build_unigram_lm(ds, top=100))
+    out = (
+        ds.map_batches(
+            LMScoreStage,
+            fn_constructor_kwargs={"vocab_ref": lm_ref},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "lm_score"] > out.loc[3, "lm_score"] - 1e-9
+    assert out.loc[0, "n_oov"] == 0
+    # gibberish doc: every token in-vocab only because the LM was fit
+    # on it too — but frequency 1 tokens score at the bottom
+    assert out["lm_score"].idxmin() == 3
