@@ -977,16 +977,22 @@ def q_lm_score(sf_dir: str):
         build_unigram_lm,
     )
 
+    from opentelemetry_collector_ray.stages.dedup import _cached_stage
+
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     lm_ref = ray.put(build_unigram_lm(docs))
-    return docs.map_batches(
-        LMScoreStage,
-        fn_constructor_kwargs={"vocab_ref": lm_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+
+    # per-worker cached stage instead of a fixed actor pool: the LM
+    # lookup table is cheap state, and worker processes are reused, so
+    # the model still resolves once per worker without reserving CPUs
+    def score(batch):
+        return _cached_stage(lm_ref.hex(), lambda: LMScoreStage(lm_ref))(
+            batch
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
 
 
 def q_spanmetrics(sf_dir: str):

@@ -545,11 +545,19 @@ def connected_components(
     doc (isolated docs become their own rep). Per round: every node's
     current label is pushed along its edges (groupby co-locates a
     node's label row with its edge rows), then each node keeps the min
-    incoming label (second groupby). Labels only decrease, so the total
-    label sum strictly decreases until fixpoint — the driver holds one
-    scalar per round, never the graph. Rounds = component diameter
-    (near-dup clusters are shallow); ``max_rounds`` bounds pathological
-    chains.
+    incoming label (second groupby, fed by per-shard partial mins).
+    Labels only decrease, so the total label sum strictly decreases
+    until fixpoint — the driver holds one scalar per round, never the
+    graph. Rounds = component diameter (near-dup clusters are
+    shallow); ``max_rounds`` bounds pathological chains.
+
+    Scale shape: the iteration runs over the EDGE SUBGRAPH only —
+    O(edges) rows per round, NOT O(corpus) — because a doc in no pair
+    can never change label; isolated docs get ``label = own id`` in one
+    final corpus-wide sharded pass after the loop converges. At 100 TB
+    the per-round cost tracks the near-dup graph (≪ corpus), and the
+    corpus is touched exactly twice (candidate generation upstream,
+    final assignment here).
     """
     from ray.data.aggregate import Min
 
@@ -569,23 +577,26 @@ def connected_components(
         pairs.map_batches(undirect, batch_format="pyarrow")
     ).materialize()
 
-    def seed(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy().astype(np.int64)
-        return pa.table({"node": ids, "label": ids})
+    # round 0 fused into the seed, edge nodes only: with identity
+    # labels, the label a node receives from a neighbor IS the
+    # neighbor's id — one groupby-min over (self ∪ neighbor-id)
+    # candidate rows seeds the subgraph and does the first propagation.
+    def self_and_nbr(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy()
+        b = t["nbr"].to_numpy()
+        return pa.table(
+            {
+                "node": np.concatenate([n, n]),
+                "label": np.concatenate([n, b]).astype(np.int64),
+            }
+        )
 
-    # round 0 fused into the seed: with identity labels, the label a
-    # node receives from a neighbor IS the neighbor's id — so the first
-    # propagation needs no label join, just one groupby-min over
-    # (self ∪ neighbor-id) candidate rows. Saves a full shuffle round.
-    def nbr_candidates(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["node"], "label": t["nbr"]})
-
-    labels = coalesce_for_shuffle(
-        nodes.map_batches(seed, batch_format="pyarrow")
-        .union(edges.map_batches(nbr_candidates, batch_format="pyarrow"))
+    labels = (
+        edges.map_batches(self_and_nbr, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
-    ).materialize()
+        .materialize()
+    )
 
     def pad_labels(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -617,6 +628,10 @@ def connected_components(
             .rename(columns={"nbr": "node"})
         )
         out = pd.concat([lab, fwd], ignore_index=True)
+        # combiner: per-shard partial min per destination node — the
+        # second shuffle then moves O(distinct dst × shards) rows, not
+        # O(edges)
+        out = out.groupby("node", as_index=False)["label"].min()
         return out.astype({"node": "int64", "label": "int64"})
 
     prev_sum = labels.sum("label")
@@ -625,20 +640,54 @@ def connected_components(
             edges.map_batches(pad_edges, batch_format="pyarrow")
         )
         pushed = sharded_group_map(tagged, ["node"], push_shard)
-        labels = coalesce_for_shuffle(
-            pushed.groupby("node").aggregate(Min("label", alias_name="label"))
-        ).materialize()
+        # no per-round coalesce: the groupby output is already few
+        # well-sized blocks, and an extra repartition is a third
+        # shuffle per round for nothing
+        labels = (
+            pushed.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+
+    # one corpus-wide pass: every doc gets its propagated label, or its
+    # own id when it appears in no pair (isolated singleton cluster)
+    def pad_nodes(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        return pa.table(
+            {"node": ids, "label": pa.nulls(len(t), type=pa.int64())}
+        )
+
+    tagged_all = coalesce_for_shuffle(
+        nodes.map_batches(pad_nodes, batch_format="pyarrow")
+    ).union(
+        labels.map_batches(
+            lambda t: t.select(["node", "label"]), batch_format="pyarrow"
+        )
+    )
+
+    def assign_shard(g: pd.DataFrame) -> pd.DataFrame:
+        own = g.drop_duplicates("node")[["node"]]
+        lab = (
+            g.dropna(subset=["label"])
+            .groupby("node", as_index=False)["label"]
+            .min()
+        )
+        m = own.merge(lab, on="node", how="left")
+        m["label"] = m["label"].fillna(m["node"])
+        return m.astype({"node": "int64", "label": "int64"})
+
+    assigned = sharded_group_map(tagged_all, ["node"], assign_shard)
 
     def to_out(t: pa.Table) -> pa.Table:
         return pa.table(
             {id_col: t["node"], "cluster_rep": t["label"]}
         )
 
-    return labels.map_batches(to_out, batch_format="pyarrow")
+    return assigned.map_batches(to_out, batch_format="pyarrow")
 
 
 # ----------------------------------- exact blocked n-gram Jaccard

@@ -406,11 +406,46 @@ def build_unigram_lm(docs, *, top: int = 10_000):
     plus an out-of-vocabulary floor of log(1/total). Returns the plain
     (tokens, logprobs, oov) tuple — `ray.put` it once and hand the ref
     to ``LMScoreStage`` (model broadcast once, never per batch)."""
-    counts = vocab_topk(docs, k=top).to_pandas()
-    total = float(counts["n"].sum())
-    logp = np.log(counts["n"].to_numpy(dtype=np.float64) / total)
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.list_flatten(pc.utf8_split_whitespace(text))
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "_pc": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts_ds = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        "token"
+    ).aggregate(Sum("_pc", alias_name="n"))
+
+    # the model must fit the driver anyway (it is broadcast), so skip
+    # the global sort shuffle: deterministic blockwise partial top-k,
+    # tiny driver merge — O(top × blocks) driver rows
+    def block_top(t: pa.Table) -> pa.Table:
+        if len(t) <= top:
+            return t
+        df = t.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(df.head(top), preserve_index=False)
+
+    pdf = (
+        counts_ds.map_batches(block_top, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(top)
+    )
+    total = float(pdf["n"].sum())
+    logp = np.log(pdf["n"].to_numpy(dtype=np.float64) / total)
     return (
-        counts["token"].to_numpy(dtype=object),
+        pdf["token"].to_numpy(dtype=object),
         logp,
         float(np.log(1.0 / total)),
     )
