@@ -995,6 +995,50 @@ def q_lm_score(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def q_head_sample(sf_dir: str):
+    """Head-based probabilistic sampling: stateless deterministic
+    trace-id hash keep rule (1/10), no trace assembly needed."""
+    from opentelemetry_collector_ray.stages.signals import head_sample
+
+    return head_sample(_transcripts(sf_dir), keep_mod=10)
+
+
+def q_attributes_where(sf_dir: str):
+    """OTTL-style conditional mutation: every action carries a row
+    `where` predicate (docs/processing.md `set(...) where ...`)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.attributes import AttributesStage
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "user_id", "value", "props"],
+    )
+    st = AttributesStage(
+        [
+            {
+                "action": "upsert",
+                "key": "env",
+                "value": "eu",
+                "where": ("event_type", "==", "purchase"),
+            },
+            {
+                "action": "hash",
+                "key": "user_id",
+                "where": ("value", ">=", 100),
+            },
+            {
+                "action": "delete",
+                "key": "props",
+                "where": ("event_type", "==", "click"),
+            },
+            {"action": "keep_keys", "keys": ["event_id", "event_type",
+                                             "user_id", "env", "props"]},
+        ]
+    )
+    return ds.map_batches(st, batch_format="pyarrow")
+
+
 def q_spanmetrics(sf_dir: str):
     """spanmetrics connector idiom: R.E.D. metrics (requests, errors,
     duration) per span name via the combiner shape."""
@@ -1235,6 +1279,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "processor_counters": q_processor_counters,
     "spanmetrics": q_spanmetrics,
     "lm_score": q_lm_score,
+    "head_sample": q_head_sample,
+    "attributes_where": q_attributes_where,
     "repetition": q_repetition,
     "salted_counts": q_salted_counts,
     "asof_join": q_asof_join,
@@ -1531,6 +1577,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT text, date_trunc('hour', ts) AS window_start, "
             "count(*) AS n, min(conv_id) AS first_seen "
             "FROM transcripts GROUP BY 1, 2"
+        ),
+        "head_sample": o.TRANSCRIPTS_CTE
+        + (
+            "SELECT * FROM transcripts "
+            "WHERE cast(substr(conv_id, 6) AS bigint) % 10 = 0"
+        ),
+        "attributes_where": (
+            "SELECT event_id, event_type, "
+            "CASE WHEN value >= 100 THEN md5(cast(user_id AS varchar)) "
+            "ELSE cast(user_id AS varchar) END AS user_id, "
+            "CASE WHEN event_type = 'purchase' THEN 'eu' END AS env, "
+            "CASE WHEN event_type = 'click' THEN NULL ELSE props END "
+            "AS props FROM events"
         ),
         "spanmetrics": o.PARSED_CTE
         + (

@@ -22,6 +22,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .filters import _mask
+
 _VALID = {
     "insert",
     "update",
@@ -44,10 +46,25 @@ class Action:
     pattern: str | None = None
     replacement: str | None = None
     keys: list[str] = field(default_factory=list)
+    # OTTL-style row condition (docs/processing.md:100-148 `where ...`):
+    # a (column, op, value) triple; the action mutates ONLY matching
+    # rows (null comparisons = no-match, same as the filter stage)
+    where: tuple | None = None
+
+    def __post_init__(self):
+        if self.where is not None:
+            self.where = tuple(self.where)  # YAML/config lists coerce
 
     def validate(self) -> None:
         if self.action not in _VALID:
             raise ValueError(f"unknown attributes action: {self.action!r}")
+        if self.where is not None:
+            if self.action in {"rename", "keep_keys"}:
+                raise ValueError(
+                    f"{self.action} is structural — 'where' not supported"
+                )
+            if len(tuple(self.where)) != 3:
+                raise ValueError("'where' must be a (column, op, value) triple")
         if self.action in {"insert", "update", "upsert"} and (
             self.key is None or self.value is None
         ):
@@ -92,32 +109,57 @@ def _md5_hex(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 def apply_actions(batch: pa.Table, actions: list[Action]) -> pa.Table:
     for a in actions:
         names = batch.column_names
+        # OTTL `where`: mask of rows the action applies to (None = all).
+        # Unconditional structural actions (rename/keep_keys/column
+        # drop/append) keep their fast paths below; masked variants
+        # blend new values into the existing column with if_else.
+        m = (
+            None
+            if a.where is None
+            else pc.fill_null(_mask(batch, *a.where), False)
+        )
+
+        def blend(new_col, old_col):
+            if isinstance(old_col, pa.ChunkedArray):
+                old_col = old_col.combine_chunks()
+            return pc.if_else(m, new_col, old_col)
+
         if a.action == "insert":
             if a.key not in names:
-                batch = batch.append_column(
-                    a.key, _const_column(a.value, len(batch))
-                )
+                new = _const_column(a.value, len(batch))
+                if m is not None:
+                    new = pc.if_else(m, new, pa.scalar(None, type=new.type))
+                batch = batch.append_column(a.key, new)
         elif a.action == "update":
             if a.key in names:
-                batch = batch.set_column(
-                    names.index(a.key),
-                    a.key,
-                    _const_column(a.value, len(batch)),
-                )
+                new = _const_column(a.value, len(batch))
+                if m is not None:
+                    new = blend(new, batch[a.key])
+                batch = batch.set_column(names.index(a.key), a.key, new)
         elif a.action == "upsert":
+            new = _const_column(a.value, len(batch))
             if a.key in names:
-                batch = batch.set_column(
-                    names.index(a.key),
-                    a.key,
-                    _const_column(a.value, len(batch)),
-                )
+                if m is not None:
+                    new = blend(new, batch[a.key])
+                batch = batch.set_column(names.index(a.key), a.key, new)
             else:
-                batch = batch.append_column(
-                    a.key, _const_column(a.value, len(batch))
-                )
+                if m is not None:
+                    new = pc.if_else(m, new, pa.scalar(None, type=new.type))
+                batch = batch.append_column(a.key, new)
         elif a.action == "delete":
             if a.key in names:
-                batch = batch.drop_columns([a.key])
+                if m is None:
+                    batch = batch.drop_columns([a.key])
+                else:
+                    # per-record delete (RemoveIf, pcommon/map.go:89-105):
+                    # null out matching rows, the column stays
+                    col = batch[a.key]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    nulled = pc.if_else(
+                        m, pa.scalar(None, type=col.type), col
+                    )
+                    batch = batch.set_column(names.index(a.key), a.key, nulled)
         elif a.action == "rename":
             if a.key in names:
                 batch = batch.rename_columns(
@@ -125,15 +167,18 @@ def apply_actions(batch: pa.Table, actions: list[Action]) -> pa.Table:
                 )
         elif a.action == "hash":
             if a.key in names:
-                batch = batch.set_column(
-                    names.index(a.key), a.key, _md5_hex(batch[a.key])
-                )
+                new = _md5_hex(batch[a.key])
+                if m is not None:
+                    new = blend(new, pc.cast(batch[a.key], pa.string()))
+                batch = batch.set_column(names.index(a.key), a.key, new)
         elif a.action == "extract":
             col = batch[a.key]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             extracted = pc.extract_regex(col, a.pattern)
             ok = extracted.is_valid()
+            if m is not None:
+                ok = pc.and_(ok, m)
             null_str = pa.scalar(None, type=pa.string())
             for i in range(extracted.type.num_fields):
                 fname = extracted.type.field(i).name
@@ -152,13 +197,12 @@ def apply_actions(batch: pa.Table, actions: list[Action]) -> pa.Table:
                 col = batch[a.key]
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
-                batch = batch.set_column(
-                    names.index(a.key),
-                    a.key,
-                    pc.replace_substring_regex(
-                        col, pattern=a.pattern, replacement=a.replacement
-                    ),
+                new = pc.replace_substring_regex(
+                    col, pattern=a.pattern, replacement=a.replacement
                 )
+                if m is not None:
+                    new = pc.if_else(m, new, col)
+                batch = batch.set_column(names.index(a.key), a.key, new)
     return batch
 
 

@@ -335,3 +335,29 @@ def span_red_metrics(parsed: ray.data.Dataset) -> ray.data.Dataset:
         Sum("_pe", alias_name="n_errors"),
         Sum("_pd", alias_name="sum_ms"),
     )
+
+
+def head_sample(
+    ds: ray.data.Dataset, *, keep_mod: int = 10, key: str = "conv_id"
+) -> ray.data.Dataset:
+    """Head-based probabilistic sampling (contrib
+    probabilisticsampler): the keep decision is a deterministic hash of
+    the trace id evaluated per record at ingestion — no trace
+    completeness needed (that is the tail sampler's job), so the stage
+    is a pure stateless vectorized filter: zero shuffle, zero state,
+    and every span of a trace agrees by construction. Keeps 1/keep_mod
+    of traces, keyed on the trace's numeric suffix (engine-exact
+    integer rule, mirrors the tail sampler's probabilistic policy)."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[key]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        num = pc.cast(pc.utf8_slice_codeunits(ids, 5, 99), pa.int64())
+        sel = pc.equal(
+            pc.subtract(num, pc.multiply(pc.divide(num, keep_mod), keep_mod)),
+            0,
+        )
+        return t.filter(sel)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -516,3 +516,34 @@ def test_lm_score_ranks_natural_above_gibberish():
     # gibberish doc: every token in-vocab only because the LM was fit
     # on it too — but frequency 1 tokens score at the bottom
     assert out["lm_score"].idxmin() == 3
+
+
+def test_attributes_where_conditions():
+    from opentelemetry_collector_ray.stages.attributes import AttributesStage
+
+    t = pa.table(
+        {
+            "k": ["a", "b", "a"],
+            "v": [1, 2, 3],
+            "p": ["x", "y", "z"],
+        }
+    )
+    st = AttributesStage(
+        [
+            {"action": "upsert", "key": "tag", "value": "hit",
+             "where": ("k", "==", "a")},
+            {"action": "update", "key": "v", "value": 0,
+             "where": ("v", ">=", 2)},
+            {"action": "delete", "key": "p", "where": ("k", "==", "b")},
+        ]
+    )
+    out = st(t)
+    assert out["tag"].to_pylist() == ["hit", None, "hit"]
+    assert out["v"].to_pylist() == [1, 0, 0]
+    # conditional delete nulls matching rows, keeps the column
+    assert out["p"].to_pylist() == ["x", None, "z"]
+    with pytest.raises(ValueError):
+        AttributesStage(
+            [{"action": "rename", "key": "k", "to": "k2",
+              "where": ("k", "==", "a")}]
+        )
