@@ -995,6 +995,35 @@ def q_lm_score(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def q_chunks(sf_dir: str):
+    """Document chunking: 50-token windows every 40 tokens (overlap 10)
+    — the context-window/embedding preprocessing explosion."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import chunk_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        lambda t: chunk_batch(t, size=50, stride=40),
+        batch_format="pyarrow",
+    )
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing: greedy token-budget packing per hash shard —
+    deterministic across parallelism, no global order needed."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pack_sequences(docs, budget=2048)
+
+
 def q_head_sample(sf_dir: str):
     """Head-based probabilistic sampling: stateless deterministic
     trace-id hash keep rule (1/10), no trace assembly needed."""
@@ -1280,6 +1309,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "spanmetrics": q_spanmetrics,
     "lm_score": q_lm_score,
     "head_sample": q_head_sample,
+    "chunks": q_chunks,
+    "pack_sequences": q_pack_sequences,
     "attributes_where": q_attributes_where,
     "repetition": q_repetition,
     "salted_counts": q_salted_counts,
@@ -1577,6 +1608,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT text, date_trunc('hour', ts) AS window_start, "
             "count(*) AS n, min(conv_id) AS first_seen "
             "FROM transcripts GROUP BY 1, 2"
+        ),
+        "chunks": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(text, '\\S+') AS w FROM documents "
+            "WHERE text IS NOT NULL "
+            "AND len(regexp_extract_all(text, '\\S+')) > 0), "
+            "s AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 40)) "
+            "AS st FROM t) "
+            "SELECT doc_id, cast((st-1)//40 AS bigint) AS chunk_idx, "
+            "array_to_string(w[st:st+49], ' ') AS chunk_text, "
+            "cast(len(w[st:st+49]) AS bigint) AS n_chunk_tokens FROM s"
         ),
         "head_sample": o.TRANSCRIPTS_CTE
         + (

@@ -506,3 +506,120 @@ class LMScoreStage:
         return batch.append_column(
             "lm_score", pa.array(score, type=pa.float64())
         ).append_column("n_oov", pa.array(oovs, type=pa.int64()))
+
+
+# ---------------------------------------------------------- chunking
+
+
+def chunk_batch(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    col: str = "text",
+    size: int = 50,
+    stride: int = 40,
+) -> pa.Table:
+    """Document chunking for context-window / embedding pipelines: each
+    doc explodes into token windows of ``size`` tokens starting every
+    ``stride`` tokens (overlap = size - stride). Stateless flat-map row
+    explosion — chunks of one doc never cross batch boundaries, so the
+    stage shuffles nothing and parallelism is free. Empty docs emit no
+    chunks. Output: (doc_id, chunk_idx, chunk_text, n_chunk_tokens)."""
+    texts = batch[col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    out_id: list[int] = []
+    out_idx: list[int] = []
+    out_text: list[str] = []
+    out_n: list[int] = []
+    for did, t in zip(ids, texts):
+        words = t.split() if t is not None else []
+        for ci, start in enumerate(range(0, len(words), stride)):
+            w = words[start : start + size]
+            out_id.append(int(did))
+            out_idx.append(ci)
+            out_text.append(" ".join(w))
+            out_n.append(len(w))
+    return pa.table(
+        {
+            id_col: pa.array(out_id, type=pa.int64()),
+            "chunk_idx": pa.array(out_idx, type=pa.int64()),
+            "chunk_text": pa.array(out_text, type=pa.string()),
+            "n_chunk_tokens": pa.array(out_n, type=pa.int64()),
+        }
+    )
+
+
+# ----------------------------------------------------------- packing
+
+
+def pack_sequences(
+    docs,
+    *,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    col: str = "text",
+    shards: int = 64,
+):
+    """Training-sample sequence packing: greedily concatenate documents
+    into packs of at most ``budget`` tokens (an oversized single doc
+    gets its own pack) — the sample-efficiency step before batching a
+    next-token training run.
+
+    Determinism without a global order: docs are hash-sharded (the
+    usual sharded groupby), packing runs greedily over each shard in
+    doc_id order, and pack ids are ``shard * 2^32 + seq`` — so the
+    result is a pure function of the corpus, independent of block
+    layout or parallelism, and re-runs/resumes produce identical packs.
+    Packing quality is within (shards/corpus)·budget of the sequential
+    greedy baseline; at scale that is the right trade for a
+    shuffle-free deterministic operator. Output: one row per pack —
+    (pack_id, n_docs, n_tokens, doc_ids list)."""
+    def per_shard(g: _pd.DataFrame) -> _pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        shard = int(g["_shard_id"].iloc[0])
+        ids = g[id_col].to_numpy()
+        ntok = g["_ntok"].to_numpy()
+        packs: list[tuple[list[int], int]] = []
+        cur: list[int] = []
+        cur_n = 0
+        for d, n in zip(ids, ntok):
+            if cur and cur_n + n > budget:
+                packs.append((cur, cur_n))
+                cur, cur_n = [], 0
+            cur.append(int(d))
+            cur_n += int(n)
+        if cur:
+            packs.append((cur, cur_n))
+        return _pd.DataFrame(
+            {
+                "pack_id": [
+                    (shard << 32) + i for i in range(len(packs))
+                ],
+                "n_docs": [len(p) for p, _ in packs],
+                "n_tokens": [n for _, n in packs],
+                "doc_ids": [p for p, _ in packs],
+            }
+        )
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        return pa.table({id_col: t[id_col], "_ntok": n})
+
+    sized = docs.map_batches(tokenize, batch_format="pyarrow")
+
+    # the shard id must be visible inside per_shard for pack-id
+    # derivation — re-tag it as a data column
+    from ..functions.shard import shard_column
+
+    tagged = sized.map_batches(
+        lambda t: shard_column(t, [id_col], shards, out="_shard_id"),
+        batch_format="pyarrow",
+    )
+    # group count is exactly `shards` (bounded) — a plain map_groups is
+    # the right shape here, one vectorized pack pass per shard
+    return tagged.groupby("_shard_id").map_groups(
+        per_shard, batch_format="pandas"
+    )

@@ -547,3 +547,54 @@ def test_attributes_where_conditions():
             [{"action": "rename", "key": "k", "to": "k2",
               "where": ("k", "==", "a")}]
         )
+
+
+def test_chunk_batch_windows():
+    from opentelemetry_collector_ray.stages.text import chunk_batch
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [" ".join(f"w{i}" for i in range(12)), "a b", None],
+        }
+    )
+    out = chunk_batch(t, size=5, stride=4).to_pandas()
+    d1 = out[out["doc_id"] == 1]
+    assert d1["chunk_idx"].tolist() == [0, 1, 2]
+    assert d1["chunk_text"].tolist()[0] == "w0 w1 w2 w3 w4"
+    assert d1["chunk_text"].tolist()[2] == "w8 w9 w10 w11"
+    assert d1["n_chunk_tokens"].tolist() == [5, 5, 4]
+    assert out[out["doc_id"] == 2]["chunk_text"].tolist() == ["a b"]
+    assert 3 not in set(out["doc_id"])  # null text -> no chunks
+
+
+def test_pack_sequences_invariants():
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import pack_sequences
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": [" ".join(["tok"] * (10 + i % 50)) for i in range(200)],
+        }
+    )
+    a = pack_sequences(ray.data.from_pandas(df), budget=100).to_pandas()
+    b = pack_sequences(
+        ray.data.from_pandas(df).repartition(7), budget=100
+    ).to_pandas()
+    # every doc appears exactly once
+    all_a = sorted(d for ids in a["doc_ids"] for d in ids)
+    assert all_a == list(range(200))
+    # budget respected (no doc here exceeds it alone)
+    assert (a["n_tokens"] <= 100).all()
+    # deterministic under different block layouts
+    sa = a.sort_values("pack_id").reset_index(drop=True)
+    sb = b.sort_values("pack_id").reset_index(drop=True)
+    assert sa["n_tokens"].tolist() == sb["n_tokens"].tolist()
+    assert [list(x) for x in sa["doc_ids"]] == [list(x) for x in sb["doc_ids"]]
+    # an oversized single doc gets its own pack
+    big = pd.DataFrame({"doc_id": [1], "text": [" ".join(["t"] * 500)]})
+    ob = pack_sequences(ray.data.from_pandas(big), budget=100).to_pandas()
+    assert len(ob) == 1 and ob["n_tokens"].iloc[0] == 500
