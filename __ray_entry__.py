@@ -995,6 +995,19 @@ def q_lm_score(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact-substring duplication scoring: per doc, fraction of its
+    distinct 5-grams occurring in at least one other document."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import dup_span_fraction
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dup_span_fraction(docs, n=5)
+
+
 def q_chunks(sf_dir: str):
     """Document chunking: 50-token windows every 40 tokens (overlap 10)
     — the context-window/embedding preprocessing explosion."""
@@ -1310,6 +1323,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lm_score": q_lm_score,
     "head_sample": q_head_sample,
     "chunks": q_chunks,
+    "dup_spans": q_dup_spans,
     "pack_sequences": q_pack_sequences,
     "attributes_where": q_attributes_where,
     "repetition": q_repetition,
@@ -1608,6 +1622,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT text, date_trunc('hour', ts) AS window_start, "
             "count(*) AS n, min(conv_id) AS first_seen "
             "FROM transcripts GROUP BY 1, 2"
+        ),
+        "dup_spans": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(text, '\\S+') AS w FROM documents "
+            "WHERE text IS NOT NULL "
+            "AND len(regexp_extract_all(text, '\\S+')) >= 5), "
+            "s AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) "
+            "AS st FROM t), "
+            "g AS (SELECT DISTINCT doc_id, "
+            "array_to_string(w[st:st+4], ' ') AS gram FROM s), "
+            "gc AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g "
+            "GROUP BY gram), "
+            "per AS (SELECT g.doc_id, count(*) AS n_grams, "
+            "sum(CASE WHEN gc.nd > 1 THEN 1 ELSE 0 END) AS n_dup "
+            "FROM g JOIN gc USING (gram) GROUP BY g.doc_id) "
+            "SELECT doc_id, cast(n_grams AS bigint) AS n_grams, "
+            "cast(n_dup AS bigint) AS n_dup_grams, "
+            "cast(n_dup AS double) / cast(n_grams AS double) AS dup_frac "
+            "FROM per"
         ),
         "chunks": (
             "WITH t AS (SELECT doc_id, "

@@ -852,3 +852,141 @@ def contamination_check(
 
     partials = sharded_group_map(postings, ["gram"], per_shard, shards=shards)
     return partials.groupby(id_col).aggregate(Sum("_pc", alias_name="n_shared"))
+
+
+# ------------------------------------- duplicated-passage scoring
+
+
+def dup_span_fraction(
+    docs: ray.data.Dataset,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 64,
+) -> ray.data.Dataset:
+    """Exact-substring duplication scoring (the passage-level signal of
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, the fraction of its distinct word-``n``-grams that occur
+    in at least one OTHER document — high fraction ⇒ boilerplate /
+    cross-doc duplicated passages, a standard pre-training drop rule.
+
+    Shape: one explode pass emits per-doc distinct gram-hash postings
+    AND per-doc totals; gram postings co-locate via a sharded groupby
+    where a vectorized pass counts distinct docs per gram and credits
+    each doc of a ≥2-doc gram with one duplicated gram; the two partial
+    streams (totals, dup counts) merge in a single uniform groupby on
+    doc_id. Strict n-gram windows (docs shorter than ``n`` words emit
+    nothing — mirrors the SQL oracle)."""
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table):
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "gram": pa.array([], type=pa.uint64()),
+                id_col: pa.array([], type=pa.int64()),
+            }
+        )
+        if not texts:
+            return empty, np.empty(0, np.int64), np.empty(0, np.int64)
+        flat, offsets = batch_shingle_hashes(texts, n)
+        words = np.fromiter(
+            (len(v.split()) if v is not None else 0 for v in texts),
+            np.int64,
+            count=len(texts),
+        )
+        lens = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        mask = words[doc_idx] >= n
+        d = ids[doc_idx[mask]]
+        postings = pa.table(
+            {
+                "gram": pa.array(flat[mask], type=pa.uint64()),
+                id_col: pa.array(d, type=pa.int64()),
+            }
+        )
+        keep_doc = words >= n
+        return postings, ids[keep_doc], lens[keep_doc]
+
+    def postings_batch(t: pa.Table) -> pa.Table:
+        p, _, _ = explode(t)
+        return p
+
+    def totals_batch(t: pa.Table) -> pa.Table:
+        _, doc_ids, counts = explode(t)
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids, type=pa.int64()),
+                "_tot": pa.array(counts, type=pa.int64()),
+                "_dup": pa.nulls(len(doc_ids), pa.int64()),
+            }
+        )
+
+    postings = docs.map_batches(postings_batch, batch_format="pyarrow")
+    totals = docs.map_batches(totals_batch, batch_format="pyarrow")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct docs per gram; docs of multi-doc grams earn 1 each
+        gg = g.drop_duplicates()
+        nd = gg.groupby("gram")[id_col].transform("nunique")
+        hits = gg.loc[nd.to_numpy() > 1, [id_col]]
+        out = hits.groupby(id_col, as_index=False).size()
+        out = out.rename(columns={"size": "_dup"})
+        out["_tot"] = pd.array([pd.NA] * len(out), dtype="Int64")
+        return out.astype({id_col: "int64", "_dup": "int64"})
+
+    from ..functions.shard import sharded_group_map
+
+    dups = sharded_group_map(postings, ["gram"], per_shard, shards=shards)
+
+    def stable_schema(t: pa.Table) -> pa.Table:
+        # empty per-shard partials surface a null-typed _tot column —
+        # pin the union schema explicitly
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "_tot": pc.cast(t["_tot"], pa.int64()),
+                "_dup": pc.cast(t["_dup"], pa.int64()),
+            }
+        )
+
+    merged = totals.union(
+        dups.map_batches(stable_schema, batch_format="pyarrow")
+    ).groupby(id_col).aggregate(
+        Sum("_tot", alias_name="n_grams"), Sum("_dup", alias_name="n_dup")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "n_grams" not in t.column_names:
+            # the aggregate can emit empty schema-less blocks
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_grams": pa.array([], type=pa.int64()),
+                    "n_dup_grams": pa.array([], type=pa.int64()),
+                    "dup_frac": pa.array([], type=pa.float64()),
+                }
+            )
+        tot = t["n_grams"]
+        dup_col = t["n_dup"]
+        # a block whose every group summed only nulls comes back
+        # null-TYPED, not just null-valued — cast before fill
+        if pa.types.is_null(dup_col.type):
+            dup = pa.array([0] * len(t), type=pa.int64())
+        else:
+            dup = pc.fill_null(pc.cast(dup_col, pa.int64()), 0)
+        frac = pc.divide(
+            pc.cast(dup, pa.float64()), pc.cast(tot, pa.float64())
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_grams": tot,
+                "n_dup_grams": dup,
+                "dup_frac": frac,
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

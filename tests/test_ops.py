@@ -598,3 +598,33 @@ def test_pack_sequences_invariants():
     big = pd.DataFrame({"doc_id": [1], "text": [" ".join(["t"] * 500)]})
     ob = pack_sequences(ray.data.from_pandas(big), budget=100).to_pandas()
     assert len(ob) == 1 and ob["n_tokens"].iloc[0] == 500
+
+
+def test_dup_span_fraction_values():
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import dup_span_fraction
+
+    shared = "alpha beta gamma delta epsilon"
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                shared + " one two three",      # shares the 5-gram w/ doc 2
+                shared + " four five six",      # shares w/ doc 1
+                "q w e r t y u i o p",          # all grams unique
+                "tiny doc",                     # < 5 words -> excluded
+            ],
+        }
+    )
+    out = (
+        dup_span_fraction(ray.data.from_pandas(df), n=5)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1, "n_dup_grams"] == 1 and out.loc[2, "n_dup_grams"] == 1
+    assert out.loc[3, "n_dup_grams"] == 0 and out.loc[3, "dup_frac"] == 0.0
+    assert out.loc[1, "n_grams"] == 4  # 8 words -> 4 strict 5-grams
