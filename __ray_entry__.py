@@ -284,6 +284,37 @@ def q_curate(sf_dir: str):
     )
 
 
+def q_curate_full(sf_dir: str):
+    """The complete training-data assembly line in one lazy chain:
+    quality gate → exact dedup → stratified mix → chunk explosion.
+    Four operators, one streaming pipeline, every step oracle-exact."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import exact_dedup
+    from opentelemetry_collector_ray.stages.text import (
+        chunk_batch,
+        mix_sample,
+        quality_batch,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    scored = docs.map_batches(quality_batch, batch_format="pyarrow")
+    kept = scored.map_batches(
+        lambda t: t.filter(pc.equal(t["quality_score"], 2)),
+        batch_format="pyarrow",
+    )
+    deduped = exact_dedup(kept, col="text", id_col="doc_id")
+    mixed = mix_sample(deduped, {"en": 60}, default_rate=30)
+    chunks = mixed.map_batches(
+        lambda t: chunk_batch(t, size=50, stride=40),
+        batch_format="pyarrow",
+    )
+    return chunks.select_columns(["doc_id", "chunk_idx", "chunk_text"])
+
+
 def q_sessionize(sf_dir: str):
     import ray.data
 
@@ -1310,6 +1341,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "vocab_topk": q_vocab_topk,
     "redact": q_redact,
     "curate": q_curate,
+    "curate_full": q_curate_full,
     "ipc_roundtrip": q_ipc_roundtrip,
     "cumulative_delta": q_cumulative_delta,
     "delta_cumulative": q_delta_cumulative,
@@ -1596,6 +1628,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT doc_id, lang FROM f WHERE score = 2 "
             "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"
+        ),
+        "curate_full": (
+            "WITH f AS (SELECT doc_id, text, lang, "
+            "cast(len(regexp_extract_all(text, '\\S+')) >= 20 AS bigint) + "
+            "cast(len(regexp_extract_all(text, "
+            "'\\b(?:the|a|of|to|and|in|is|it)\\b')) > 0 AS bigint) AS score "
+            "FROM documents), "
+            "q AS (SELECT doc_id, text, lang FROM f WHERE score = 2), "
+            "d AS (SELECT * FROM q QUALIFY row_number() OVER "
+            "(PARTITION BY text ORDER BY doc_id) = 1), "
+            "m AS (SELECT * FROM d WHERE (doc_id * 48271) % 100 < "
+            "CASE lang WHEN 'en' THEN 60 ELSE 30 END), "
+            "t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w "
+            "FROM m WHERE len(regexp_extract_all(text, '\\S+')) > 0), "
+            "s AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 40)) "
+            "AS st FROM t) "
+            "SELECT doc_id, cast((st-1)//40 AS bigint) AS chunk_idx, "
+            "array_to_string(w[st:st+49], ' ') AS chunk_text FROM s"
         ),
         "cumulative_delta": (
             "SELECT event_id, user_id, ts, value, "
