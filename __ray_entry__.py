@@ -284,6 +284,26 @@ def q_curate(sf_dir: str):
     )
 
 
+def q_count_connector(sf_dir: str):
+    """The contrib countconnector idiom: count log records matching a
+    condition (level=ERROR), emitted as a metric per tumbling hour —
+    logs in, metric datapoints out."""
+    import pyarrow.compute as pc
+
+    from opentelemetry_collector_ray.functions.agg import grouped_count
+
+    def bucket_errors(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.equal(pc.fill_null(t["level"], ""), "ERROR")
+        )
+        return pa.table(
+            {"window_start": pc.floor_temporal(t["ts"], unit="hour")}
+        )
+
+    rows = _parsed(sf_dir).map_batches(bucket_errors, batch_format="pyarrow")
+    return grouped_count(rows, ["window_start"], alias="n")
+
+
 def q_curate_full(sf_dir: str):
     """The complete training-data assembly line in one lazy chain:
     quality gate → exact dedup → stratified mix → chunk explosion.
@@ -1342,6 +1362,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "redact": q_redact,
     "curate": q_curate,
     "curate_full": q_curate_full,
+    "count_connector": q_count_connector,
     "ipc_roundtrip": q_ipc_roundtrip,
     "cumulative_delta": q_cumulative_delta,
     "delta_cumulative": q_delta_cumulative,
@@ -1628,6 +1649,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT doc_id, lang FROM f WHERE score = 2 "
             "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"
+        ),
+        "count_connector": o.PARSED_CTE
+        + (
+            "SELECT date_trunc('hour', ts) AS window_start, count(*) AS n "
+            "FROM parsed2 WHERE coalesce(level, '') = 'ERROR' GROUP BY 1"
         ),
         "curate_full": (
             "WITH f AS (SELECT doc_id, text, lang, "

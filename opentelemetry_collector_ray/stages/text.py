@@ -572,7 +572,10 @@ def pack_sequences(
     layout or parallelism, and re-runs/resumes produce identical packs.
     Packing quality is within (shards/corpus)·budget of the sequential
     greedy baseline; at scale that is the right trade for a
-    shuffle-free deterministic operator. Output: one row per pack —
+    shuffle-free deterministic operator. ``shards`` is the partition
+    knob: one shard's (doc_id, n_tokens) pairs must fit a worker
+    (~16 B/doc ⇒ ~10M docs ≈ 160 MB per shard) — raise it with corpus
+    size. Output: one row per pack —
     (pack_id, n_docs, n_tokens, doc_ids list)."""
     def per_shard(g: _pd.DataFrame) -> _pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")
