@@ -537,6 +537,45 @@ def q_media_decode(sf_dir: str):
     return out.select_columns(["media_id", "media_type", "decoded_ok", "feat_dim"])
 
 
+def q_media_ann(sf_dir: str):
+    """Multimodal → similarity composition: decode (stubbed codec, real
+    plumbing) → feature vectors → exact cosine top-5 per query — the
+    image-dedup / nearest-media retrieval shape, end to end."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.multimodal import (
+        DecodeStage,
+        synth_media_table,
+    )
+    from opentelemetry_collector_ray.stages.similarity import brute_force_topk
+
+    st = DecodeStage(fake_decode=True)
+    q_tbl = st(synth_media_table(3))
+    import numpy as np
+
+    queries = {
+        int(mid): np.asarray(vec, dtype=np.float64)
+        for mid, vec in zip(
+            q_tbl["media_id"].to_pylist(), q_tbl["features"].to_pylist()
+        )
+    }
+
+    media = ray.data.from_arrow(synth_media_table(256))
+    feats = media.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"fake_decode": True},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    ).map_batches(
+        lambda t: pa.table(
+            {"vec_id": t["media_id"], "embedding": t["features"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(feats, queries, k=5)
+
+
 def q_dedup_clusters(sf_dir: str):
     """MinHash near-dup pipeline completed to keep-one-per-cluster:
     verified pairs → DISTRIBUTED connected components (min-label
@@ -1417,6 +1456,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ivf_topk": q_ivf_topk,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
+    "media_ann": q_media_ann,
     "dedup_clusters": q_dedup_clusters,
     "text_codec": q_text_codec,
     "distinct_values": q_distinct_values,

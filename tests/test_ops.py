@@ -628,3 +628,13 @@ def test_dup_span_fraction_values():
     assert out.loc[1, "n_dup_grams"] == 1 and out.loc[2, "n_dup_grams"] == 1
     assert out.loc[3, "n_dup_grams"] == 0 and out.loc[3, "dup_frac"] == 0.0
     assert out.loc[1, "n_grams"] == 4  # 8 words -> 4 strict 5-grams
+
+
+def test_media_ann_self_match():
+    """Each media query vector's top hit is itself (cosine 1.0) —
+    pins the decode→feature→ANN composition end to end."""
+    import __ray_entry__ as em
+
+    out = em.queries()["media_ann"](SF_DIR)
+    top = out[out["rank"] == 1]
+    assert (top["query_id"].to_numpy() == top["vec_id"].to_numpy()).all()
