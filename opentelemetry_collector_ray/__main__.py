@@ -56,6 +56,12 @@ def main(argv: list[str] | None = None) -> int:
     resp.add_argument("--inputs", required=True, help="glob of input parquet files")
     resp.add_argument("-p", "--partitions", type=int, default=8)
 
+    cmpp = sub.add_parser(
+        "compact", help="compact a sink directory's small parquet files"
+    )
+    cmpp.add_argument("path")
+    cmpp.add_argument("--min-rows-per-file", type=int, default=1_000_000)
+
     args = p.parse_args(argv)
 
     from .pipelines.config import ConfigError, load_config
@@ -92,6 +98,15 @@ def main(argv: list[str] | None = None) -> int:
         except ConfigError as e:
             print(f"invalid: {e}", file=sys.stderr)
             return 1
+        print(json.dumps(report))
+        return 0
+
+    if args.cmd == "compact":
+        from .sinks.writers import compact_parquet_dir
+
+        report = compact_parquet_dir(
+            args.path, min_rows_per_file=args.min_rows_per_file
+        )
         print(json.dumps(report))
         return 0
 

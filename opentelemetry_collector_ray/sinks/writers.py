@@ -112,3 +112,21 @@ def logging_sink(ds: ray.data.Dataset, *, sample: int = 5, name: str = "debug") 
         total += batch.num_rows
     logger.info("sink[%s]: %d records; sample=%r", name, total, head[:sample])
     return {"name": name, "records": total, "sample": head[:sample]}
+
+
+def compact_parquet_dir(
+    path: str, *, min_rows_per_file: int = 1_000_000, **read_kwargs
+) -> dict:
+    """Small-file compaction for sink directories: incremental runs and
+    per-partition checkpointed writes accumulate many small parquet
+    files; readers then pay per-file open/footer costs and tiny blocks
+    (SCALE.md: block count must track data size, never file count).
+    Rewrites ``path`` in place — read, re-bucket to
+    ``min_rows_per_file``, atomic stage+swap — so a crash mid-compact
+    leaves the original directory intact and a rerun is a no-op
+    content-wise. Returns {files_before, files_after, rows}."""
+    before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    ds = ray.data.read_parquet(path, **read_kwargs)
+    rows = atomic_write_parquet(ds, path, min_rows_per_file=min_rows_per_file)
+    after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return {"files_before": before, "files_after": after, "rows": int(rows)}

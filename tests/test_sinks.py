@@ -53,3 +53,23 @@ def test_logging_sink_counts_and_samples():
     rep = logging_sink(ds, sample=3, name="dbg")
     assert rep["records"] == 1000
     assert len(rep["sample"]) == 3
+
+
+def test_compact_parquet_dir(tmp_path):
+    import glob as _glob
+
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.sinks.writers import compact_parquet_dir
+
+    d = str(tmp_path / "sink")
+    df = pd.DataFrame({"x": range(1000), "y": ["v"] * 1000})
+    # fragment: 20 files of 50 rows
+    ray.data.from_pandas(df).repartition(20).write_parquet(d)
+    assert len(_glob.glob(f"{d}/*.parquet")) >= 10
+    rep = compact_parquet_dir(d, min_rows_per_file=1000)
+    assert rep["rows"] == 1000
+    assert rep["files_after"] < rep["files_before"]
+    back = ray.data.read_parquet(d).to_pandas().sort_values("x")
+    assert back["x"].tolist() == list(range(1000))
