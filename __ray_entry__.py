@@ -1202,6 +1202,8 @@ def q_processor_counters(sf_dir: str):
 
     from opentelemetry_collector_ray.pipelines.builder import run_pipeline
 
+    import shutil
+
     out_dir = tempfile.mkdtemp(prefix="otel_ray_pc_")
     spec = {
         "pipeline": {
@@ -1217,7 +1219,10 @@ def q_processor_counters(sf_dir: str):
             "feature_gates": ["engine.processorCounters"],
         }
     }
-    c = run_pipeline(spec)["processor_counters"]
+    try:
+        c = run_pipeline(spec)["processor_counters"]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     # row-count counters only: the batch_send_size histogram slots also
     # land in the snapshot but depend on physical block layout (not
     # SQL-derivable — pinned by test_config instead)

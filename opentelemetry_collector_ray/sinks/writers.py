@@ -51,11 +51,22 @@ def atomic_write_parquet(ds: ray.data.Dataset, out_dir: str, **kwargs) -> int:
     which the next attempt renames back before rewriting. ``out_dir``
     is never half-complete.
     """
+    import uuid as _uuid
+
     parent = os.path.dirname(os.path.abspath(out_dir)) or "."
     os.makedirs(parent, exist_ok=True)
     base = os.path.basename(out_dir)
-    tmp = os.path.join(parent, f".tmp-{base}-{os.getpid()}")
-    old = os.path.join(parent, f".old-{base}-{os.getpid()}")
+    # unique per ATTEMPT, not per pid: a timed-out attempt's abandoned
+    # thread (sinks/retry.py timeout sender) may still be writing in
+    # this same process while the retry attempt runs — pid-keyed paths
+    # would mix the two writes into one tmp dir and the swap could
+    # publish a half-written blend. With attempt-unique dirs, each
+    # attempt's swap publishes only its OWN complete write (the
+    # abandoned attempt either fails when its tmp is cleaned, or swaps
+    # a complete dir — never a mix).
+    attempt = f"{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+    tmp = os.path.join(parent, f".tmp-{base}-{attempt}")
+    old = os.path.join(parent, f".old-{base}-{attempt}")
     _recover_and_clean(parent, base, out_dir)
     # write the replacement FIRST; only then swap — a crash mid-write
     # must leave the previous complete sink untouched (the retry
@@ -88,6 +99,14 @@ def write_sinks(
     from ..functions.agg import grouped_count_driver
 
     if sort_within:
+        if kwargs.get("min_rows_per_file"):
+            # file coalescing would concatenate several sorted blocks
+            # into one file (sorted runs, not a sorted file) — size the
+            # BLOCKS to the file target instead and write one file per
+            # block fragment, so per-file ordering survives
+            from ..stages.batch import rebatch
+
+            exploded = rebatch(exploded, int(kwargs.pop("min_rows_per_file")))
         keys = [("sink", "ascending")] + [(c, "ascending") for c in sort_within]
         exploded = exploded.map_batches(
             lambda t: t.sort_by(keys), batch_format="pyarrow"
@@ -126,7 +145,20 @@ def compact_parquet_dir(
     leaves the original directory intact and a rerun is a no-op
     content-wise. Returns {files_before, files_after, rows}."""
     before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    # preserve a hive layout (route-mode sinks are partition_cols=
+    # ["sink"]): top-level key=value dirs are re-written as partitions,
+    # not flattened into loose files
+    part_cols = sorted(
+        {
+            d.split("=", 1)[0]
+            for d in os.listdir(path)
+            if "=" in d and os.path.isdir(os.path.join(path, d))
+        }
+    )
     ds = ray.data.read_parquet(path, **read_kwargs)
-    rows = atomic_write_parquet(ds, path, min_rows_per_file=min_rows_per_file)
+    write_kwargs = {"min_rows_per_file": min_rows_per_file}
+    if part_cols:
+        write_kwargs["partition_cols"] = part_cols
+    rows = atomic_write_parquet(ds, path, **write_kwargs)
     after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     return {"files_before": before, "files_after": after, "rows": int(rows)}

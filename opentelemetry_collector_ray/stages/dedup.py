@@ -100,7 +100,11 @@ def batch_shingle_hashes(
     every doc has ≥1 entry (reduceat-safe downstream).
     """
     ndocs = len(texts)
-    words_per_doc = [t.split() for t in texts]
+    # null text behaves as empty (hash 0 sentinel) — callers that must
+    # EXCLUDE null docs (strict-window ops) mask on their own word
+    # counts; crashing on None would diverge from the SQL oracles,
+    # which tolerate NULL rows
+    words_per_doc = [t.split() if t is not None else [] for t in texts]
     counts = np.fromiter((len(w) for w in words_per_doc), np.int64, count=ndocs)
     flat_words = [w for ws in words_per_doc for w in ws]
     wh = (
@@ -635,6 +639,7 @@ def connected_components(
         return out.astype({"node": "int64", "label": "int64"})
 
     prev_sum = labels.sum("label")
+    converged = False
     for _ in range(max_rounds):
         tagged = labels.map_batches(pad_labels, batch_format="pyarrow").union(
             edges.map_batches(pad_edges, batch_format="pyarrow")
@@ -650,8 +655,16 @@ def connected_components(
         )
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silently returning partial labels would split components
+        # across several cluster_reps — wrong dedup with no signal
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds; raise max_rounds)"
+        )
 
     # one corpus-wide pass: every doc gets its propagated label, or its
     # own id when it appears in no pair (isolated singleton cluster)

@@ -233,7 +233,10 @@ def gauge_last(
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, ts, order_tiebreak], kind="mergesort")
-        out = g.groupby(key, as_index=False).last()[[key, value]]
+        # the literal last ROW per key (pandas .last() skips nulls per
+        # column and would resurrect an older non-null value — diverges
+        # from the oracle's row_number()=1 when the latest value is NULL)
+        out = g.drop_duplicates(subset=[key], keep="last")[[key, value]]
         return out.rename(columns={value: "last_value"})
 
     return sharded_group_map(ds, [key], per_shard)

@@ -283,8 +283,18 @@ def embedding_near_dup_lsh(
 
 
 # per-worker cache of broadcast query state (keyed by ObjectRef hex —
-# globally unique, so stale-corpus reuse is impossible)
+# globally unique, so stale-corpus reuse is impossible). Single-entry:
+# one query job's state is live at a time, and replacing on key change
+# keeps long-lived workers from accumulating one dead copy per run.
 _QUERY_CACHE: dict = {}
+
+
+def _cached_query_state(ref):
+    state = _QUERY_CACHE.get(ref.hex())
+    if state is None:
+        _QUERY_CACHE.clear()
+        state = _QUERY_CACHE[ref.hex()] = ray.get(ref)
+    return state
 
 
 def lsh_topk(
@@ -336,10 +346,7 @@ def lsh_topk(
     )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        state = _QUERY_CACHE.get(qref.hex())
-        if state is None:
-            state = _QUERY_CACHE[qref.hex()] = ray.get(qref)
-        qn, qid_arr, b2q = state
+        qn, qid_arr, b2q = _cached_query_state(qref)
         sel = b2q.get(int(g["bucket"].iloc[0]), [])
         empty = pd.DataFrame(
             {
@@ -476,10 +483,7 @@ def ivf_topk(
     )
 
     def per_list(g: pd.DataFrame) -> pd.DataFrame:
-        state = _QUERY_CACHE.get(qref.hex())
-        if state is None:
-            state = _QUERY_CACHE[qref.hex()] = ray.get(qref)
-        qn, qid_arr, l2q = state
+        qn, qid_arr, l2q = _cached_query_state(qref)
         sel = l2q.get(int(g["list_id"].iloc[0]), [])
         if not sel or not len(g):
             return pd.DataFrame(

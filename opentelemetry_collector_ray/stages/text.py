@@ -608,7 +608,9 @@ def pack_sequences(
         text = t[col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        n = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        n = pc.fill_null(
+            pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()), 0
+        )
         return pa.table({id_col: t[id_col], "_ntok": n})
 
     sized = docs.map_batches(tokenize, batch_format="pyarrow")

@@ -84,12 +84,17 @@ def settle_snapshot(actor, *, attempts: int = 40, sleep_s: float = 0.05):
     before its task finished, so agreement means the queue drained."""
     import time
 
-    time.sleep(sleep_s)  # headroom for the final block's in-flight adds
+    time.sleep(2 * sleep_s)  # headroom for the final block's in-flight adds
     prev = ray.get(actor.snapshot.remote())
+    stable = 0
     for _ in range(attempts):
         time.sleep(sleep_s)
         cur = ray.get(actor.snapshot.remote())
         if cur == prev:
-            return cur
+            stable += 1
+            if stable >= 2:  # two stable intervals, not one lucky poll
+                return cur
+        else:
+            stable = 0
         prev = cur
     return prev

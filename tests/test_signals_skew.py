@@ -127,3 +127,29 @@ def test_log_dedup_collapses_identical_bodies_within_window():
                 & (out["window_start"].dt.hour == 10)].iloc[0]
     assert dup10["n"] == 2 and dup10["first_seen"] == "c1"
     assert len(out) == 3  # (dup,10h) (dup,11h) (other,10h)
+
+
+def test_gauge_last_keeps_null_latest_value():
+    from opentelemetry_collector_ray.stages.signals import gauge_last
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "ts": [1, 2, 1],
+            "i": [1, 2, 3],
+            "v": [5.0, None, 7.0],
+        }
+    )
+    out = (
+        gauge_last(
+            ray.data.from_pandas(df), key="k", ts="ts", value="v",
+            order_tiebreak="i",
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    # latest point of series 1 is NULL — must stay NULL, not fall back
+    # to the older non-null 5.0
+    assert pd.isna(out.loc[1, "last_value"])
+    assert out.loc[2, "last_value"] == 7.0

@@ -73,3 +73,60 @@ def test_compact_parquet_dir(tmp_path):
     assert rep["files_after"] < rep["files_before"]
     back = ray.data.read_parquet(d).to_pandas().sort_values("x")
     assert back["x"].tolist() == list(range(1000))
+
+
+def test_compact_preserves_hive_partitions(tmp_path):
+    import glob as _glob
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.sinks.writers import compact_parquet_dir
+
+    d = str(tmp_path / "routed")
+    df = pd.DataFrame(
+        {"x": range(100), "sink": (["a"] * 50 + ["b"] * 50)}
+    )
+    ray.data.from_pandas(df).repartition(10).write_parquet(
+        d, partition_cols=["sink"]
+    )
+    rep = compact_parquet_dir(d, min_rows_per_file=100)
+    assert rep["rows"] == 100
+    # hive layout survives compaction
+    assert os.path.isdir(os.path.join(d, "sink=a"))
+    assert os.path.isdir(os.path.join(d, "sink=b"))
+    back = ray.data.read_parquet(d).to_pandas()
+    assert sorted(back["x"]) == list(range(100))
+
+
+def test_sorted_writes_with_file_coalescing(tmp_path):
+    """sortedSinkWrites + min_rows_per_file: each output file must be
+    internally ordered even when several blocks coalesce per file."""
+    import glob as _glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_ray.sinks.writers import write_sinks
+
+    rng = list(range(400))
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"c{i % 7}" for i in rng],
+            "turn_idx": [i % 13 for i in rng],
+            "sink": ["only"] * 400,
+        }
+    )
+    d = str(tmp_path / "s")
+    write_sinks(
+        ray.data.from_pandas(df).repartition(8),
+        d,
+        sort_within=("conv_id", "turn_idx"),
+        min_rows_per_file=400,
+    )
+    for f in _glob.glob(f"{d}/sink=only/*.parquet"):
+        t = pq.read_table(f).to_pandas()
+        key = list(zip(t["conv_id"], t["turn_idx"]))
+        assert key == sorted(key), f"file {f} not internally ordered"
