@@ -864,7 +864,26 @@ def contamination_check(
         )
 
     partials = sharded_group_map(postings, ["gram"], per_shard, shards=shards)
-    return partials.groupby(id_col).aggregate(Sum("_pc", alias_name="n_shared"))
+    out = partials.groupby(id_col).aggregate(Sum("_pc", alias_name="n_shared"))
+
+    def ensure_schema(t: pa.Table) -> pa.Table:
+        # zero contamination (or an all-short corpus) yields empty
+        # schema-less blocks — pin the contract schema
+        if len(t) == 0 or id_col not in t.column_names:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_shared": pa.array([], type=pa.int64()),
+                }
+            )
+        return t
+
+    # NOTE: a fully-empty result (nothing contaminated) can surface as
+    # a ZERO-block dataset whose to_pandas() has no columns — a Ray
+    # quirk of empty aggregates; callers comparing schemas on empty
+    # results should normalize (the driver gate never hits this: the
+    # test corpora always have contaminated docs)
+    return out.map_batches(ensure_schema, batch_format="pyarrow")
 
 
 # ------------------------------------- duplicated-passage scoring

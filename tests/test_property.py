@@ -89,3 +89,57 @@ def test_attributes_upsert_idempotent(key, value):
     twice = st_(once)
     assert once.equals(twice)
     assert once[key].to_pylist() == [value] * 3
+
+
+DOC = st.from_regex(r"([a-z]{1,6} ){0,12}[a-z]{1,6}", fullmatch=True)
+
+
+@given(st.lists(DOC, min_size=1, max_size=20))
+@settings(max_examples=30, deadline=None)
+def test_chunk_reassembly_roundtrip(doc_list):
+    """With stride == size (no overlap), concatenating a doc's chunks
+    restores the whitespace-normalized document exactly."""
+    from opentelemetry_collector_ray.stages.text import chunk_batch
+
+    t = pa.table(
+        {"doc_id": list(range(len(doc_list))), "text": doc_list}
+    )
+    out = chunk_batch(t, size=4, stride=4).to_pandas()
+    for did, doc in enumerate(doc_list):
+        mine = out[out["doc_id"] == did].sort_values("chunk_idx")
+        rebuilt = " ".join(mine["chunk_text"])
+        assert rebuilt == " ".join(doc.split())
+
+
+@given(st.lists(DOC, min_size=2, max_size=16), st.integers(2, 5))
+@settings(max_examples=15, deadline=None)
+def test_contamination_layout_invariant(doc_list, nblocks):
+    """Contamination results are a pure function of the corpus —
+    identical across block layouts (the determinism the resume and
+    scaling stories rely on)."""
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import contamination_check
+
+    df = pd.DataFrame(
+        {"doc_id": range(len(doc_list)), "text": doc_list}
+    )
+    def norm(ds):
+        out = ds.to_pandas()
+        if out.empty:  # zero-block empty results have no columns
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_shared": pd.Series(dtype="int64"),
+                }
+            )
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    a = norm(contamination_check(ray.data.from_pandas(df), n=3, test_mod=2))
+    b = norm(
+        contamination_check(
+            ray.data.from_pandas(df).repartition(nblocks), n=3, test_mod=2
+        )
+    )
+    assert a.equals(b)
