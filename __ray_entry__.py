@@ -284,6 +284,73 @@ def q_curate(sf_dir: str):
     )
 
 
+def q_checkpoint_ledger(sf_dir: str):
+    """The persistent-queue/resume story as a queryable result: run the
+    parse pipeline partition-wise with the checkpoint ledger, run it
+    AGAIN, and return per-partition rows plus proof the second run
+    skipped every completed partition (the ri/wi/di crash-recovery
+    analogue, persistent_storage.go:29-50)."""
+    import os
+    import shutil
+    import tempfile
+    import zlib
+
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.state.checkpoint import (
+        PartitionLedger,
+        run_partitioned,
+    )
+
+    # fixed shard dir per corpus (partition assignment hashes absolute
+    # paths, so the path must be stable across invocations — and the
+    # tag must use a SEEDLESS hash: Python's hash() is randomized per
+    # process and would move the shards every run)
+    src = f"{sf_dir}/events.parquet"
+    tag = zlib.crc32(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    )
+    shard_dir = os.path.join(
+        tempfile.gettempdir(), f"otel_ray_ledger_shards_{tag}"
+    )
+    if not os.path.isdir(shard_dir):
+        tmp = shard_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.data.read_parquet(src).repartition(8).write_parquet(tmp)
+        os.rename(tmp, shard_dir)
+    files = sorted(
+        os.path.join(shard_dir, f)
+        for f in os.listdir(shard_dir)
+        if f.endswith(".parquet")
+    )
+
+    out_dir = os.path.join(tempfile.gettempdir(), f"otel_ray_ledger_out_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def pipeline(paths):
+        ds = ray.data.read_parquet(paths)
+        return ds.map_batches(
+            lambda t: t.select(["event_id", "event_type"]),
+            batch_format="pyarrow",
+        )
+
+    try:
+        run_partitioned(files, out_dir, pipeline, num_partitions=4)
+        done = PartitionLedger(out_dir).completed()
+        second = run_partitioned(files, out_dir, pipeline, num_partitions=4)
+        all_skipped = second["processed"] == 0
+        return pd.DataFrame(
+            {
+                "partition": [int(pid) for pid in sorted(done)],
+                "rows": [int(done[pid].rows) for pid in sorted(done)],
+                "second_run_skipped": [all_skipped] * len(done),
+            }
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_count_connector(sf_dir: str):
     """The contrib countconnector idiom: count log records matching a
     condition (level=ERROR), emitted as a metric per tumbling hour —
@@ -1407,6 +1474,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "curate": q_curate,
     "curate_full": q_curate_full,
     "count_connector": q_count_connector,
+    "checkpoint_ledger": q_checkpoint_ledger,
     "ipc_roundtrip": q_ipc_roundtrip,
     "cumulative_delta": q_cumulative_delta,
     "delta_cumulative": q_delta_cumulative,

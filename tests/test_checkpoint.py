@@ -260,3 +260,14 @@ def test_tailer_micro_batches(corpus, tmp_path):
         num_partitions=4,
     )
     pd.testing.assert_frame_equal(_read_all(out), _read_all(oneshot))
+
+
+def test_checkpoint_ledger_query_resume_proof():
+    import __ray_entry__ as em
+
+    out = em.queries()["checkpoint_ledger"]("/root/testdata/sf0.001")
+    assert out["second_run_skipped"].all()  # rerun skipped every partition
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata("/root/testdata/sf0.001/events.parquet").num_rows
+    assert out["rows"].sum() == n  # partitions cover the corpus exactly

@@ -99,3 +99,50 @@ def test_results_invariant_across_num_cpus(tmp_path):
         return out.strip().splitlines()[-1]
 
     assert run(2) == run(4)
+
+
+def test_curation_pipeline_invariant_across_block_counts():
+    """The full curation composite (quality → dedup → mix → chunk) is
+    a pure function of the corpus — identical output under different
+    block layouts (dedup's min-id representative and mix's integer
+    keep rule are both layout-free)."""
+    import __ray_entry__ as em
+
+    a = (
+        em.queries()["curate_full"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import exact_dedup
+    from opentelemetry_collector_ray.stages.text import (
+        chunk_batch,
+        mix_sample,
+        quality_batch,
+    )
+    import pyarrow.compute as pc
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    ).repartition(13)
+    scored = docs.map_batches(quality_batch, batch_format="pyarrow")
+    kept = scored.map_batches(
+        lambda t: t.filter(pc.equal(t["quality_score"], 2)),
+        batch_format="pyarrow",
+    )
+    deduped = exact_dedup(kept, col="text", id_col="doc_id")
+    mixed = mix_sample(deduped, {"en": 60}, default_rate=30)
+    b = (
+        mixed.map_batches(
+            lambda t: chunk_batch(t, size=50, stride=40),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "chunk_idx", "chunk_text"])
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
