@@ -643,6 +643,46 @@ def q_media_ann(sf_dir: str):
     return brute_force_topk(feats, queries, k=5)
 
 
+def q_near_dup_keep(sf_dir: str):
+    """The near-dup pipeline's final materialization: keep exactly one
+    document per cluster (the min-id representative) — candidates →
+    verify → components → keep-one, the complete MinHash dedup story."""
+    labels = q_dedup_clusters(sf_dir)
+    kept = labels[labels["doc_id"] == labels["cluster_rep"]]
+    return kept[["doc_id"]].reset_index(drop=True)
+
+
+def q_corpus_stats(sf_dir: str):
+    """Corpus data-card summary per language: docs, token totals, max
+    doc length — one combiner pass, tiny result (the release-report
+    numbers a training-data pipeline publishes)."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from opentelemetry_collector_ray.stages.text import token_stats_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    sized = docs.map_batches(
+        lambda t: token_stats_batch(t).select(["lang", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang"]).aggregate(
+            [([], "count_all"), ("n_tokens", "sum"), ("n_tokens", "max")]
+        )
+        return g.rename_columns(["lang", "_pc", "_ps", "_pm"])
+
+    partials = sized.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("lang").aggregate(
+        Sum("_pc", alias_name="n_docs"),
+        Sum("_ps", alias_name="total_tokens"),
+        Max("_pm", alias_name="max_tokens"),
+    )
+
+
 def q_dedup_clusters(sf_dir: str):
     """MinHash near-dup pipeline completed to keep-one-per-cluster:
     verified pairs → DISTRIBUTED connected components (min-label
@@ -1531,6 +1571,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_frames": q_media_frames,
     "media_ann": q_media_ann,
     "dedup_clusters": q_dedup_clusters,
+    "near_dup_keep": q_near_dup_keep,
+    "corpus_stats": q_corpus_stats,
     "text_codec": q_text_codec,
     "distinct_values": q_distinct_values,
     "config_pipeline": q_config_pipeline,
@@ -1762,6 +1804,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT doc_id, lang FROM f WHERE score = 2 "
             "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"
+        ),
+        "corpus_stats": (
+            "WITH s AS (SELECT lang, "
+            "cast(len(regexp_extract_all(text, '\\S+')) AS bigint) "
+            "AS n_tokens FROM documents) "
+            "SELECT lang, count(*) AS n_docs, "
+            "cast(sum(n_tokens) AS bigint) AS total_tokens, "
+            "cast(max(n_tokens) AS bigint) AS max_tokens "
+            "FROM s GROUP BY lang"
         ),
         "count_connector": o.PARSED_CTE
         + (

@@ -638,3 +638,14 @@ def test_media_ann_self_match():
     out = em.queries()["media_ann"](SF_DIR)
     top = out[out["rank"] == 1]
     assert (top["query_id"].to_numpy() == top["vec_id"].to_numpy()).all()
+
+
+def test_near_dup_keep_consistency():
+    """Keep-one is consistent with the cluster labels: exactly one kept
+    doc per cluster, and it is the cluster's min id."""
+    import __ray_entry__ as em
+
+    labels = em.queries()["dedup_clusters"](SF_DIR)
+    kept = em.queries()["near_dup_keep"](SF_DIR)
+    reps = labels.groupby("cluster_rep")["doc_id"].min()
+    assert sorted(kept["doc_id"]) == sorted(reps.tolist())
