@@ -540,6 +540,7 @@ def connected_components(
     *,
     id_col: str = "doc_id",
     max_rounds: int = 50,
+    small_graph_edges: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Verified near-dup pairs → (doc_id, cluster_rep) with rep = the
     component's min doc_id — DISTRIBUTED min-label propagation, the
@@ -562,6 +563,13 @@ def connected_components(
     the per-round cost tracks the near-dup graph (≪ corpus), and the
     corpus is touched exactly twice (candidate generation upstream,
     final assignment here).
+
+    Size-adaptive tiering: when the edge set fits one worker
+    (``small_graph_edges``, ~80 MB at the default), the rounds collapse
+    to a single in-WORKER union-find task — the propagation loop's
+    per-round shuffle costs dominate tiny graphs, and the driver still
+    never holds the graph (this is a Ray task, not driver code). Large
+    graphs take the bounded-round propagation path unchanged.
     """
     from ray.data.aggregate import Min
 
@@ -580,6 +588,29 @@ def connected_components(
     edges = coalesce_for_shuffle(
         pairs.map_batches(undirect, batch_format="pyarrow")
     ).materialize()
+
+    if edges.count() <= small_graph_edges:
+        # single-task tier: all edges to one worker, union-find there
+        def uf_batch(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {"doc_a": t["node"].to_numpy(), "doc_b": t["nbr"].to_numpy()}
+            )
+            lab = cluster_pairs(df)
+            return pa.table(
+                {
+                    "node": pa.array(
+                        lab["doc_id"].to_numpy(), type=pa.int64()
+                    ),
+                    "label": pa.array(
+                        lab["cluster_rep"].to_numpy(), type=pa.int64()
+                    ),
+                }
+            )
+
+        labels = edges.repartition(1).map_batches(
+            uf_batch, batch_format="pyarrow", batch_size=None
+        ).materialize()
+        return _assign_all(labels, nodes, id_col)
 
     # round 0 fused into the seed, edge nodes only: with identity
     # labels, the label a node receives from a neighbor IS the
@@ -666,8 +697,17 @@ def connected_components(
             "(component diameter exceeds max_rounds; raise max_rounds)"
         )
 
-    # one corpus-wide pass: every doc gets its propagated label, or its
-    # own id when it appears in no pair (isolated singleton cluster)
+    return _assign_all(labels, nodes, id_col)
+
+
+def _assign_all(
+    labels: ray.data.Dataset, nodes: ray.data.Dataset, id_col: str
+) -> ray.data.Dataset:
+    """One corpus-wide pass: every doc gets its propagated label, or
+    its own id when it appears in no pair (isolated singleton
+    cluster). Shared by both component tiers."""
+    from ..functions.shard import coalesce_for_shuffle, sharded_group_map
+
     def pad_nodes(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy().astype(np.int64)
         return pa.table(

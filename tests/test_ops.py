@@ -303,6 +303,7 @@ def test_distributed_components_equal_union_find():
         connected_components(
             ray.data.from_pandas(pairs_df),
             ray.data.from_pandas(pd.DataFrame({"doc_id": ids})),
+            small_graph_edges=0,  # force the PROPAGATION tier
         )
         .to_pandas()
         .sort_values("doc_id", kind="mergesort")
@@ -649,3 +650,36 @@ def test_near_dup_keep_consistency():
     kept = em.queries()["near_dup_keep"](SF_DIR)
     reps = labels.groupby("cluster_rep")["doc_id"].min()
     assert sorted(kept["doc_id"]) == sorted(reps.tolist())
+
+
+def test_components_fast_path_equals_propagation():
+    """Size-adaptive tiering: the single-worker union-find tier and the
+    propagation tier produce identical labels."""
+    import pandas as pd
+    import ray
+
+    from opentelemetry_collector_ray.stages.dedup import connected_components
+
+    pairs_df = pd.DataFrame(
+        {"doc_a": [1, 2, 9], "doc_b": [2, 3, 1]}
+    )
+    ids = pd.DataFrame({"doc_id": [1, 2, 3, 9, 50]})
+    fast = (
+        connected_components(
+            ray.data.from_pandas(pairs_df), ray.data.from_pandas(ids)
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    prop = (
+        connected_components(
+            ray.data.from_pandas(pairs_df),
+            ray.data.from_pandas(ids),
+            small_graph_edges=0,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, prop)
