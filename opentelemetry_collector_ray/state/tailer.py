@@ -61,3 +61,59 @@ def tail_run(
         "total_rows": (last or {}).get("total_rows", 0),
         "out_dir": out_dir,
     }
+
+
+import ray as _ray
+
+
+@_ray.remote(num_cpus=0)
+class SuppressionActor:
+    """Cross-micro-batch log-dedup state — the streaming half of the
+    logdedup idiom that the Dataset API cannot express (state must
+    OUTLIVE each tick's dataset): a shared mutable map of
+    fingerprint → last-seen tick, TTL-evicted. Each tick's batch asks
+    once, vectorized, which of its fingerprints are fresh; duplicates
+    within ``ttl_ticks`` of their last emission are suppressed. One
+    actor per tail loop; at cluster scale, shard actors by
+    ``fingerprint % n_actors`` (same uniform-hash story as every other
+    shuffle key here)."""
+
+    def __init__(self, ttl_ticks: int = 3):
+        self.ttl = ttl_ticks
+        self.last_seen: dict[int, int] = {}
+        self.tick = 0
+
+    def advance(self) -> int:
+        """Start a new tick; evict entries past TTL."""
+        self.tick += 1
+        dead = [
+            f for f, t in self.last_seen.items() if self.tick - t > self.ttl
+        ]
+        for f in dead:
+            del self.last_seen[f]
+        return self.tick
+
+    def filter_fresh(self, fingerprints: list[int]) -> list[bool]:
+        """For each fingerprint (in order): True = first sighting within
+        the TTL window (emit), False = suppressed duplicate. Updates
+        state as it goes, so duplicates WITHIN one call suppress too."""
+        out = []
+        for f in fingerprints:
+            fresh = f not in self.last_seen
+            if fresh:
+                self.last_seen[f] = self.tick
+            out.append(fresh)
+        return out
+
+
+def suppress_batch(table, actor, *, text_col: str = "text"):
+    """Run one micro-batch through the suppression actor: fingerprint
+    the bodies (the deterministic rolling hash), one actor round-trip
+    for the whole batch, filter to fresh rows."""
+    import pyarrow as pa
+
+    from ..stages.text import fingerprint_batch
+
+    fp = fingerprint_batch(table, col=text_col)["fingerprint"].to_pylist()
+    fresh = _ray.get(actor.filter_fresh.remote(fp))
+    return table.filter(pa.array(fresh))

@@ -271,3 +271,32 @@ def test_checkpoint_ledger_query_resume_proof():
 
     n = pq.read_metadata("/root/testdata/sf0.001/events.parquet").num_rows
     assert out["rows"].sum() == n  # partitions cover the corpus exactly
+
+
+def test_suppression_actor_dedups_across_micro_batches():
+    """Streaming logdedup: duplicates suppress across ticks within the
+    TTL window and re-emit after eviction."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.state.tailer import (
+        SuppressionActor,
+        suppress_batch,
+    )
+
+    actor = SuppressionActor.remote(ttl_ticks=1)
+    t1 = pa.table({"text": ["a", "b", "a"]})  # in-batch dup suppresses
+    import ray
+
+    ray.get(actor.advance.remote())
+    out1 = suppress_batch(t1, actor)
+    assert out1["text"].to_pylist() == ["a", "b"]
+
+    ray.get(actor.advance.remote())  # tick 2: within TTL
+    out2 = suppress_batch(pa.table({"text": ["a", "c"]}), actor)
+    assert out2["text"].to_pylist() == ["c"]
+
+    # ticks 3 and 4: 'a' (last seen tick 1) falls out of TTL=1 window
+    ray.get(actor.advance.remote())
+    ray.get(actor.advance.remote())
+    out3 = suppress_batch(pa.table({"text": ["a"]}), actor)
+    assert out3["text"].to_pylist() == ["a"]
