@@ -1296,6 +1296,19 @@ def q_spanmetrics(sf_dir: str):
     return span_red_metrics(_parsed(sf_dir))
 
 
+def q_trace_assemble(sf_dir: str):
+    """groupbytrace emit form: assembled per-trace span lists as nested
+    Arrow list columns (rows-only — nested lists have no stable SQL
+    hash form in the driver compare)."""
+    from opentelemetry_collector_ray.stages.signals import (
+        spans_batch,
+        trace_assemble,
+    )
+
+    spans = _parsed(sf_dir).map_batches(spans_batch, batch_format="pyarrow")
+    return trace_assemble(spans)
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition quality signal: dominant 2-gram share
     per document (boilerplate / degenerate-repetition gate)."""
@@ -1515,6 +1528,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "span_stats": q_span_stats,
     "span_details": q_span_details,
     "trace_groups": q_trace_groups,
+    "trace_assemble": q_trace_assemble,
     "latency_histogram": q_latency_histogram,
     "exp_histogram": q_exp_histogram,
     "gauge_last": q_gauge_last,

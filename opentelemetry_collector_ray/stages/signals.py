@@ -364,3 +364,24 @@ def head_sample(
         return t.filter(sel)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def trace_assemble(spans: ray.data.Dataset) -> ray.data.Dataset:
+    """groupbytrace's EMIT form: one row per trace carrying the
+    assembled span list as nested Arrow columns — span_idxs
+    (list<int>, causal order) and span_names (list<string>) — the shape
+    a trace-complete consumer (tail sampler, waterfall UI, trace-level
+    featurizer) takes as input. Same single sharded shuffle as the
+    summary form (`trace_groups`); nested lists are built vectorized
+    per shard."""
+    from ..functions.shard import sharded_group_map
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["trace_id", "span_idx"], kind="mergesort")
+        agg = g.groupby("trace_id", sort=False).agg(
+            span_idxs=("span_idx", list),
+            span_names=("span_name", list),
+        )
+        return agg.reset_index()
+
+    return sharded_group_map(spans, ["trace_id"], per_shard)

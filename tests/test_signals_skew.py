@@ -153,3 +153,23 @@ def test_gauge_last_keeps_null_latest_value():
     # to the older non-null 5.0
     assert pd.isna(out.loc[1, "last_value"])
     assert out.loc[2, "last_value"] == 7.0
+
+
+def test_trace_assemble_nested_output():
+    from opentelemetry_collector_ray.stages.signals import trace_assemble
+
+    df = pd.DataFrame(
+        {
+            "trace_id": ["t1", "t1", "t2", "t1"],
+            "span_idx": [2, 0, 0, 1],
+            "span_name": ["c", "a", "x", "b"],
+        }
+    )
+    out = (
+        trace_assemble(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("trace_id")
+    )
+    assert list(out.loc["t1", "span_idxs"]) == [0, 1, 2]  # causal order
+    assert list(out.loc["t1", "span_names"]) == ["a", "b", "c"]
+    assert list(out.loc["t2", "span_idxs"]) == [0]
