@@ -314,11 +314,27 @@ def q_checkpoint_ledger(sf_dir: str):
     shard_dir = os.path.join(
         tempfile.gettempdir(), f"otel_ray_ledger_shards_{tag}"
     )
+    # evict stale corpus copies from earlier mtimes (they are orphaned
+    # forever otherwise — one full corpus copy per regeneration)
+    import glob as _glob
+
+    for stale in _glob.glob(
+        os.path.join(tempfile.gettempdir(), "otel_ray_ledger_shards_*")
+    ):
+        if stale != shard_dir and "tmp" not in os.path.basename(stale):
+            shutil.rmtree(stale, ignore_errors=True)
     if not os.path.isdir(shard_dir):
-        tmp = shard_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        # attempt-unique staging + tolerant publish: two concurrent
+        # drivers must not share a tmp dir (write_parquet APPENDs) nor
+        # crash when the other wins the rename
+        import uuid as _uuid
+
+        tmp = f"{shard_dir}.tmp-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
         ray.data.read_parquet(src).repartition(8).write_parquet(tmp)
-        os.rename(tmp, shard_dir)
+        try:
+            os.rename(tmp, shard_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another driver won
     files = sorted(
         os.path.join(shard_dir, f)
         for f in os.listdir(shard_dir)

@@ -103,10 +103,18 @@ def write_sinks(
             # file coalescing would concatenate several sorted blocks
             # into one file (sorted runs, not a sorted file) — size the
             # BLOCKS to the file target instead and write one file per
-            # block fragment, so per-file ordering survives
+            # block fragment, so per-file ordering survives. The
+            # partitioned write splits each block into one fragment per
+            # sink it contains, so scale the block target by the sink
+            # count (a cheap combiner pass) or fragments land at
+            # ~min_rows/n_sinks and re-create the small-files problem.
+            from ..functions.agg import grouped_count_driver
             from ..stages.batch import rebatch
 
-            exploded = rebatch(exploded, int(kwargs.pop("min_rows_per_file")))
+            n_sinks = max(len(grouped_count_driver(exploded, ["sink"])), 1)
+            exploded = rebatch(
+                exploded, int(kwargs.pop("min_rows_per_file")) * n_sinks
+            )
         keys = [("sink", "ascending")] + [(c, "ascending") for c in sort_within]
         exploded = exploded.map_batches(
             lambda t: t.sort_by(keys), batch_format="pyarrow"

@@ -540,7 +540,7 @@ def connected_components(
     *,
     id_col: str = "doc_id",
     max_rounds: int = 50,
-    small_graph_edges: int = 5_000_000,
+    small_graph_pairs: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Verified near-dup pairs → (doc_id, cluster_rep) with rep = the
     component's min doc_id — DISTRIBUTED min-label propagation, the
@@ -564,12 +564,15 @@ def connected_components(
     corpus is touched exactly twice (candidate generation upstream,
     final assignment here).
 
-    Size-adaptive tiering: when the edge set fits one worker
-    (``small_graph_edges``, ~80 MB at the default), the rounds collapse
-    to a single in-WORKER union-find task — the propagation loop's
-    per-round shuffle costs dominate tiny graphs, and the driver still
-    never holds the graph (this is a Ray task, not driver code). Large
-    graphs take the bounded-round propagation path unchanged.
+    Size-adaptive tiering: when the PAIR set is small
+    (``small_graph_pairs`` — sized to the Python union-find's real
+    cost, a boxed dict entry per node plus a per-edge loop, roughly
+    100 B and ~1 µs per pair, so the default ≈ 200 MB / a few seconds
+    in one worker), the rounds collapse to a single in-WORKER
+    union-find task — the propagation loop's per-round shuffle costs
+    dominate tiny graphs, and the driver still never holds the graph
+    (this is a Ray task, not driver code). Large graphs take the
+    bounded-round propagation path unchanged.
     """
     from ray.data.aggregate import Min
 
@@ -589,11 +592,12 @@ def connected_components(
         pairs.map_batches(undirect, batch_format="pyarrow")
     ).materialize()
 
-    if edges.count() <= small_graph_edges:
-        # single-task tier: all edges to one worker, union-find there
+    if edges.count() <= 2 * small_graph_pairs:
+        # single-task tier: the ORIGINAL pairs (half the doubled edge
+        # rows) to one worker, union-find there
         def uf_batch(t: pa.Table) -> pa.Table:
             df = pd.DataFrame(
-                {"doc_a": t["node"].to_numpy(), "doc_b": t["nbr"].to_numpy()}
+                {"doc_a": t["doc_a"].to_numpy(), "doc_b": t["doc_b"].to_numpy()}
             )
             lab = cluster_pairs(df)
             return pa.table(
@@ -607,7 +611,7 @@ def connected_components(
                 }
             )
 
-        labels = edges.repartition(1).map_batches(
+        labels = pairs.repartition(1).map_batches(
             uf_batch, batch_format="pyarrow", batch_size=None
         ).materialize()
         return _assign_all(labels, nodes, id_col)

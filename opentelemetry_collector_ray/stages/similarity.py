@@ -283,16 +283,19 @@ def embedding_near_dup_lsh(
 
 
 # per-worker cache of broadcast query state (keyed by ObjectRef hex —
-# globally unique, so stale-corpus reuse is impossible). Single-entry:
-# one query job's state is live at a time, and replacing on key change
-# keeps long-lived workers from accumulating one dead copy per run.
+# globally unique, so stale-corpus reuse is impossible). Bounded FIFO
+# (a few entries): long-lived workers don't accumulate one dead copy
+# per run, and two interleaved ANN jobs don't thrash each other out
+# (a single-entry cache would re-fetch per group when jobs alternate).
 _QUERY_CACHE: dict = {}
+_QUERY_CACHE_MAX = 4
 
 
 def _cached_query_state(ref):
     state = _QUERY_CACHE.get(ref.hex())
     if state is None:
-        _QUERY_CACHE.clear()
+        while len(_QUERY_CACHE) >= _QUERY_CACHE_MAX:
+            _QUERY_CACHE.pop(next(iter(_QUERY_CACHE)))
         state = _QUERY_CACHE[ref.hex()] = ray.get(ref)
     return state
 

@@ -107,13 +107,18 @@ class SuppressionActor:
 
 
 def suppress_batch(table, actor, *, text_col: str = "text"):
-    """Run one micro-batch through the suppression actor: fingerprint
-    the bodies (the deterministic rolling hash), one actor round-trip
-    for the whole batch, filter to fresh rows."""
+    """Run one micro-batch through the suppression actor: hash the
+    bodies with the 64-bit keyed siphash (vectorized; a 31-bit rolling
+    hash would birthday-collide near ~65k live bodies and silently
+    suppress DISTINCT records), one actor round-trip for the whole
+    batch, filter to fresh rows."""
+    import numpy as np
+    import pandas as pd
     import pyarrow as pa
 
-    from ..stages.text import fingerprint_batch
-
-    fp = fingerprint_batch(table, col=text_col)["fingerprint"].to_pylist()
-    fresh = _ray.get(actor.filter_fresh.remote(fp))
+    vals = table[text_col].to_numpy(zero_copy_only=False)
+    fp = pd.util.hash_array(
+        np.asarray(vals, dtype=object), hash_key="otelray-suppress"
+    )
+    fresh = _ray.get(actor.filter_fresh.remote([int(x) for x in fp]))
     return table.filter(pa.array(fresh))

@@ -303,7 +303,7 @@ def test_distributed_components_equal_union_find():
         connected_components(
             ray.data.from_pandas(pairs_df),
             ray.data.from_pandas(pd.DataFrame({"doc_id": ids})),
-            small_graph_edges=0,  # force the PROPAGATION tier
+            small_graph_pairs=0,  # force the PROPAGATION tier
         )
         .to_pandas()
         .sort_values("doc_id", kind="mergesort")
@@ -676,7 +676,7 @@ def test_components_fast_path_equals_propagation():
         connected_components(
             ray.data.from_pandas(pairs_df),
             ray.data.from_pandas(ids),
-            small_graph_edges=0,
+            small_graph_pairs=0,
         )
         .to_pandas()
         .sort_values("doc_id")
