@@ -34,12 +34,22 @@ CORPUS_FILES = 128
 
 def ensure_corpus() -> str:
     """Generate the deterministic bench corpus once (content is a pure
-    function of the conversation index — safe to reuse across runs)."""
+    function of the conversation index — safe to reuse across runs).
+
+    A marker records WHICH conv count the shards hold; a run with a
+    different GRAFT_BENCH_CONV overwrites the shards, so any foreign
+    marker means the directory no longer matches ours — wipe and
+    regenerate rather than silently benchmarking the wrong corpus."""
+    import glob as _glob
+    import shutil as _shutil
+
     marker = os.path.join(CORPUS_DIR, f".complete-{CORPUS_CONV}")
-    if os.path.exists(marker):
+    markers = _glob.glob(os.path.join(CORPUS_DIR, ".complete-*"))
+    if os.path.exists(marker) and len(markers) == 1:
         return CORPUS_DIR
     from opentelemetry_collector_ray.fixtures import write_transcript_corpus
 
+    _shutil.rmtree(CORPUS_DIR, ignore_errors=True)
     write_transcript_corpus(CORPUS_DIR, CORPUS_CONV, files=CORPUS_FILES)
     with open(marker, "w") as f:
         f.write("ok")
@@ -92,11 +102,19 @@ def run_bench() -> dict:
     # best-of-2: the first trial pays one-time worker/session warmup
     # (fresh ray.init per scaling level); steady state is what the
     # N-vs-4N criterion compares.
+    # prune at every stage (SCALE.md): downstream of parse, the
+    # aggregate path needs only role/tool/level — dropping the heavy
+    # text/msg columns cuts inter-stage block bytes ~15% of wall at
+    # bandwidth-bound CPU counts (measured at 8 CPUs), free elsewhere
+    def project(t):
+        return t.select(["role", "tool", "level"])
+
     headline = float("inf")
     for _ in range(2):
         t0 = time.time()
         ds = read()
         ds = ds.map_batches(parse_batch, batch_format="pyarrow")
+        ds = ds.map_batches(project, batch_format="pyarrow")
         ds = ds.map_batches(enrich_batch, batch_format="pyarrow")
         counts = sink_counts(ds)
         headline = min(headline, time.time() - t0)
