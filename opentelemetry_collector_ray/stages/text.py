@@ -524,28 +524,57 @@ def chunk_batch(
     ``stride`` tokens (overlap = size - stride). Stateless flat-map row
     explosion — chunks of one doc never cross batch boundaries, so the
     stage shuffles nothing and parallelism is free. Empty docs emit no
-    chunks. Output: (doc_id, chunk_idx, chunk_text, n_chunk_tokens)."""
-    texts = batch[col].to_pylist()
+    chunks. Output: (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Vectorized in Arrow: one split per batch, then per chunk-index k a
+    ``list_slice`` + ``binary_join`` over EVERY doc that still has a
+    k-th window — the loop runs max-chunks-per-doc times (tiny), never
+    per row. Trim first: Arrow's split emits empty tokens for
+    leading/trailing whitespace (Python's ``split()`` does not)."""
+    text = batch[col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
+    ntok = pc.fill_null(
+        pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()), 0
+    ).to_numpy(zero_copy_only=False)
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    out_id: list[int] = []
-    out_idx: list[int] = []
-    out_text: list[str] = []
-    out_n: list[int] = []
-    for did, t in zip(ids, texts):
-        words = t.split() if t is not None else []
-        for ci, start in enumerate(range(0, len(words), stride)):
-            w = words[start : start + size]
-            out_id.append(int(did))
-            out_idx.append(ci)
-            out_text.append(" ".join(w))
-            out_n.append(len(w))
-    return pa.table(
-        {
-            id_col: pa.array(out_id, type=pa.int64()),
-            "chunk_idx": pa.array(out_idx, type=pa.int64()),
-            "chunk_text": pa.array(out_text, type=pa.string()),
-            "n_chunk_tokens": pa.array(out_n, type=pa.int64()),
-        }
+    parts: list[pa.Table] = []
+    k = 0
+    while True:
+        start = k * stride
+        mask = ntok > start
+        if not mask.any():
+            break
+        m = pa.array(mask)
+        joined = pc.binary_join(
+            pc.list_slice(toks.filter(m), start, start + size), " "
+        )
+        n_in = np.minimum(ntok[mask] - start, size)
+        parts.append(
+            pa.table(
+                {
+                    id_col: pa.array(ids[mask], type=pa.int64()),
+                    "chunk_idx": pa.array(
+                        np.full(int(mask.sum()), k), type=pa.int64()
+                    ),
+                    "chunk_text": pc.cast(joined, pa.string()),
+                    "n_chunk_tokens": pa.array(n_in, type=pa.int64()),
+                }
+            )
+        )
+        k += 1
+    if not parts:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "chunk_idx": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+                "n_chunk_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts).sort_by(
+        [(id_col, "ascending"), ("chunk_idx", "ascending")]
     )
 
 
