@@ -1176,6 +1176,19 @@ def q_mix_sample(sf_dir: str):
     return mix_sample(docs, {"en": 60}, default_rate=30)
 
 
+def q_bpe_tokens(sf_dir: str):
+    """Token counting, BPE-ish tier: GPT-2-style pretoken counts (the
+    training-budget size proxy) beside whitespace-token counts."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import bpe_token_count_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
 def q_doc_freq(sf_dir: str):
     """Corpus TF/DF statistics (the TF-IDF weighting input): per token,
     total occurrences and document frequency, df >= 5."""
@@ -1562,6 +1575,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "log_dedup": q_log_dedup,
     "mix_sample": q_mix_sample,
     "doc_freq": q_doc_freq,
+    "bpe_tokens": q_bpe_tokens,
     "contamination": q_contamination,
     "processor_counters": q_processor_counters,
     "spanmetrics": q_spanmetrics,
@@ -2000,6 +2014,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "WHERE (doc_id * 48271) % 100 < "
             "CASE lang WHEN 'en' THEN 60 ELSE 30 END"
+        ),
+        "bpe_tokens": (
+            "SELECT doc_id, text, "
+            "cast(len(regexp_extract_all(text, "
+            "' ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+')) AS bigint) "
+            "AS n_bpe_tokens, "
+            "cast(len(regexp_extract_all(text, '\\S+')) AS bigint) "
+            "AS n_ws_tokens FROM documents"
         ),
         "doc_freq": (
             "WITH toks AS (SELECT doc_id, "

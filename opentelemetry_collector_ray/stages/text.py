@@ -657,3 +657,27 @@ def pack_sequences(
     return tagged.groupby("_shard_id").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+# ------------------------------------------------- BPE-ish tokenizer
+
+# GPT-2-style pretokenizer classes, RE2-safe (no lookahead): letter
+# runs, digit runs, punctuation runs — each optionally absorbing its
+# leading space. This is the budget/estimation tokenizer of corpus
+# pipelines (real BPE merges happen in the trainer; the pretoken count
+# is the standard size proxy).
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append ``n_bpe_tokens`` (GPT-2-ish pretokens) beside
+    ``n_ws_tokens`` (whitespace runs) — both one vectorized RE2 count
+    per batch, both DuckDB-mirrorable exactly."""
+    text = batch[col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    bpe = pc.cast(pc.count_substring_regex(text, BPE_PATTERN), pa.int64())
+    ws = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    return batch.append_column("n_bpe_tokens", bpe).append_column(
+        "n_ws_tokens", ws
+    )
