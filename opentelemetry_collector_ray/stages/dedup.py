@@ -764,18 +764,31 @@ def jaccard_pairs_blocked(
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")
         ids = g[id_col].to_numpy()
-        word_sets = [set(t.split()) for t in g["text"]]
-        vocab: dict[str, int] = {}
-        for s in word_sets:
-            for w in s:
-                vocab.setdefault(w, len(vocab))
-        n, v = len(ids), max(len(vocab), 1)
+        words_per_doc = [
+            t.split() if t is not None else [] for t in g["text"]
+        ]
+        counts = np.fromiter(
+            (len(w) for w in words_per_doc), np.int64, count=len(ids)
+        )
+        flat = np.asarray(
+            [w for ws in words_per_doc for w in ws], dtype=object
+        )
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        # vectorized membership build: factorize the flat word array
+        # once (C), then one fancy-indexed assignment — assigning the
+        # same cell twice (repeated word in a doc) is idempotent, so
+        # set semantics need no per-doc dedup pass
+        if len(flat):
+            vocab_idx, uniques = pd.factorize(flat)
+            v = max(len(uniques), 1)
+        else:
+            vocab_idx = np.empty(0, np.intp)
+            v = 1
+        n = len(ids)
         # membership matrix → intersections by one matmul (the O(n²)
         # term runs in BLAS, not Python; n is bounded by the block key)
         mat = np.zeros((n, v), dtype=np.float64)
-        for i, s in enumerate(word_sets):
-            for w in s:
-                mat[i, vocab[w]] = 1.0
+        mat[doc_idx, vocab_idx] = 1.0
         inter = mat @ mat.T
         sizes = mat.sum(axis=1)
         union = sizes[:, None] + sizes[None, :] - inter
