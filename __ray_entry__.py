@@ -1325,6 +1325,38 @@ def q_spanmetrics(sf_dir: str):
     return span_red_metrics(_parsed(sf_dir))
 
 
+def q_service_graph(sf_dir: str):
+    """servicegraph connector idiom: (client service → server service)
+    edge metrics from consecutive spans of each trace."""
+    from opentelemetry_collector_ray.stages.signals import service_graph_edges
+
+    return service_graph_edges(_enriched(sf_dir))
+
+
+def q_delta_rate(sf_dir: str):
+    """deltatorate processor idiom: per-series delta points → integer
+    milli-rate over the interval since the previous point."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.signals import delta_to_rate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return delta_to_rate(
+        ds, key="user_id", ts="ts", value="value", order_tiebreak="event_id"
+    )
+
+
+def q_metrics_generation(sf_dir: str):
+    """metricsgeneration processor idiom: derive a new metric (error
+    ratio, ppm) from two operand metrics in one combiner pass."""
+    from opentelemetry_collector_ray.stages.signals import metrics_generation
+
+    return metrics_generation(_enriched(sf_dir), group="route")
+
+
 def q_trace_assemble(sf_dir: str):
     """groupbytrace emit form: assembled per-trace span lists as nested
     Arrow list columns (rows-only — nested lists have no stable SQL
@@ -1579,6 +1611,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "contamination": q_contamination,
     "processor_counters": q_processor_counters,
     "spanmetrics": q_spanmetrics,
+    "service_graph": q_service_graph,
+    "delta_rate": q_delta_rate,
+    "metrics_generation": q_metrics_generation,
     "lm_score": q_lm_score,
     "head_sample": q_head_sample,
     "chunks": q_chunks,
@@ -1968,6 +2003,36 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END) AS bigint) AS n_errors, "
             "cast(sum(coalesce(latency_ms, 0)) AS bigint) AS sum_ms "
             "FROM parsed2 GROUP BY 1"
+        ),
+        "service_graph": o.ENRICHED_CTE
+        + (
+            ", e2 AS (SELECT conv_id, service, level, latency_ms, "
+            "lag(service) OVER (PARTITION BY conv_id ORDER BY turn_idx) "
+            "AS client FROM enriched) "
+            "SELECT client AS client_service, service AS server_service, "
+            "count(*) AS n, "
+            "cast(sum(CASE WHEN coalesce(level, '') = 'ERROR' "
+            "THEN 1 ELSE 0 END) AS bigint) AS n_failed, "
+            "cast(sum(coalesce(latency_ms, 0)) AS bigint) AS sum_ms "
+            "FROM e2 WHERE client IS NOT NULL GROUP BY 1, 2"
+        ),
+        "delta_rate": (
+            "WITH d AS (SELECT event_id, user_id, ts, value, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS dt_us "
+            "FROM events) "
+            "SELECT event_id, user_id, ts, "
+            "cast(floor(value * 1e9 / dt_us) AS bigint) AS rate_milli "
+            "FROM d WHERE dt_us > 0"
+        ),
+        "metrics_generation": o.ENRICHED_CTE
+        + (
+            "SELECT route, count(*) AS n_requests, "
+            "cast(sum(CASE WHEN coalesce(level, '') = 'ERROR' "
+            "THEN 1 ELSE 0 END) AS bigint) AS n_errors, "
+            "cast((sum(CASE WHEN coalesce(level, '') = 'ERROR' "
+            "THEN 1 ELSE 0 END) * 1000000) // count(*) AS bigint) "
+            "AS error_rate_ppm FROM enriched GROUP BY route"
         ),
         "repetition": (
             "WITH t AS (SELECT doc_id, "

@@ -366,6 +366,146 @@ def head_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def service_graph_edges(enriched: ray.data.Dataset) -> ray.data.Dataset:
+    """The servicegraphconnector idiom (contrib): derive service-to-
+    service edge metrics from the span stream. An edge is a causally
+    consecutive span pair within one trace — (previous span's service →
+    this span's service) — keyed by turn order; per edge the connector
+    reports request count, failed-request count (callee span status
+    ERROR) and total duration of the callee span.
+
+    Shape: one sharded co-group on the trace key (conv_id) so each
+    trace's spans are co-located, a vectorized shift inside the shard
+    to form the edges, and a per-shard PARTIAL aggregate on
+    (client, server) — only O(services²) partial rows per shard leave
+    the shuffle; a final tiny uniform groupby merges them. No
+    per-trace Python call, no second pass for errors."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.shard import sharded_group_map
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        same = g["conv_id"].to_numpy()[1:] == g["conv_id"].to_numpy()[:-1]
+        client = g["service"].to_numpy()[:-1][same]
+        server = g["service"].to_numpy()[1:][same]
+        lvl = g["level"].to_numpy()[1:][same]
+        dur = (
+            pd.Series(g["latency_ms"].to_numpy()[1:][same])
+            .fillna(0)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        failed = (pd.Series(lvl).fillna("") == "ERROR").to_numpy(np.int64)
+        part = (
+            pd.DataFrame(
+                {
+                    "client_service": client,
+                    "server_service": server,
+                    "_n": np.ones(len(client), dtype=np.int64),
+                    "_f": failed,
+                    "_d": dur,
+                }
+            )
+            .groupby(["client_service", "server_service"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return part
+
+    partials = sharded_group_map(enriched, ["conv_id"], per_shard)
+    return partials.groupby(["client_service", "server_service"]).aggregate(
+        Sum("_n", alias_name="n"),
+        Sum("_f", alias_name="n_failed"),
+        Sum("_d", alias_name="sum_ms"),
+    )
+
+
+def delta_to_rate(
+    series: ray.data.Dataset,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    order_tiebreak: str,
+) -> ray.data.Dataset:
+    """Delta→rate temporality conversion — the contrib
+    deltatorateprocessor idiom: each delta point becomes a per-second
+    rate over the interval since the previous point of the same series.
+    Output is the engine-exact integer ``rate_milli`` =
+    floor(value · 1e9 / Δt_µs) (both engines evaluate the identical
+    IEEE double expression, so the hash gate holds); the first point of
+    a series and zero-interval points have no rate and are dropped —
+    the processor's own convention for missing intervals. Same single
+    sharded-groupby shuffle as the other temporality conversions."""
+    from ..functions.shard import sharded_group_map
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, order_tiebreak], kind="mergesort")
+        t_us = g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        k = g[key].to_numpy()
+        dt = np.empty(len(g), dtype=np.int64)
+        dt[0] = 0
+        dt[1:] = t_us[1:] - t_us[:-1]
+        dt[np.r_[True, k[1:] != k[:-1]]] = 0  # series firsts: no interval
+        keep = dt > 0
+        v = g[value].to_numpy().astype(np.float64)[keep]
+        rate = np.floor(v * 1e9 / dt[keep]).astype(np.int64)
+        out = g.loc[keep, [order_tiebreak, key, ts]].copy()
+        out["rate_milli"] = rate
+        return out
+
+    return sharded_group_map(series, [key], per_shard)
+
+
+def metrics_generation(
+    parsed: ray.data.Dataset,
+    *,
+    group: str = "route",
+    scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """The metricsgenerationprocessor idiom (contrib): generate a new
+    metric from two existing ones with an arithmetic rule — here the
+    canonical error-ratio: operand1 = error count, operand2 = request
+    count, operation = divide (scaled to parts-per-``scale`` and
+    floored, so the generated metric is integer-exact in both engines).
+    Combiner shape: per-batch Arrow partials for both operands in ONE
+    pass, a tiny uniform groupby merge, then the generation rule applied
+    to the merged rows — never a second scan of the corpus for the
+    second operand."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        err = pc.cast(
+            pc.equal(pc.fill_null(t["level"], ""), "ERROR"), pa.int64()
+        )
+        g = (
+            pa.table({group: t[group], "_e": err})
+            .group_by([group])
+            .aggregate([([], "count_all"), ("_e", "sum")])
+        )
+        return g.rename_columns([group, "_pn", "_pe"])
+
+    merged = (
+        parsed.map_batches(partial, batch_format="pyarrow")
+        .groupby(group)
+        .aggregate(
+            Sum("_pn", alias_name="n_requests"),
+            Sum("_pe", alias_name="n_errors"),
+        )
+    )
+
+    def generate(t: pa.Table) -> pa.Table:
+        n = t["n_requests"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t["n_errors"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = np.where(n > 0, (e * scale) // np.maximum(n, 1), 0)
+        return t.append_column(
+            "error_rate_ppm", pa.array(ppm.astype(np.int64))
+        )
+
+    return merged.map_batches(generate, batch_format="pyarrow")
+
+
 def trace_assemble(spans: ray.data.Dataset) -> ray.data.Dataset:
     """groupbytrace's EMIT form: one row per trace carrying the
     assembled span list as nested Arrow columns — span_idxs

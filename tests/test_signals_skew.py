@@ -173,3 +173,73 @@ def test_trace_assemble_nested_output():
     assert list(out.loc["t1", "span_idxs"]) == [0, 1, 2]  # causal order
     assert list(out.loc["t1", "span_names"]) == ["a", "b", "c"]
     assert list(out.loc["t2", "span_idxs"]) == [0]
+
+
+def test_service_graph_edges_counts_consecutive_pairs():
+    # trace A: infra -> data -> infra (2 edges); trace B: web -> web (1)
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a", "b", "b"],
+            "turn_idx": [0, 1, 2, 0, 1],
+            "service": ["infra", "data", "infra", "web", "web"],
+            "level": [None, "ERROR", None, None, None],
+            "latency_ms": [5, 7, None, 11, 13],
+        }
+    )
+    from opentelemetry_collector_ray.stages.signals import service_graph_edges
+
+    out = (
+        service_graph_edges(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values(["client_service", "server_service"])
+        .reset_index(drop=True)
+    )
+    got = {
+        (r.client_service, r.server_service): (r.n, r.n_failed, r.sum_ms)
+        for r in out.itertuples()
+    }
+    # callee metrics: (infra->data) callee is the ERROR span with 7ms
+    assert got == {
+        ("infra", "data"): (1, 1, 7),
+        ("data", "infra"): (1, 0, 0),  # null latency -> 0
+        ("web", "web"): (1, 0, 13),
+    }
+
+
+def test_delta_to_rate_drops_firsts_and_zero_intervals():
+    from opentelemetry_collector_ray.stages.signals import delta_to_rate
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:02",
+         "2024-01-01 00:00:02", "2024-01-01 00:00:00"]
+    )
+    df = pd.DataFrame(
+        {"i": [0, 1, 2, 3], "k": [1, 1, 1, 2], "ts": ts, "v": [9.0, 5.0, 4.0, 8.0]}
+    )
+    out = delta_to_rate(
+        ray.data.from_pandas(df), key="k", ts="ts", value="v", order_tiebreak="i"
+    ).to_pandas()
+    # k=1 first point dropped; third point has dt=0 -> dropped; k=2 single
+    # point dropped. Survivor: i=1 with dt=2s -> 5.0/2 = 2.5/s = 2500 milli
+    assert out["i"].tolist() == [1]
+    assert out["rate_milli"].tolist() == [2500]
+
+
+def test_metrics_generation_error_ratio_ppm():
+    from opentelemetry_collector_ray.stages.signals import metrics_generation
+
+    df = pd.DataFrame(
+        {
+            "route": ["a"] * 3 + ["b"] * 2,
+            "level": ["ERROR", None, "INFO", None, None],
+        }
+    )
+    out = (
+        metrics_generation(ray.data.from_pandas(df), group="route")
+        .to_pandas()
+        .sort_values("route")
+        .reset_index(drop=True)
+    )
+    assert out["n_requests"].tolist() == [3, 2]
+    assert out["n_errors"].tolist() == [1, 0]
+    assert out["error_rate_ppm"].tolist() == [333333, 0]
