@@ -601,6 +601,21 @@ def q_ivf_topk(sf_dir: str):
     )
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup: k-means cluster the embedding space (bounded-sample
+    training), remove within-cluster cosine near-dups keeping the
+    lowest id. Rows-only — clustering is not SQL-expressible; the
+    within-cluster rule is pinned exactly by pytest."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import semdedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semdedup(ds, threshold=0.4, nlist=16)
+
+
 def q_media_decode(sf_dir: str):
     import ray.data
 
@@ -1656,6 +1671,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "semdedup": q_semdedup,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
     "media_ann": q_media_ann,

@@ -386,6 +386,69 @@ def lsh_topk(
     return _merge_topk_partials(partials, k)
 
 
+def semdedup(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.7,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means and removing,
+    WITHIN each cluster, every item that has a lower-id neighbor above
+    the cosine threshold (keep-lowest-id, the same deterministic
+    representative rule as ``exact_dedup``). Cross-cluster near-dups are
+    deliberately not compared — that is the algorithm's documented
+    approximation (recall pinned vs the exact pair set in tests).
+
+    Scale shape: centroids are trained on a bounded deterministic
+    sample (``train_ivf_centroids`` — corpus-size-independent), the
+    assignment is one stateless vectorized ``map_batches`` pass, and the
+    per-cluster dedup runs inside ``groupby(list_id).map_groups`` —
+    ``nlist`` is the partition knob (a cluster ≈ corpus/nlist rows must
+    fit a worker; flops are O(cluster²) via blocked BLAS with memory
+    bounded by block × cluster). Output: (vec_id, list_id, removed) —
+    one row per input vector, removed ∈ {0, 1}."""
+
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, nlist=nlist, id_col=id_col)
+
+    bucketed = ds.map_batches(
+        lambda b: ivf_assign_batch(b, centroids, id_col),
+        batch_format="pyarrow",
+    )
+
+    def per_cluster(g: pd.DataFrame, block: int = 2048) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy().astype(np.int64)
+        vecs = _norm_rows(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        n = len(ids)
+        removed = np.zeros(n, dtype=bool)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            chunk = vecs[lo:hi]
+            if lo > 0:  # vs all earlier (lower-id) rows
+                sims = chunk @ vecs[:lo].T
+                removed[lo:hi] |= (sims >= threshold).any(axis=1)
+            tri = chunk @ chunk.T  # within-chunk strict lower triangle
+            np.fill_diagonal(tri, -1.0)
+            removed[lo:hi] |= np.any(
+                np.tril(tri >= threshold, k=-1), axis=1
+            )
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "list_id": g["list_id"].to_numpy().astype(np.int64),
+                "removed": removed.astype(np.int64),
+            }
+        )
+
+    return bucketed.groupby("list_id").map_groups(
+        per_cluster, batch_format="pandas"
+    )
+
+
 # --------------------------------------------------------------- IVF
 
 

@@ -26,6 +26,7 @@ REPEAT = [
     # pack_sequences: list-typed doc_ids column defeats normalize();
     # covered by the stronger layout-invariance test in test_ops
     "lm_score",
+    "semdedup",
     "embedding_near_dup_lsh",
     "checkpoint_ledger",
 ]

@@ -683,3 +683,75 @@ def test_components_fast_path_equals_propagation():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fast, prop)
+
+
+def test_semdedup_matches_exact_within_cluster_rule():
+    """The removed set must equal a brute-force recomputation of the
+    SemDeDup rule: within each cluster, removed iff a lower-id member
+    has cosine >= threshold."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.stages.similarity import (
+        _norm_rows,
+        semdedup,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    thr = 0.4
+    out = (
+        semdedup(ds, threshold=thr, nlist=8)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pdf = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    assert len(out) == len(pdf)  # one verdict per vector
+    vecs = _norm_rows(
+        np.stack(
+            pdf.sort_values("vec_id")["embedding"].to_numpy()
+        ).astype(np.float64)
+    )
+    ids = pdf.sort_values("vec_id")["vec_id"].to_numpy()
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    for _, grp in out.groupby("list_id"):
+        rows = np.array([id_to_row[int(v)] for v in grp["vec_id"]])
+        sims = vecs[rows] @ vecs[rows].T
+        expect = np.any(np.tril(sims >= thr, k=-1), axis=1)
+        assert np.array_equal(
+            grp.sort_values("vec_id")["removed"].to_numpy().astype(bool),
+            expect,
+        )
+    assert out["removed"].sum() > 0  # corpus has planted near-dups
+
+
+def test_semdedup_removes_planted_strong_duplicates():
+    """SemDeDup's target case: STRONG near-dups (cosine ≈ 1) land in
+    the same k-means cluster with overwhelming probability, so planted
+    duplicate partners must be removed with high recall, while the
+    random background stays untouched."""
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.similarity import semdedup
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((200, 32))
+    dup_src = rng.choice(200, size=30, replace=False)
+    dups = base[dup_src] + 0.01 * rng.standard_normal((30, 32))
+    vecs = np.concatenate([base, dups], axis=0)
+    ids = np.arange(len(vecs), dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    out = (
+        semdedup(ray.data.from_pandas(df), threshold=0.95, nlist=8)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    removed = set(out[out["removed"] == 1]["vec_id"])
+    planted = set(range(200, 230))  # the copies (higher ids than sources)
+    recall = len(removed & planted) / len(planted)
+    assert recall >= 0.9
+    # background false-positive rate near zero (random 32-dim gaussians
+    # essentially never hit cosine 0.95)
+    assert len(removed - planted) <= 2
