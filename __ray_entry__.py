@@ -1541,6 +1541,21 @@ def q_join_native(sf_dir: str):
     return grouped_count(joined, ["o_orderstatus"])
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Approximate top-frequent users via mergeable Misra-Gries
+    summaries (≤ k counters per block, driver merges k×blocks tiny
+    partials — no all-to-all shuffle of the full key space). Rows-only:
+    estimates carry an explicit max_err bound, pinned in pytest."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.sketch import heavy_hitters
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    return heavy_hitters(ds, value="user_id", k=512, top=20)
+
+
 def q_hll_distinct(sf_dir: str):
     """HyperLogLog approximate distinct users per event_type —
     mergeable-sketch combiner (rows-only; accuracy pinned in tests)."""
@@ -1600,6 +1615,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quantiles": q_quantiles,
     "join_native": q_join_native,
     "hll_distinct": q_hll_distinct,
+    "heavy_hitters": q_heavy_hitters,
     "spans": q_spans,
     "span_stats": q_span_stats,
     "span_details": q_span_details,

@@ -67,6 +67,88 @@ def _hash64(values: np.ndarray) -> np.ndarray:
     return z
 
 
+def _mg_reduce(items: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries reduction: keep ≤ k counters by subtracting the
+    (k+1)-th largest count from all (the mergeable-summaries rule,
+    Agarwal et al. 2012) — vectorized, deterministic."""
+    if len(items) <= k:
+        return items, counts, 0
+    order = np.argsort(-counts, kind="stable")
+    err = int(counts[order[k]])
+    kept = counts - err > 0
+    return items[kept], counts[kept] - err, err
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset, *, value: str, k: int = 256, top: int = 20
+) -> pd.DataFrame:
+    """Approximate top frequent items via mergeable Misra-Gries
+    summaries: each batch emits an exact value_counts reduced to ≤ k
+    counters; the driver merges the tiny partials (≤ k rows per block)
+    and reduces again. Guarantee: estimated count underestimates the
+    true count by at most n/k total decrement (returned as ``max_err``),
+    so every item with true frequency > n/k survives. Deterministic —
+    no RNG, stable tie-breaks. Output: top ``top`` rows of
+    (item, est_count, max_err) ordered by (est desc, item asc)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t[value].to_pandas().value_counts()
+        items, counts, err = _mg_reduce(
+            vc.index.to_numpy(), vc.to_numpy().astype(np.int64), k
+        )
+        # the per-block decrement rides along as a flagged sentinel row
+        # so the merged bound is an exact sum, not a lossy per-row
+        # constant (flag column, not a magic item key — pyarrow cuts
+        # numpy U-strings at NUL so reserved keys are fragile)
+        return pa.table(
+            {
+                "item": pa.array(
+                    np.concatenate([items.astype(str), [""]]).astype(object)
+                ),
+                "c": pa.array(
+                    np.concatenate([counts, [err]]).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "s": pa.array(
+                    np.r_[np.zeros(len(items), dtype=np.int8), [1]],
+                    type=pa.int8(),
+                ),
+            }
+        )
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(pdf):
+        return pd.DataFrame(
+            {
+                "item": pd.Series(dtype=object),
+                "est_count": pd.Series(dtype="int64"),
+                "max_err": pd.Series(dtype="int64"),
+            }
+        )
+    block_err = int(pdf.loc[pdf["s"] == 1, "c"].sum())
+    pdf = pdf[pdf["s"] == 0]
+    merged = pdf.groupby("item", sort=False)["c"].sum()
+    items, counts, err2 = _mg_reduce(
+        merged.index.to_numpy(), merged.to_numpy().astype(np.int64), k
+    )
+    max_err = block_err + err2
+    out = (
+        pd.DataFrame(
+            {
+                "item": items.astype(str),
+                "est_count": counts,
+                "max_err": np.full(len(items), max_err, dtype=np.int64),
+            }
+        )
+        .sort_values(
+            ["est_count", "item"], ascending=[False, True], kind="mergesort"
+        )
+        .head(top)
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def approx_distinct(
     ds: ray.data.Dataset, *, group: str, value: str, p: int = 12
 ) -> pd.DataFrame:

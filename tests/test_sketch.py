@@ -41,3 +41,37 @@ def test_approx_distinct_vs_exact():
     for _, row in approx.iterrows():
         true_n = exact[row["g"]]
         assert abs(row["approx_n"] - true_n) / true_n < 0.05
+
+
+def test_heavy_hitters_finds_true_heavy_items_with_valid_bounds():
+    from opentelemetry_collector_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.RandomState(3)
+    vals = rng.zipf(1.5, size=50_000)
+    vals = vals[vals < 100_000]
+    df = pd.DataFrame({"v": vals.astype(np.int64)})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(8)
+    out = heavy_hitters(ds, value="v", k=256, top=20)
+    true = df["v"].astype(str).value_counts()
+    # every true top-10 item must survive (freq >> n/k)
+    got_items = set(out["item"])
+    for item in true.head(10).index:
+        assert item in got_items
+    # estimates never overcount and stay within the reported bound
+    for _, row in out.iterrows():
+        t = int(true[row["item"]])
+        assert row["est_count"] <= t
+        assert t - row["est_count"] <= row["max_err"]
+
+
+def test_heavy_hitters_exact_when_k_exceeds_cardinality():
+    from opentelemetry_collector_ray.functions.sketch import heavy_hitters
+
+    df = pd.DataFrame({"v": (np.arange(1000) % 7).astype(np.int64)})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    out = heavy_hitters(ds, value="v", k=64, top=10)
+    assert out["max_err"].eq(0).all()
+    true = df["v"].astype(str).value_counts()
+    assert len(out) == 7
+    for _, row in out.iterrows():
+        assert row["est_count"] == int(true[row["item"]])
