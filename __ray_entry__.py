@@ -1541,6 +1541,44 @@ def q_join_native(sf_dir: str):
     return grouped_count(joined, ["o_orderstatus"])
 
 
+def q_bloom_dedup(sf_dir: str):
+    """Incremental-ingestion dedup via a mergeable Bloom filter: build
+    the membership sketch over the 'already ingested' half of the
+    corpus (even doc_ids — per-block bitmaps OR-merged), broadcast it
+    once, and flag the incoming half (odd doc_ids) as maybe-dup /
+    definitely-new with zero shuffle. Rows-only: Bloom false positives
+    are not SQL-expressible; no-false-negative + FP-rate pinned in
+    pytest."""
+    import ray
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.sketch import (
+        bloom_filter_new,
+        build_bloom,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    def _parity(t: pa.Table, want: int) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.filter(
+            _pc.equal(_pc.bit_wise_and(t["doc_id"], 1), want)
+        )
+
+    old = docs.map_batches(
+        lambda t: _parity(t, 0), batch_format="pyarrow"
+    )
+    new = docs.map_batches(
+        lambda t: _parity(t, 1), batch_format="pyarrow"
+    )
+    bloom = build_bloom(old, value="text")
+    ref = ray.put(bloom)
+    flagged = bloom_filter_new(new, ref, value="text")
+    return flagged.select_columns(["doc_id", "maybe_dup"])
+
+
 def q_heavy_hitters(sf_dir: str):
     """Approximate top-frequent users via mergeable Misra-Gries
     summaries (≤ k counters per block, driver merges k×blocks tiny
@@ -1616,6 +1654,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "join_native": q_join_native,
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
+    "bloom_dedup": q_bloom_dedup,
     "spans": q_spans,
     "span_stats": q_span_stats,
     "span_details": q_span_details,

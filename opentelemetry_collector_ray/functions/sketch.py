@@ -179,3 +179,84 @@ def approx_distinct(
         .sort_values(group, kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------------- Bloom
+
+_BLOOM_HASH_KEYS = ("otelray-bloom-h1", "otelray-bloom-h2")
+
+
+def _bloom_positions(values: np.ndarray, m_bits: int, hashes: int):
+    """(N, hashes) bit positions via double hashing — two fixed-key
+    pd.util.hash_array passes derive all k probes (Kirsch-Mitzenmacher),
+    deterministic across processes."""
+    vals = np.asarray(values, dtype=object)
+    h1 = pd.util.hash_array(vals, hash_key=_BLOOM_HASH_KEYS[0])
+    h2 = pd.util.hash_array(vals, hash_key=_BLOOM_HASH_KEYS[1]) | np.uint64(1)
+    i = np.arange(hashes, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(
+            np.int64
+        )
+
+
+def build_bloom(
+    ds: ray.data.Dataset, *, value: str, m_bits: int = 1 << 20, hashes: int = 4
+) -> np.ndarray:
+    """Distributed Bloom-filter build: each block sets its members' bits
+    in a local bitmap and emits ONE packed row (m/8 bytes); the driver
+    ORs the per-block bitmaps — bitwise OR is the mergeable-sketch
+    combine, so any merge order/topology works. Size ``m_bits`` ≈
+    10 bits/key for ~1% false positives at cluster scale (the knob
+    scales with corpus-A cardinality, not corpus-B size)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        vals = t[value].to_numpy(zero_copy_only=False)
+        if len(vals):
+            pos = _bloom_positions(vals, m_bits, hashes).ravel()
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pa.table({"_bloom": pa.array([bits.tobytes()], type=pa.binary())})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for blob in parts["_bloom"]:
+        merged |= np.frombuffer(blob, dtype=np.uint8)
+    return merged
+
+
+def bloom_filter_new(
+    ds: ray.data.Dataset,
+    bloom_ref,
+    *,
+    value: str,
+    m_bits: int = 1 << 20,
+    hashes: int = 4,
+) -> ray.data.Dataset:
+    """Incremental-ingestion dedup: flag each incoming row as
+    ``maybe_dup`` (all probe bits set — definite dups always flagged, no
+    false negatives) or definitely-new. The filter is broadcast ONCE
+    (``ray.put`` the packed bitmap, resolved per task), never re-shipped
+    per batch; the stream never shuffles."""
+    import ray as _ray
+
+    def flag(t: pa.Table) -> pa.Table:
+        bits = bloom_ref
+        if isinstance(bits, _ray.ObjectRef):
+            bits = _ray.get(bits)
+        vals = t[value].to_numpy(zero_copy_only=False)
+        if not len(vals):
+            return t.append_column(
+                "maybe_dup", pa.array([], type=pa.int64())
+            )
+        pos = _bloom_positions(vals, m_bits, hashes)
+        member = (
+            (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        ).all(axis=1)
+        return t.append_column(
+            "maybe_dup", pa.array(member.astype(np.int64), type=pa.int64())
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -75,3 +75,46 @@ def test_heavy_hitters_exact_when_k_exceeds_cardinality():
     assert len(out) == 7
     for _, row in out.iterrows():
         assert row["est_count"] == int(true[row["item"]])
+
+
+def test_bloom_no_false_negatives_and_low_fp_rate():
+    from opentelemetry_collector_ray.functions.sketch import (
+        bloom_filter_new,
+        build_bloom,
+    )
+    import ray
+
+    old_texts = [f"document body number {i}" for i in range(2000)]
+    dup_texts = old_texts[::40]  # 50 true dups
+    new_texts = [f"fresh incoming text {i}" for i in range(1000)]
+    old = ray.data.from_arrow(
+        pa.table({"text": old_texts})
+    ).repartition(8)
+    incoming = ray.data.from_arrow(
+        pa.table(
+            {
+                "text": dup_texts + new_texts,
+                "is_dup": [1] * len(dup_texts) + [0] * len(new_texts),
+            }
+        )
+    ).repartition(4)
+    bloom = build_bloom(old, value="text")
+    out = (
+        bloom_filter_new(incoming, ray.put(bloom), value="text")
+        .to_pandas()
+    )
+    dups = out[out["is_dup"] == 1]
+    assert dups["maybe_dup"].eq(1).all()  # a Bloom filter NEVER misses
+    fresh = out[out["is_dup"] == 0]
+    assert fresh["maybe_dup"].mean() < 0.05  # ~1% expected at 10 bits/key
+
+
+def test_bloom_merge_is_block_layout_invariant():
+    from opentelemetry_collector_ray.functions.sketch import build_bloom
+
+    texts = pa.table({"text": [f"t-{i}" for i in range(5000)]})
+    one = build_bloom(ray.data.from_arrow(texts), value="text")
+    many = build_bloom(
+        ray.data.from_arrow(texts).repartition(16), value="text"
+    )
+    assert np.array_equal(one, many)
