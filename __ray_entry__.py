@@ -1246,6 +1246,35 @@ def q_lm_score(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def q_perplexity_buckets(sf_dir: str):
+    """CCNet head/middle/tail split (arXiv:1911.00359): per-language
+    perplexity terciles under the corpus unigram LM — histogram
+    threshold pass + stateless assignment, no per-lang sort."""
+    import ray
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import _cached_stage
+    from opentelemetry_collector_ray.stages.text import (
+        LMScoreStage,
+        build_unigram_lm,
+        perplexity_buckets,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    lm_ref = ray.put(build_unigram_lm(docs))
+
+    def score(batch):
+        return _cached_stage(lm_ref.hex(), lambda: LMScoreStage(lm_ref))(
+            batch
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    out = perplexity_buckets(scored, lang_col="lang", score_col="lm_score")
+    return out.select_columns(["doc_id", "lang", "ppl_bucket"])
+
+
 def q_dup_spans(sf_dir: str):
     """Exact-substring duplication scoring: per doc, fraction of its
     distinct 5-grams occurring in at least one other document."""
@@ -1685,6 +1714,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "delta_rate": q_delta_rate,
     "metrics_generation": q_metrics_generation,
     "lm_score": q_lm_score,
+    "perplexity_buckets": q_perplexity_buckets,
     "head_sample": q_head_sample,
     "chunks": q_chunks,
     "dup_spans": q_dup_spans,

@@ -681,3 +681,91 @@ def bpe_token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("n_bpe_tokens", bpe).append_column(
         "n_ws_tokens", ws
     )
+
+
+# ------------------------------------------- CCNet perplexity buckets
+
+
+def perplexity_buckets(
+    scored,
+    *,
+    lang_col: str = "lang",
+    score_col: str = "lm_score",
+    quant: float = 10_000.0,
+):
+    """The CCNet head/middle/tail split (Wenzek et al. 2020,
+    arXiv:1911.00359): partition each language's documents into
+    perplexity terciles — 'head' = most-probable third under the LM,
+    'tail' = least. Works on any scored dataset carrying
+    (lang, score) where HIGHER score = lower perplexity.
+
+    Shape: per-batch partial histograms over integer-quantized scores
+    (floor(score·quant)) merge through one tiny (lang × bins) groupby;
+    the driver walks the cumulative counts per language (tiny) to find
+    the tercile bin thresholds, then a stateless broadcast pass assigns
+    buckets by comparing the SAME quantized integer — engine-exact, no
+    float boundary ambiguity, two streaming passes, no corpus sort
+    (a global per-lang sort is the naive alternative and is exactly the
+    all-to-all this avoids)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def quantize(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "_qbin",
+            pa.array(np.floor(s * quant).astype(np.int64), type=pa.int64()),
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({lang_col: t[lang_col], "_qbin": t["_qbin"]})
+            .group_by([lang_col, "_qbin"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([lang_col, "_qbin", "_pn"])
+
+    hist = (
+        scored.map_batches(quantize, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([lang_col, "_qbin"])
+        .aggregate(Sum("_pn", alias_name="n"))
+        .to_pandas()
+    )
+    thresholds: dict[str, tuple[int, int]] = {}
+    for lang, g in hist.groupby(lang_col):
+        g = g.sort_values("_qbin", kind="mergesort")
+        cum = g["n"].cumsum().to_numpy()
+        total = cum[-1]
+        bins = g["_qbin"].to_numpy()
+        # lowest-score third below b33, top third at/above b66
+        b33 = int(bins[np.searchsorted(cum, (total + 2) // 3)])
+        b66 = int(bins[np.searchsorted(cum, (2 * total + 2) // 3)])
+        thresholds[lang] = (b33, b66)
+    thr_ref = _ray.put(thresholds)
+
+    def assign(t: pa.Table) -> pa.Table:
+        thr = thr_ref
+        if isinstance(thr, _ray.ObjectRef):
+            thr = _ray.get(thr)
+        langs = _pd.Series(t[lang_col].to_numpy(zero_copy_only=False))
+        qb = t["_qbin"].to_numpy(zero_copy_only=False)
+        lo = (
+            langs.map({k: v[0] for k, v in thr.items()})
+            .fillna(0)
+            .to_numpy(np.int64)
+        )
+        hi = (
+            langs.map({k: v[1] for k, v in thr.items()})
+            .fillna(0)
+            .to_numpy(np.int64)
+        )
+        bucket = np.where(qb > hi, "head", np.where(qb > lo, "middle", "tail"))
+        out = t.drop_columns(["_qbin"])
+        return out.append_column(
+            "ppl_bucket", pa.array(bucket.astype(object), type=pa.string())
+        )
+
+    return scored.map_batches(quantize, batch_format="pyarrow").map_batches(
+        assign, batch_format="pyarrow"
+    )

@@ -755,3 +755,43 @@ def test_semdedup_removes_planted_strong_duplicates():
     # background false-positive rate near zero (random 32-dim gaussians
     # essentially never hit cosine 0.95)
     assert len(removed - planted) <= 2
+
+
+def test_perplexity_buckets_terciles_and_ordering():
+    """Buckets are per-lang terciles: sizes within bin-granularity slop
+    of n/3, and every head doc scores above every tail doc of the same
+    language."""
+    import pandas as pd
+
+    import __ray_entry__ as em
+
+    out = em.queries()["perplexity_buckets"](SF_DIR).to_pandas()
+    # rerun the scorer standalone to get the scores for the order check
+    import ray.data
+    from opentelemetry_collector_ray.stages.text import (
+        LMScoreStage,
+        build_unigram_lm,
+    )
+    import ray as _ray
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    lm_ref = _ray.put(build_unigram_lm(docs))
+    scored = docs.map_batches(
+        LMScoreStage,
+        fn_constructor_kwargs={"vocab_ref": lm_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    j = out.merge(scored[["doc_id", "lm_score"]], on="doc_id")
+    assert len(j) == len(out)
+    for lang, g in j.groupby("lang"):
+        n = len(g)
+        sizes = g["ppl_bucket"].value_counts()
+        for b in ("head", "middle", "tail"):
+            # tercile within quantization slop (scores cluster in bins)
+            assert abs(sizes.get(b, 0) - n / 3) <= max(3, 0.15 * n)
+        head_min = g.loc[g["ppl_bucket"] == "head", "lm_score"].min()
+        tail_max = g.loc[g["ppl_bucket"] == "tail", "lm_score"].max()
+        assert head_min > tail_max
