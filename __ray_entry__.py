@@ -1246,6 +1246,19 @@ def q_lm_score(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-based source rebalancing: kept counts ∝
+    sqrt(n_min·n_s) via an engine-exact integer keep rule."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import temperature_mix
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return temperature_mix(docs, key_col="lang")
+
+
 def q_perplexity_buckets(sf_dir: str):
     """CCNet head/middle/tail split (arXiv:1911.00359): per-language
     perplexity terciles under the corpus unigram LM — histogram
@@ -1715,6 +1728,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "metrics_generation": q_metrics_generation,
     "lm_score": q_lm_score,
     "perplexity_buckets": q_perplexity_buckets,
+    "temperature_mix": q_temperature_mix,
     "head_sample": q_head_sample,
     "chunks": q_chunks,
     "dup_spans": q_dup_spans,
@@ -2175,6 +2189,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id % 10 <> 0) "
             "SELECT tg.doc_id, count(*) AS n_shared FROM test_g tg "
             "JOIN train_g USING (gram) GROUP BY tg.doc_id"
+        ),
+        "temperature_mix": (
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents "
+            "GROUP BY lang), "
+            "m AS (SELECT min(n) AS n_min FROM c), "
+            "r AS (SELECT lang, cast(floor(10000 * "
+            "sqrt(cast(n_min AS double) / n)) AS bigint) AS bp "
+            "FROM c, m) "
+            "SELECT d.doc_id, d.lang FROM documents d "
+            "JOIN r USING (lang) "
+            "WHERE (d.doc_id * 48271) % 10000 < r.bp"
         ),
         "mix_sample": (
             "SELECT doc_id, lang FROM documents "

@@ -769,3 +769,56 @@ def perplexity_buckets(
     return scored.map_batches(quantize, batch_format="pyarrow").map_batches(
         assign, batch_format="pyarrow"
     )
+
+
+# -------------------------------------- temperature-weighted mixing
+
+
+def temperature_mix(docs, *, key_col: str = "source", id_col: str = "doc_id"):
+    """Temperature-based source rebalancing (the multilingual/domain
+    sampling idiom, e.g. multilingual BERT's exponent-smoothed rates;
+    temperature T=2 ⇒ keep rate ∝ (n_min/n_s)^(1/2)): down-sample large
+    sources toward the smallest one so kept counts go as
+    sqrt(n_min · n_s). Deterministic and engine-exact: sqrt is
+    correctly-rounded IEEE (identical in DuckDB and numpy), the
+    per-source rate is floored to basis points once, and the per-row
+    keep rule is the seed-free integer test
+    ``(doc_id · 48271) % 10000 < rate_bp[source]`` — resumes and
+    re-runs keep exactly the same rows.
+
+    Shape: one tiny uniform groupby for source counts (combiner-sized —
+    sources are few), rates computed on the driver, broadcast in the
+    closure, then a stateless vectorized filter. No shuffle of the
+    corpus itself."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({key_col: t[key_col]})
+            .group_by([key_col])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([key_col, "_pn"])
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("_pn", alias_name="n"))
+        .to_pandas()
+    )
+    n_min = float(counts["n"].min())
+    rates = {
+        r[key_col]: int(np.floor(10000.0 * np.sqrt(n_min / float(r["n"]))))
+        for _, r in counts.iterrows()
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pctl = (ids * _MIX_A) % 10000
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        thresh = np.asarray(
+            [rates.get(v, 0) for v in keys], dtype=np.int64
+        )
+        return t.filter(pa.array(pctl < thresh))
+
+    return docs.map_batches(keep, batch_format="pyarrow")

@@ -795,3 +795,32 @@ def test_perplexity_buckets_terciles_and_ordering():
         head_min = g.loc[g["ppl_bucket"] == "head", "lm_score"].min()
         tail_max = g.loc[g["ppl_bucket"] == "tail", "lm_score"].max()
         assert head_min > tail_max
+
+
+def test_temperature_mix_rebalances_toward_sqrt():
+    """Kept counts track sqrt(n_min*n_s): the smallest source survives
+    whole, large sources shrink, and relative sizes compress."""
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.text import temperature_mix
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(13000, dtype=np.int64),
+            "src": ["big"] * 10000 + ["mid"] * 2500 + ["small"] * 500,
+        }
+    )
+    out = (
+        temperature_mix(
+            ray.data.from_pandas(df), key_col="src", id_col="doc_id"
+        )
+        .to_pandas()
+        .groupby("src")
+        .size()
+    )
+    # expected kept ~ sqrt(500 * n_s): big ~2236, mid ~1118, small 500
+    assert out["small"] == 500  # rate 10000 -> kept entirely
+    assert abs(out["big"] - 2236) < 150
+    assert abs(out["mid"] - 1118) < 100
+    # compression: raw ratio 20x -> kept ratio ~sqrt(20)=4.5x
+    assert 3.5 < out["big"] / out["small"] < 5.5
