@@ -1119,6 +1119,48 @@ def q_exp_histogram(sf_dir: str):
     )
 
 
+def q_summary_metrics(sf_dir: str):
+    """Summary metric type (5th pdata metric type): per-series count,
+    sum and q50/q90/q99 over fixed-point milli-units — all read off one
+    distributed (series, value) histogram."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.signals import summary_metrics
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return summary_metrics(
+        ds, series="event_type", value="value", quantiles=(0.5, 0.9, 0.99)
+    )
+
+
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (event_type, hour) in one corpus pass: finest
+    histogram shuffled once, coarser levels re-aggregated from the tiny
+    finest table; sentinels instead of SQL NULLs."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.agg import grouped_rollup
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hr = (us // 3_600_000_000) % 24
+        return pa.table(
+            {"event_type": t["event_type"], "hr": pa.array(hr, pa.int64())}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    ).map_batches(derive, batch_format="pyarrow")
+    return grouped_rollup(
+        ds,
+        ["event_type", "hr"],
+        alias="n",
+        sentinels={"event_type": "(all)", "hr": -1},
+    )
+
+
 def q_gauge_last(sf_dir: str):
     """Gauge metric type: last observed value per series."""
     import ray.data
@@ -1649,6 +1691,54 @@ def q_hll_distinct(sf_dir: str):
     return approx_distinct(ds, group="event_type", value="user_id")
 
 
+def q_countmin_counts(sf_dir: str):
+    """Count-Min sketch point queries: estimated event counts for the
+    distinct event_type vocabulary — per-block (depth×width) partials
+    summed on the driver (rows-only; never-undercount pinned in
+    tests)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.sketch import (
+        build_countmin,
+        countmin_query,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type"]
+    )
+    cm = build_countmin(ds, value="event_type", width=1 << 14, depth=4)
+    vocab = sorted(
+        ds.unique("event_type")
+    )
+    return countmin_query(cm, vocab)
+
+
+def q_tdigest_quantiles(sf_dir: str):
+    """t-digest approximate q50/q90/q99/q999 of the continuous
+    events.value — mergeable k1-scale digest, the unbounded-value
+    quantile tier (rows-only; accuracy pinned in tests)."""
+    import numpy as np
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.sketch import (
+        build_tdigest,
+        tdigest_quantile,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    m, w = build_tdigest(ds, value="value", delta=200.0)
+    qs = (0.5, 0.9, 0.99, 0.999)
+    est = tdigest_quantile(m, w, qs)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "q": [int(round(q * 1000)) for q in qs],
+            "est_milli": (np.floor(est * 1000)).astype(np.int64),
+        }
+    )
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-dup pairs (cos ≥ 0.4, id_a < id_b) —
     broadcast matrix, streamed batches, exact."""
@@ -1695,6 +1785,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "quantiles": q_quantiles,
     "join_native": q_join_native,
     "hll_distinct": q_hll_distinct,
+    "countmin_counts": q_countmin_counts,
+    "tdigest_quantiles": q_tdigest_quantiles,
     "heavy_hitters": q_heavy_hitters,
     "bloom_dedup": q_bloom_dedup,
     "spans": q_spans,
@@ -1704,6 +1796,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "trace_assemble": q_trace_assemble,
     "latency_histogram": q_latency_histogram,
     "exp_histogram": q_exp_histogram,
+    "summary_metrics": q_summary_metrics,
+    "rollup": q_rollup,
     "gauge_last": q_gauge_last,
     "tail_sample": q_tail_sample,
     "vocab_topk": q_vocab_topk,
@@ -1971,6 +2065,25 @@ def oracle_sql() -> dict[str, str]:
             "ELSE cast(ceil(log2(cast(greatest(latency_ms, 1) AS double))) "
             "AS bigint) - 1 END AS bucket_idx, count(*) AS n "
             "FROM enriched WHERE latency_ms IS NOT NULL GROUP BY 1, 2"
+        ),
+        "summary_metrics": (
+            "WITH q AS (SELECT event_type, "
+            "cast(floor(value * 1000) AS bigint) AS vm "
+            "FROM events WHERE value IS NOT NULL) "
+            "SELECT event_type, cast(count(*) AS bigint) AS n, "
+            "cast(sum(vm) AS bigint) AS sum_milli, "
+            "quantile_disc(vm, 0.5) AS q50, "
+            "quantile_disc(vm, 0.9) AS q90, "
+            "quantile_disc(vm, 0.99) AS q99 "
+            "FROM q GROUP BY event_type"
+        ),
+        "rollup": (
+            "WITH e AS (SELECT event_type, "
+            "cast(extract(hour FROM ts) AS bigint) AS hr FROM events) "
+            "SELECT coalesce(event_type, '(all)') AS event_type, "
+            "cast(coalesce(hr, -1) AS bigint) AS hr, "
+            "cast(count(*) AS bigint) AS n "
+            "FROM e GROUP BY ROLLUP (event_type, hr)"
         ),
         "gauge_last": (
             "SELECT user_id, value AS last_value FROM events "

@@ -76,3 +76,40 @@ def grouped_count_driver(
     out = out.rename(columns={"_pc": alias})
     out[alias] = out[alias].astype("int64")
     return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+
+def grouped_rollup(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    *,
+    alias: str = "n",
+    sentinels: dict | None = None,
+) -> pd.DataFrame:
+    """GROUP BY ROLLUP in one pass: counts at every prefix level of
+    ``keys`` — (k1, k2, …), (k1, …), …, () — from a SINGLE shuffle on
+    the finest key combination. Coarser levels are derived by
+    re-aggregating the tiny finest-level table (groups × 1 rows) on the
+    driver, never by re-scanning the corpus: the same
+    combiner-over-partials argument as `grouped_count`, applied once
+    per level. Grouped-out columns carry a caller-chosen SENTINEL value
+    instead of SQL NULL (``coalesce`` both sides of the oracle) so
+    dtypes stay exact under the hash gate.
+    """
+    sentinels = sentinels or {}
+    finest = grouped_count(ds, keys, alias=alias).to_pandas()
+    levels = [finest]
+    for depth in range(len(keys) - 1, -1, -1):
+        kept, dropped = keys[:depth], keys[depth:]
+        if kept:
+            lvl = finest.groupby(kept, as_index=False)[alias].sum()
+        else:
+            lvl = pd.DataFrame({alias: [int(finest[alias].sum())]})
+        for col in dropped:
+            lvl[col] = sentinels.get(col, "(all)")
+            lvl[col] = lvl[col].astype(finest[col].dtype)
+        levels.append(lvl[keys + [alias]])
+    out = pd.concat(levels, ignore_index=True)
+    out[alias] = out[alias].astype("int64")
+    return out.sort_values(keys + [alias], kind="mergesort").reset_index(
+        drop=True
+    )

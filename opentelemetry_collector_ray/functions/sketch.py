@@ -16,6 +16,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 
@@ -260,3 +261,164 @@ def bloom_filter_new(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- Count-Min
+
+_CM_KEY_PREFIX = "otelray-cmrow"
+
+
+def build_countmin(
+    ds: ray.data.Dataset, *, value: str, width: int = 1 << 14, depth: int = 4
+) -> np.ndarray:
+    """Distributed Count-Min sketch build (Cormode & Muthukrishnan
+    2005): each block counts its rows into a local (depth × width)
+    table via ``depth`` independent fixed-key hash rows and emits ONE
+    packed row; the combine is elementwise SUM — commutative and
+    associative, so any merge order works (here: tiny driver reduce
+    over one row per block). Point query = min over rows; estimates
+    never undercount, and overcount ≤ e·n/width with prob 1−e^−depth.
+    Deterministic: fixed hash keys, no RNG."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cm = np.zeros((depth, width), dtype=np.int64)
+        vals = t[value].to_numpy(zero_copy_only=False)
+        if len(vals):
+            obj = np.asarray(vals, dtype=object)
+            for d in range(depth):
+                h = pd.util.hash_array(obj, hash_key=f"{_CM_KEY_PREFIX}-{d:02d}")
+                np.add.at(cm[d], (h % np.uint64(width)).astype(np.int64), 1)
+        return pa.table({"_cm": pa.array([cm.tobytes()], type=pa.binary())})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for blob in parts["_cm"]:
+        merged += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+    return merged
+
+
+def countmin_query(cm: np.ndarray, items) -> pd.DataFrame:
+    """Point-query a Count-Min table for ``items``: (item, est_count),
+    est = min over hash rows. Vectorized over the probe set."""
+    depth, width = cm.shape
+    obj = np.asarray(list(items), dtype=object)
+    est = np.full(len(obj), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        h = pd.util.hash_array(obj, hash_key=f"{_CM_KEY_PREFIX}-{d:02d}")
+        est = np.minimum(est, cm[d, (h % np.uint64(width)).astype(np.int64)])
+    return pd.DataFrame({"item": [str(x) for x in obj], "est_count": est})
+
+
+# --------------------------------------------------------- t-digest
+
+
+def _td_k(q: np.ndarray | float, delta: float):
+    """k1 scale function (Dunning & Ertl): k(q) = δ/2π · asin(2q−1).
+    Steep near q∈{0,1} → small centroids in the tails, so extreme
+    quantiles stay accurate after any merge order."""
+    return delta / (2.0 * np.pi) * np.arcsin(2.0 * np.asarray(q) - 1.0)
+
+
+def _td_block_centroids(v: np.ndarray, delta: float):
+    """Sorted values → k1-scale (mean, weight) clusters in ONE
+    vectorized pass: cluster boundaries sit at unit steps of k(q), i.e.
+    q_j = (sin(2π·k_j/δ)+1)/2 for k_j = −δ/4 … δ/4 — tiny clusters in
+    the tails (where k is steep), big ones mid-range, so extreme
+    quantiles keep single-value resolution even before the merge.
+    reduceat segment sums; no Python loop over values."""
+    n = len(v)
+    j = np.arange(int(np.floor(delta / 2.0)) + 1, dtype=np.float64)
+    k = np.minimum(-delta / 4.0 + j, delta / 4.0)
+    q = (np.sin(2.0 * np.pi * k / delta) + 1.0) / 2.0
+    edges = np.unique(np.round(q * n).astype(np.int64))
+    edges = np.unique(np.r_[0, edges[(edges > 0) & (edges < n)], n])
+    starts, ends = edges[:-1], edges[1:]
+    sums = np.add.reduceat(v, starts)
+    w = (ends - starts).astype(np.float64)
+    return sums / w, w
+
+
+def _td_merge(means: np.ndarray, weights: np.ndarray, delta: float):
+    """One merging pass (the 'merging digest' algorithm): sort by mean,
+    greedily coalesce neighbours while k(q_right) − k(q_left) ≤ 1.
+    O(#input centroids) — runs on the tiny per-block partials, never on
+    raw data."""
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    w_before = 0.0  # weight fully emitted so far
+    cur_s, cur_w = means[0] * weights[0], float(weights[0])
+    for i in range(1, len(means)):
+        q0 = w_before / total
+        q2 = (w_before + cur_w + weights[i]) / total
+        if _td_k(q2, delta) - _td_k(q0, delta) <= 1.0:
+            cur_s += means[i] * weights[i]
+            cur_w += float(weights[i])
+        else:
+            out_m.append(cur_s / cur_w)
+            out_w.append(cur_w)
+            w_before += cur_w
+            cur_s, cur_w = means[i] * weights[i], float(weights[i])
+    out_m.append(cur_s / cur_w)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def build_tdigest(
+    ds: ray.data.Dataset, *, value: str, delta: float = 200.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed t-digest (Dunning & Ertl, 'Computing extremely
+    accurate quantiles using t-digests'): each block sorts its values
+    and emits ≤ 2δ equal-weight pre-clusters as ONE packed row (the
+    mergeable-summary shape — same contract as the HLL/Bloom/CM
+    builders); the driver concatenates the tiny partials and runs one
+    k1-scale merging pass. The UNBOUNDED-continuous-value quantile tier
+    that `window2.discrete_quantiles` documents as out of scope for its
+    exact-histogram shape."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.sort(
+            t.filter(pc.is_valid(t[value]))[value]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        if not len(v):
+            return pa.table({"_m": pa.array([], type=pa.binary()),
+                             "_w": pa.array([], type=pa.binary())})
+        m, w = _td_block_centroids(v, 2.0 * delta)
+        return pa.table(
+            {
+                "_m": pa.array([m.tobytes()], type=pa.binary()),
+                "_w": pa.array([w.tobytes()], type=pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    means = np.concatenate(
+        [np.frombuffer(b, dtype=np.float64) for b in parts["_m"]]
+        or [np.empty(0)]
+    )
+    weights = np.concatenate(
+        [np.frombuffer(b, dtype=np.float64) for b in parts["_w"]]
+        or [np.empty(0)]
+    )
+    if not len(means):
+        return np.empty(0), np.empty(0)
+    return _td_merge(means, weights, delta)
+
+
+def tdigest_quantile(
+    means: np.ndarray, weights: np.ndarray, qs
+) -> np.ndarray:
+    """Quantile estimates from a merged digest: linear interpolation
+    between centroid means at cumulative mid-weights (the standard
+    t-digest inverse-CDF read-out)."""
+    cum = np.cumsum(weights) - weights / 2.0
+    total = weights.sum()
+    return np.interp(np.asarray(qs, dtype=np.float64) * total, cum, means)

@@ -525,3 +525,63 @@ def trace_assemble(spans: ray.data.Dataset) -> ray.data.Dataset:
         return agg.reset_index()
 
     return sharded_group_map(spans, ["trace_id"], per_shard)
+
+
+def summary_metrics(
+    ds: ray.data.Dataset,
+    *,
+    series: str = "event_type",
+    value: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    scale: int = 1000,
+) -> "pd.DataFrame":
+    """Summary metric type — the fifth and last pdata metric type
+    (pdata/pmetric/metric_type.go:18-28 MetricTypeSummary,
+    summary_data_point.go: count, sum, quantile values): per series,
+    observation count, sum, and a fixed quantile set.
+
+    Hash-safe fixed-point core: values are quantized ONCE to integer
+    milli-units (``floor(v*scale)`` — one IEEE multiply + floor,
+    identical in numpy and DuckDB), then count, sum AND every quantile
+    read off a single distributed (series, vm) histogram: per-batch
+    Arrow partial counts, one uniform-key groupby, and a driver walk of
+    the tiny (series, distinct-vm, count) table. One shuffle total, no
+    floats anywhere past the quantization, quantiles are exact
+    ``quantile_disc`` elements. Quantization also BOUNDS the distinct
+    values per series, which is what keeps the exact-histogram shape
+    valid at 100 TB (the caveat `window2.discrete_quantiles` documents
+    for unbounded continuous values does not apply here).
+    """
+    from ..functions.agg import grouped_count
+
+    def quantize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value]))
+        v = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        vm = np.floor(v * float(scale)).astype(np.int64)
+        return pa.table(
+            {series: t[series], "_vm": pa.array(vm, type=pa.int64())}
+        )
+
+    # (series, vm) histogram — the only shuffle
+    hist = grouped_count(
+        ds.map_batches(quantize, batch_format="pyarrow"),
+        [series, "_vm"],
+        alias="_n",
+    ).to_pandas()
+
+    rows = []
+    for sval, g in hist.groupby(series, sort=True):
+        g = g.sort_values("_vm", kind="mergesort")
+        cnt = g["_n"].to_numpy()
+        vm = g["_vm"].to_numpy()
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        row = {series: sval, "n": n, "sum_milli": int((vm * cnt).sum())}
+        for q in quantiles:
+            target = max(int(np.ceil(q * n)), 1)
+            idx = int(np.searchsorted(cum, target, side="left"))
+            row[f"q{int(round(q * 100))}"] = int(vm[idx])
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    qcols = [c for c in out.columns if c != series]
+    return out.astype({c: "int64" for c in qcols}).reset_index(drop=True)

@@ -118,3 +118,68 @@ def test_bloom_merge_is_block_layout_invariant():
         ray.data.from_arrow(texts).repartition(16), value="text"
     )
     assert np.array_equal(one, many)
+
+
+def test_countmin_never_undercounts_and_tight_on_skew():
+    """CM guarantee: est >= true always; overcount <= n*e/width (here
+    width >> distinct items so collisions are rare -> near-exact)."""
+    from opentelemetry_collector_ray.functions.sketch import (
+        build_countmin,
+        countmin_query,
+    )
+
+    rng = np.random.default_rng(7)
+    # zipf-ish skew over 200 items
+    items = np.repeat(np.arange(200), (2000 / (1 + np.arange(200))).astype(int))
+    rng.shuffle(items)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"v": items.astype(str)})
+    ).repartition(6)
+    cm = build_countmin(ds, value="v", width=1 << 12, depth=4)
+    true = pd.Series(items.astype(str)).value_counts()
+    probe = true.index.to_numpy()
+    est = countmin_query(cm, probe).set_index("item")["est_count"]
+    n = len(items)
+    for it in probe:
+        assert est[it] >= true[it]  # never undercounts, by construction
+        assert est[it] - true[it] <= np.e * n / (1 << 12) * 3
+    # total mass conserved per hash row
+    assert cm.sum(axis=1).tolist() == [n] * 4
+
+
+def test_countmin_merge_is_partition_invariant():
+    from opentelemetry_collector_ray.functions.sketch import build_countmin
+
+    df = pd.DataFrame({"v": (np.arange(5000) % 37).astype(str)})
+    a = build_countmin(ray.data.from_pandas(df).repartition(2), value="v")
+    b = build_countmin(ray.data.from_pandas(df).repartition(9), value="v")
+    assert np.array_equal(a, b)
+
+
+def test_tdigest_quantiles_accurate_and_ordered():
+    """Merged-digest quantile error ~< 1% in the mid-range and tails
+    stay tight (k1 scale), on a heavy-tailed lognormal."""
+    from opentelemetry_collector_ray.functions.sketch import (
+        build_tdigest,
+        tdigest_quantile,
+    )
+
+    rng = np.random.default_rng(11)
+    v = rng.lognormal(mean=3.0, sigma=1.0, size=120_000)
+    ds = ray.data.from_pandas(pd.DataFrame({"value": v})).repartition(8)
+    m, w = build_tdigest(ds, value="value", delta=200.0)
+    assert len(m) < 600  # compressed far below input size
+    assert w.sum() == len(v)
+    qs = np.array([0.01, 0.1, 0.5, 0.9, 0.99, 0.999])
+    est = tdigest_quantile(m, w, qs)
+    true = np.quantile(v, qs)
+    assert np.all(np.diff(est) >= 0)  # monotone inverse-CDF
+    # the t-digest guarantee is RANK accuracy: the empirical CDF at
+    # each estimate is within a fraction of a cluster of q (value-space
+    # error at extreme tails of a heavy-tailed law is unbounded for ANY
+    # rank-accurate sketch — within-cluster skew)
+    sv = np.sort(v)
+    q_err = np.abs(np.searchsorted(sv, est) / len(v) - qs)
+    assert np.all(q_err < 1e-3), q_err
+    rel = np.abs(est - true) / true
+    assert np.all(rel[1:5] < 0.01), rel  # value-tight in p10..p99
