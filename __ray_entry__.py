@@ -1606,6 +1606,22 @@ def q_quantiles(sf_dir: str):
     )
 
 
+def q_ntile(sf_dir: str):
+    """Global decile assignment (ntile-over-everything) WITHOUT a
+    global sort: distributed value histogram → broadcast start-rank
+    dict → sharded tie-ranking."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.window2 import global_ntile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return global_ntile(
+        ds, value="n_chars", tiebreak="doc_id", buckets=10, out="bucket"
+    )
+
+
 def q_join_native(sf_dir: str):
     """Ray's built-in hash-partitioned Dataset.join (same result as the
     explicit bucketed join)."""
@@ -1783,6 +1799,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sliding_window": q_sliding_window,
     "topk_per_group": q_topk_per_group,
     "quantiles": q_quantiles,
+    "ntile": q_ntile,
     "join_native": q_join_native,
     "hll_distinct": q_hll_distinct,
     "countmin_counts": q_countmin_counts,
@@ -2015,6 +2032,11 @@ def oracle_sql() -> dict[str, str]:
             "cast(quantile_disc(latency_ms, 0.5) AS bigint) AS q50, "
             "cast(quantile_disc(latency_ms, 0.95) AS bigint) AS q95 "
             "FROM enriched GROUP BY route"
+        ),
+        "ntile": (
+            "SELECT doc_id, n_chars, "
+            "cast(ntile(10) OVER (ORDER BY n_chars, doc_id) AS bigint) "
+            "AS bucket FROM documents"
         ),
         "join_native": (
             "SELECT o_orderstatus, count(*) AS n FROM lineitem "

@@ -133,3 +133,57 @@ def discrete_quantiles(
         qcols = [c for c in out.columns if c != group]
         out = out.astype({c: out_dtype for c in qcols})
     return out.reset_index(drop=True)
+
+
+def global_ntile(
+    ds: ray.data.Dataset,
+    *,
+    value: str,
+    tiebreak: str,
+    buckets: int = 10,
+    out: str = "bucket",
+) -> ray.data.Dataset:
+    """``ntile(b) OVER (ORDER BY value, tiebreak)`` WITHOUT a global
+    sort: global order statistics from a distributed value histogram.
+
+    Shape: (1) tiny combiner histogram of ``value`` counts → driver
+    prefix-sums it into a value→starting-rank dict, broadcast once
+    (``ray.put``); (2) one sharded groupby on ``value`` ranks ties by
+    ``tiebreak`` inside their value-group, so every row's exact global
+    rank is start[value] + tie-rank — no all-to-all range partition, no
+    ``ds.sort``. Valid while distinct ``value``s are bounded (same
+    contract as `discrete_quantiles`); ties-per-value is the group-size
+    bound. Bucket widths follow SQL ntile: the first n %% b buckets take
+    one extra row."""
+    import ray as _ray
+
+    from ..functions.agg import grouped_count
+    from ..functions.shard import sharded_group_map
+
+    hist = grouped_count(ds, [value], alias="_n").to_pandas()
+    hist = hist.sort_values(value, kind="mergesort")
+    starts = np.r_[0, hist["_n"].cumsum().to_numpy()[:-1]]
+    n = int(hist["_n"].sum())
+    start_ref = _ray.put(dict(zip(hist[value].tolist(), starts.tolist())))
+
+    small, nbig = divmod(n, buckets)
+    big = small + 1
+    cut = nbig * big  # ranks 1..cut live in the big buckets
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        lookup = _ray.get(start_ref)
+        g = g.sort_values([value, tiebreak], kind="mergesort")
+        v = g[value].to_numpy()
+        seg_starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+        tie = np.arange(len(g), dtype=np.int64)
+        tie -= np.repeat(tie[seg_starts], np.diff(np.r_[seg_starts, len(g)]))
+        base = np.asarray([lookup[x] for x in v[seg_starts]], dtype=np.int64)
+        rank = np.repeat(base, np.diff(np.r_[seg_starts, len(g)])) + tie + 1
+        nt = np.where(
+            rank <= cut,
+            (rank - 1) // max(big, 1) + 1,
+            nbig + (rank - cut - 1) // max(small, 1) + 1,
+        )
+        return g.assign(**{out: nt.astype(np.int64)})
+
+    return sharded_group_map(ds, [value], per_shard)

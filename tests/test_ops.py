@@ -824,3 +824,35 @@ def test_temperature_mix_rebalances_toward_sqrt():
     assert abs(out["mid"] - 1118) < 100
     # compression: raw ratio 20x -> kept ratio ~sqrt(20)=4.5x
     assert 3.5 < out["big"] / out["small"] < 5.5
+
+
+def test_global_ntile_matches_sql_convention():
+    """n=23, b=10: first 3 buckets take 3 rows, remaining 7 take 2 —
+    and ties on value are broken by the tiebreak column, matching
+    ntile() OVER (ORDER BY value, tiebreak)."""
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.window2 import global_ntile
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(23, dtype=np.int64),
+            # heavy ties: only 4 distinct values
+            "v": np.array([0, 1, 2, 3] * 5 + [0, 1, 2], dtype=np.int64),
+        }
+    )
+    out = (
+        global_ntile(
+            ray.data.from_pandas(df).repartition(3),
+            value="v",
+            tiebreak="doc_id",
+            buckets=10,
+        )
+        .to_pandas()
+        .sort_values(["v", "doc_id"])
+        .reset_index(drop=True)
+    )
+    sizes = out["bucket"].value_counts().sort_index()
+    assert sizes.tolist() == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+    # buckets are non-decreasing along the global (v, doc_id) order
+    assert (out["bucket"].diff().fillna(0) >= 0).all()
