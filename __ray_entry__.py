@@ -1135,6 +1135,39 @@ def q_summary_metrics(sf_dir: str):
     )
 
 
+def q_interval_downsample(sf_dir: str):
+    """Interval processor (contrib intervalprocessor): one point per
+    series per 15-min interval, last observation wins."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.signals import (
+        interval_downsample,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return interval_downsample(
+        ds, key="user_id", ts="ts", value="value", interval_s=900
+    )
+
+
+def q_rate_limit(sf_dir: str):
+    """Rate limiter: at most 3 events per user per hour, earliest
+    first — deterministic admission."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.signals import rate_limit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return rate_limit(
+        ds, key="user_id", ts="ts", window_s=3600, max_per_window=3
+    )
+
+
 def q_rollup(sf_dir: str):
     """GROUP BY ROLLUP (event_type, hour) in one corpus pass: finest
     histogram shuffled once, coarser levels re-aggregated from the tiny
@@ -1815,6 +1848,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "exp_histogram": q_exp_histogram,
     "summary_metrics": q_summary_metrics,
     "rollup": q_rollup,
+    "interval_downsample": q_interval_downsample,
+    "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
     "tail_sample": q_tail_sample,
     "vocab_topk": q_vocab_topk,
@@ -2098,6 +2133,17 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(vm, 0.9) AS q90, "
             "quantile_disc(vm, 0.99) AS q99 "
             "FROM q GROUP BY event_type"
+        ),
+        "interval_downsample": (
+            "SELECT user_id, epoch_us(ts) // 900000000 AS win, "
+            "value AS last_value FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id, win "
+            "ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "rate_limit": (
+            "SELECT event_id, user_id, ts FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id, "
+            "epoch_us(ts) // 3600000000 ORDER BY ts, event_id) <= 3"
         ),
         "rollup": (
             "WITH e AS (SELECT event_type, "

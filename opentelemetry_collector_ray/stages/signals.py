@@ -585,3 +585,65 @@ def summary_metrics(
     out = pd.DataFrame(rows)
     qcols = [c for c in out.columns if c != series]
     return out.astype({c: "int64" for c in qcols}).reset_index(drop=True)
+
+
+def interval_downsample(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+    interval_s: int = 900,
+) -> ray.data.Dataset:
+    """Interval processor (contrib intervalprocessor): compact each
+    series to ONE point per fixed interval — the last observation wins
+    (gauge semantics; row-literal last, same null contract as
+    `gauge_last`). One sharded shuffle on the series key; windows are
+    derived in-flight, so the shuffle key stays low-churn and uniform."""
+    from ..functions.shard import sharded_group_map
+
+    us = np.int64(interval_s) * 1_000_000
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        win = (
+            g[ts].to_numpy().astype("datetime64[us]").astype(np.int64) // us
+        )
+        g = g.assign(win=win).sort_values(
+            [key, "win", ts, tiebreak], kind="mergesort"
+        )
+        out = g.drop_duplicates(subset=[key, "win"], keep="last")
+        return out[[key, "win", value]].rename(columns={value: "last_value"})
+
+    return sharded_group_map(ds, [key], per_shard)
+
+
+def rate_limit(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    window_s: int = 3600,
+    max_per_window: int = 3,
+) -> ray.data.Dataset:
+    """Rate limiter (spike-protection idiom): admit at most
+    ``max_per_window`` rows per key per fixed window, earliest-first —
+    deterministic (ts, tiebreak) order, so admission is identical on
+    every run and at every parallelism. Same single sharded shuffle as
+    `interval_downsample`; the per-shard cumcount is a C pass."""
+    from ..functions.shard import sharded_group_map
+
+    us = np.int64(window_s) * 1_000_000
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        win = (
+            g[ts].to_numpy().astype("datetime64[us]").astype(np.int64) // us
+        )
+        g = g.assign(_win=win).sort_values(
+            [key, "_win", ts, tiebreak], kind="mergesort"
+        )
+        seq = g.groupby([key, "_win"], sort=False).cumcount()
+        return g[seq < max_per_window].drop(columns="_win")
+
+    return sharded_group_map(ds, [key], per_shard)

@@ -856,3 +856,68 @@ def test_global_ntile_matches_sql_convention():
     assert sizes.tolist() == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
     # buckets are non-decreasing along the global (v, doc_id) order
     assert (out["bucket"].diff().fillna(0) >= 0).all()
+
+
+def test_rate_limit_admits_earliest_n_per_window():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.signals import rate_limit
+
+    # 4 users x 10 events inside one hour + 2 in the next hour
+    rows = []
+    eid = 0
+    for u in range(4):
+        for i in range(12):
+            rows.append(
+                (eid, u, np.datetime64("2025-01-01T00:00:00") + np.timedelta64(i * 7, "m"))
+            )
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    out = (
+        rate_limit(
+            ray.data.from_pandas(df).repartition(3),
+            key="user_id",
+            ts="ts",
+            window_s=3600,
+            max_per_window=3,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    win = out["ts"].astype("datetime64[us]").astype(np.int64) // (3600 * 10**6)
+    per = out.groupby(["user_id", win]).size()
+    assert (per <= 3).all()
+    # earliest-first: user 0's hour-0 admissions are its first 3 events
+    u0 = out[out["user_id"] == 0]["event_id"].tolist()
+    assert u0[:3] == [0, 1, 2]
+
+
+def test_interval_downsample_one_point_per_interval():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.signals import interval_downsample
+
+    ts0 = np.datetime64("2025-01-01T00:00:00")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(8, dtype=np.int64),
+            "user_id": [1, 1, 1, 1, 2, 2, 2, 2],
+            "ts": [ts0 + np.timedelta64(m, "m") for m in (0, 5, 20, 25, 0, 1, 2, 40)],
+            "value": np.arange(8, dtype=np.float64),
+        }
+    )
+    out = (
+        interval_downsample(
+            ray.data.from_pandas(df).repartition(2),
+            key="user_id",
+            ts="ts",
+            value="value",
+            interval_s=900,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "win"])
+        .reset_index(drop=True)
+    )
+    # user 1: intervals 0 and 1, last values 1.0 and 3.0; user 2: 6.0 and 7.0
+    assert out["last_value"].tolist() == [1.0, 3.0, 6.0, 7.0]
+    assert out.groupby(["user_id", "win"]).size().eq(1).all()
