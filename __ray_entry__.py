@@ -1135,6 +1135,30 @@ def q_summary_metrics(sf_dir: str):
     )
 
 
+def q_sft_pairs(sf_dir: str):
+    """SFT prompt→response pair extraction: user turn + immediately
+    following assistant turn, one sharded conversation shuffle."""
+    from opentelemetry_collector_ray.stages.dialogue import sft_pairs
+
+    ds = _transcripts(sf_dir).map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "text"]),
+        batch_format="pyarrow",
+    )
+    return sft_pairs(ds)
+
+
+def q_dialogue_render(sf_dir: str):
+    """Chat-format flattening: each conversation rendered to one
+    ordered 'role: text' training string."""
+    from opentelemetry_collector_ray.stages.dialogue import render_dialogue
+
+    ds = _transcripts(sf_dir).map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "text"]),
+        batch_format="pyarrow",
+    )
+    return render_dialogue(ds)
+
+
 def q_interval_downsample(sf_dir: str):
     """Interval processor (contrib intervalprocessor): one point per
     series per 15-min interval, last observation wins."""
@@ -1849,6 +1873,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "summary_metrics": q_summary_metrics,
     "rollup": q_rollup,
     "interval_downsample": q_interval_downsample,
+    "sft_pairs": q_sft_pairs,
+    "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
     "tail_sample": q_tail_sample,
@@ -2133,6 +2159,24 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(vm, 0.9) AS q90, "
             "quantile_disc(vm, 0.99) AS q99 "
             "FROM q GROUP BY event_type"
+        ),
+        "sft_pairs": o.TRANSCRIPTS_CTE
+        + (
+            "SELECT conv_id, cast(turn_idx AS integer) AS prompt_idx, "
+            "text AS prompt, r AS response FROM ("
+            "SELECT conv_id, turn_idx, role, text, "
+            "lead(role) OVER w AS lr, lead(text) OVER w AS r, "
+            "lead(turn_idx) OVER w AS lt FROM transcripts "
+            "WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)) "
+            "WHERE role = 'user' AND lr = 'assistant' "
+            "AND lt = turn_idx + 1"
+        ),
+        "dialogue_render": o.TRANSCRIPTS_CTE
+        + (
+            "SELECT conv_id, cast(count(*) AS bigint) AS n_turns, "
+            "string_agg(role || ': ' || text, chr(10) "
+            "ORDER BY turn_idx) AS dialogue "
+            "FROM transcripts GROUP BY conv_id"
         ),
         "interval_downsample": (
             "SELECT user_id, epoch_us(ts) // 900000000 AS win, "

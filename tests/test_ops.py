@@ -921,3 +921,51 @@ def test_interval_downsample_one_point_per_interval():
     # user 1: intervals 0 and 1, last values 1.0 and 3.0; user 2: 6.0 and 7.0
     assert out["last_value"].tolist() == [1.0, 3.0, 6.0, 7.0]
     assert out.groupby(["user_id", "win"]).size().eq(1).all()
+
+
+def test_sft_pairs_respects_conversation_and_adjacency():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.dialogue import sft_pairs
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a", "a", "b", "b", "c"],
+            "turn_idx": np.array([0, 1, 2, 4, 0, 1, 0], dtype=np.int32),
+            "role": [
+                "user", "assistant",  # pair (a, 0)
+                "user", "assistant",  # NOT a pair: gap (2 -> 4)
+                "assistant", "user",  # wrong order
+                "user",               # conv boundary: no successor
+            ],
+            "text": list("pqrstuv"),
+        }
+    )
+    out = (
+        sft_pairs(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values(["conv_id", "prompt_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 1
+    assert out.loc[0, ["conv_id", "prompt_idx", "prompt", "response"]].tolist() == [
+        "a", 0, "p", "q"
+    ]
+
+
+def test_render_dialogue_orders_turns():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.dialogue import render_dialogue
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["x", "x", "x"],
+            "turn_idx": np.array([2, 0, 1], dtype=np.int32),  # shuffled
+            "role": ["tool", "user", "assistant"],
+            "text": ["T", "U", "A"],
+        }
+    )
+    out = render_dialogue(ray.data.from_pandas(df).repartition(2)).to_pandas()
+    assert out.loc[0, "dialogue"] == "user: U\nassistant: A\ntool: T"
+    assert out.loc[0, "n_turns"] == 3
