@@ -1135,6 +1135,54 @@ def q_summary_metrics(sf_dir: str):
     )
 
 
+def _urgent_order_custkeys(sf_dir: str):
+    """Right side for semi/anti: custkeys of URGENT orders (a strict
+    subset of customers, so both semi and anti are non-trivial)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"],
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(t["o_orderpriority"], "1-URGENT")
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .rename_columns({"o_custkey": "c_custkey"})
+    )
+
+
+def q_semi_join(sf_dir: str):
+    """SEMI join (EXISTS): customers with at least one URGENT order —
+    right side collapsed to distinct keys, one co-grouping shuffle."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.join import bucketed_semi_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return bucketed_semi_join(cust, _urgent_order_custkeys(sf_dir), "c_custkey")
+
+
+def q_anti_join(sf_dir: str):
+    """ANTI join (NOT EXISTS): customers with no URGENT order."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.join import bucketed_semi_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return bucketed_semi_join(
+        cust, _urgent_order_custkeys(sf_dir), "c_custkey", anti=True
+    )
+
+
 def q_sft_pairs(sf_dir: str):
     """SFT prompt→response pair extraction: user turn + immediately
     following assistant turn, one sharded conversation shuffle."""
@@ -1874,6 +1922,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rollup": q_rollup,
     "interval_downsample": q_interval_downsample,
     "sft_pairs": q_sft_pairs,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -2159,6 +2209,16 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(vm, 0.9) AS q90, "
             "quantile_disc(vm, 0.99) AS q99 "
             "FROM q GROUP BY event_type"
+        ),
+        "semi_join": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "anti_join": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"
         ),
         "sft_pairs": o.TRANSCRIPTS_CTE
         + (

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -42,6 +43,22 @@ def broadcast_join(
         return batch.merge(rhs, on=on, how=how)
 
     return ds.map_batches(merge, batch_format="pandas")
+
+
+def _as_pa_type(t) -> pa.DataType:
+    """Normalize a Ray ``Schema.types`` entry to a pyarrow DataType.
+
+    Arrow-backed datasets yield pyarrow types; pandas-backed ones yield
+    numpy dtypes (object for strings)."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        dt = np.dtype(t)
+    except TypeError:
+        return pa.string()
+    if dt == np.dtype("O"):
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
 
 
 def _hash_bucket(col: pa.ChunkedArray | pa.Array, buckets: int) -> pa.Array:
@@ -80,8 +97,8 @@ def bucketed_hash_join(
     rschema = right.schema()
     lcols = list(lschema.names)
     rcols = list(rschema.names)
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = {n: _as_pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _as_pa_type(t) for n, t in zip(rschema.names, rschema.types)}
     # disambiguate right-side collisions up front
     collide = [c for c in rcols if c in lcols and c != on]
     if collide:
@@ -269,3 +286,71 @@ def range_join(
         return out.astype({c: "int64" for c in int_cols if c in out})
 
     return sharded_group_map(both, [key], per_shard)
+
+
+def bucketed_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    *,
+    anti: bool = False,
+    buckets: int = 16,
+) -> ray.data.Dataset:
+    """SEMI / ANTI join at scale: keep (semi) or drop (anti) the left
+    rows whose key appears on the right — EXISTS / NOT EXISTS, left
+    rows never duplicated.
+
+    Shape: the right side collapses to per-batch DISTINCT keys first (a
+    combiner — the shuffle then carries right keys once per batch, not
+    once per row), both sides bucket by key hash, one co-grouping
+    shuffle, and each bucket filters with a vectorized ``isin``. For a
+    small right side prefer a broadcast set (`broadcast_join` idiom);
+    this is the large-right path."""
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        b = _hash_bucket(batch[on], buckets)
+        return batch.append_column("_bucket", b).append_column(
+            "_side", pa.array(np.zeros(len(batch), dtype=np.int8))
+        )
+
+    lschema = left.schema()
+    lcols = list(lschema.names)
+    ltypes = {n: _as_pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(
+            batch[on].combine_chunks()
+            if isinstance(batch[on], pa.ChunkedArray)
+            else batch[on]
+        )
+        t = pa.table({on: keys})
+        for c in lcols:
+            if c != on:
+                t = t.append_column(c, pa.nulls(len(t), type=ltypes[c]))
+        t = t.select(lcols)
+        return t.append_column(
+            "_bucket", _hash_bucket(t[on], buckets)
+        ).append_column("_side", pa.array(np.ones(len(t), dtype=np.int8)))
+
+    both = left.map_batches(prep_left, batch_format="pyarrow").union(
+        right.select_columns([on]).map_batches(
+            prep_right, batch_format="pyarrow"
+        )
+    )
+    both = both.repartition(max(buckets * 2, 16))
+
+    # Emit Arrow with an explicit schema: an empty pandas block has no
+    # inferable dtypes, and one schema-less block poisons Ray's schema
+    # unification (the whole result surfaced as zero columns).
+    out_schema = pa.schema([pa.field(c, ltypes[c]) for c in lcols])
+
+    def filter_bucket(g: pd.DataFrame) -> pa.Table:
+        lg = g.loc[g["_side"] == 0, lcols]
+        rkeys = g.loc[g["_side"] == 1, on]
+        hit = lg[on].isin(set(rkeys))
+        out = lg[~hit] if anti else lg[hit]
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return both.groupby("_bucket").map_groups(
+        filter_bucket, batch_format="pandas"
+    )

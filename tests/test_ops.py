@@ -969,3 +969,35 @@ def test_render_dialogue_orders_turns():
     out = render_dialogue(ray.data.from_pandas(df).repartition(2)).to_pandas()
     assert out.loc[0, "dialogue"] == "user: U\nassistant: A\ntool: T"
     assert out.loc[0, "n_turns"] == 3
+
+
+def test_bucketed_semi_and_anti_join():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.join import bucketed_semi_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3, 4, 5], "v": list("abcde")})
+    ).repartition(3)
+    # duplicate right keys: semi must NOT duplicate left rows
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": [2, 2, 2, 4, 9, 9]})
+    ).repartition(2)
+
+    semi = (
+        bucketed_semi_join(left, right, "k", buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert semi["k"].tolist() == [2, 4]
+    assert semi["v"].tolist() == ["b", "d"]
+
+    anti = (
+        bucketed_semi_join(left, right, "k", anti=True, buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert anti["k"].tolist() == [1, 3, 5]
+    assert anti["v"].tolist() == ["a", "c", "e"]
