@@ -1183,6 +1183,43 @@ def q_anti_join(sf_dir: str):
     )
 
 
+def _lineitem_flag_pairs(sf_dir: str, flag: str):
+    """Distinct-ish (l_partkey, l_suppkey) stream for one return flag —
+    the two relations the set-operation queries compare."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_returnflag"],
+    ).map_batches(
+        lambda t, f=flag: t.filter(pc.equal(t["l_returnflag"], f)).select(
+            ["l_partkey", "l_suppkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_set_intersect(sf_dir: str):
+    """SQL INTERSECT: (partkey, suppkey) pairs shipped both Returned
+    and Accepted — per-batch distinct combiner, one co-group shuffle."""
+    from opentelemetry_collector_ray.functions.setops import dataset_intersect
+
+    return dataset_intersect(
+        _lineitem_flag_pairs(sf_dir, "R"), _lineitem_flag_pairs(sf_dir, "A")
+    )
+
+
+def q_set_except(sf_dir: str):
+    """SQL EXCEPT: (partkey, suppkey) pairs shipped Returned but never
+    Accepted."""
+    from opentelemetry_collector_ray.functions.setops import dataset_except
+
+    return dataset_except(
+        _lineitem_flag_pairs(sf_dir, "R"), _lineitem_flag_pairs(sf_dir, "A")
+    )
+
+
 def q_sft_pairs(sf_dir: str):
     """SFT prompt→response pair extraction: user turn + immediately
     following assistant turn, one sharded conversation shuffle."""
@@ -1924,6 +1961,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sft_pairs": q_sft_pairs,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -2219,6 +2258,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer "
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "set_intersect": (
+            "SELECT l_partkey, l_suppkey FROM lineitem "
+            "WHERE l_returnflag = 'R' "
+            "INTERSECT "
+            "SELECT l_partkey, l_suppkey FROM lineitem "
+            "WHERE l_returnflag = 'A'"
+        ),
+        "set_except": (
+            "SELECT l_partkey, l_suppkey FROM lineitem "
+            "WHERE l_returnflag = 'R' "
+            "EXCEPT "
+            "SELECT l_partkey, l_suppkey FROM lineitem "
+            "WHERE l_returnflag = 'A'"
         ),
         "sft_pairs": o.TRANSCRIPTS_CTE
         + (

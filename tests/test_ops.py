@@ -1001,3 +1001,42 @@ def test_bucketed_semi_and_anti_join():
     )
     assert anti["k"].tolist() == [1, 3, 5]
     assert anti["v"].tolist() == ["a", "c", "e"]
+
+
+def test_dataset_intersect_and_except():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.setops import (
+        dataset_except,
+        dataset_intersect,
+    )
+
+    # duplicates on both sides: output must be DISTINCT (SQL semantics)
+    a = ray.data.from_pandas(
+        pd.DataFrame({"x": [1, 1, 2, 3, 4], "y": list("aabcd")})
+    ).repartition(3)
+    b = ray.data.from_pandas(
+        pd.DataFrame({"x": [2, 2, 4, 9], "y": list("bbdz")})
+    ).repartition(2)
+
+    inter = (
+        dataset_intersect(a, b, shards=8)
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    assert inter["x"].tolist() == [2, 4]
+    assert inter["y"].tolist() == ["b", "d"]
+
+    exc = (
+        dataset_except(a, b, shards=8)
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    assert exc["x"].tolist() == [1, 3]
+    assert exc["y"].tolist() == ["a", "c"]
+
+    mismatched = ray.data.from_pandas(pd.DataFrame({"x": [1], "z": ["a"]}))
+    with pytest.raises(ValueError):
+        dataset_intersect(a, mismatched)
