@@ -1220,6 +1220,70 @@ def q_set_except(sf_dir: str):
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_counts(sf_dir: str):
+    """Long→wide pivot: per-user count of each event type as its own
+    int64 column — per-batch indicator combiner, one uniform groupby."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.reshape import pivot_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_counts(ds, "user_id", "event_type", _EVENT_TYPES)
+
+
+def q_unpivot_counts(sf_dir: str):
+    """Wide→long melt of the pivot (zero-count cells dropped) — proves
+    melt(pivot(x)) round-trips to the plain grouped count."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.reshape import melt, pivot_counts
+
+    wide = pivot_counts(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        ),
+        "user_id",
+        "event_type",
+        _EVENT_TYPES,
+    )
+    long = melt(
+        wide, ["user_id"], _EVENT_TYPES, var_name="event_type", value_name="n"
+    )
+    return long.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 0)), batch_format="pyarrow"
+    )
+
+
+def q_rolling_sum(sf_dir: str):
+    """Per-row rolling 4-event sum of the user's fixed-point values
+    (SQL ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) — one sharded
+    key shuffle, cumulative-sum prefix difference per shard."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.window2 import rolling_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    ).map_batches(
+        lambda t: t.append_column(
+            "vm",
+            pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64()),
+        ).drop(["value"]),
+        batch_format="pyarrow",
+    )
+    return rolling_sum(
+        ds, key="user_id", order=["ts", "event_id"], value="vm", window=4
+    ).select_columns(["user_id", "event_id", "roll_sum"])
+
+
 def q_sft_pairs(sf_dir: str):
     """SFT prompt→response pair extraction: user turn + immediately
     following assistant turn, one sharded conversation shuffle."""
@@ -1963,6 +2027,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "anti_join": q_anti_join,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
+    "pivot_counts": q_pivot_counts,
+    "unpivot_counts": q_unpivot_counts,
+    "rolling_sum": q_rolling_sum,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -2272,6 +2339,27 @@ def oracle_sql() -> dict[str, str]:
             "EXCEPT "
             "SELECT l_partkey, l_suppkey FROM lineitem "
             "WHERE l_returnflag = 'A'"
+        ),
+        "pivot_counts": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"cast(sum(CASE WHEN event_type = '{v}' THEN 1 ELSE 0 END) "
+                f"AS bigint) AS {v}"
+                for v in _EVENT_TYPES
+            )
+            + " FROM events GROUP BY user_id"
+        ),
+        "unpivot_counts": (
+            "SELECT user_id, event_type, cast(count(*) AS bigint) AS n "
+            "FROM events GROUP BY user_id, event_type"
+        ),
+        "rolling_sum": (
+            "WITH q AS (SELECT user_id, event_id, ts, "
+            "cast(floor(value * 1000) AS bigint) AS vm FROM events) "
+            "SELECT user_id, event_id, "
+            "cast(sum(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS bigint) "
+            "AS roll_sum FROM q"
         ),
         "sft_pairs": o.TRANSCRIPTS_CTE
         + (

@@ -187,3 +187,36 @@ def global_ntile(
         return g.assign(**{out: nt.astype(np.int64)})
 
     return sharded_group_map(ds, [value], per_shard)
+
+
+def rolling_sum(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    order: list[str] | None = None,
+    value: str = "vm",
+    window: int = 4,
+    out: str = "roll_sum",
+) -> ray.data.Dataset:
+    """Per-row rolling sum over the key's last ``window`` rows — SQL
+    ``SUM(value) OVER (PARTITION BY key ORDER BY order ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)``. Vectorized across every key
+    in the shard at once: one sort, one cumulative sum, one clamped
+    prefix-difference — no per-key loop, no per-row Python."""
+    from ..functions.shard import sharded_group_map
+
+    order = order or ["ts"]
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order, kind="mergesort")
+        v = g[value].to_numpy().astype(np.int64)
+        k = g[key].to_numpy()
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        seg_start = np.repeat(starts, np.diff(np.r_[starts, len(k)]))
+        cs = np.cumsum(v)
+        idx = np.arange(len(k), dtype=np.int64)
+        j = np.maximum(seg_start, idx - window + 1)  # window start row
+        prev = np.where(j > 0, cs[np.maximum(j - 1, 0)], 0)
+        return g.assign(**{out: cs - prev})
+
+    return sharded_group_map(ds, [key], per_shard)

@@ -1040,3 +1040,74 @@ def test_dataset_intersect_and_except():
     mismatched = ray.data.from_pandas(pd.DataFrame({"x": [1], "z": ["a"]}))
     with pytest.raises(ValueError):
         dataset_intersect(a, mismatched)
+
+
+def test_pivot_counts_and_melt_roundtrip():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.reshape import melt, pivot_counts
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 3],
+            "t": ["a", "a", "b", "b", "zzz"],  # zzz outside the value set
+        }
+    )
+    wide = (
+        pivot_counts(
+            ray.data.from_pandas(df).repartition(3), "u", "t", ["a", "b"]
+        )
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert wide["u"].tolist() == [1, 2, 3]
+    assert wide["a"].tolist() == [2, 0, 0]  # zero cells materialize
+    assert wide["b"].tolist() == [1, 1, 0]  # u=3 row survives with 0s
+
+    long = (
+        melt(
+            ray.data.from_pandas(wide),
+            ["u"],
+            ["a", "b"],
+            var_name="t",
+            value_name="n",
+        )
+        .to_pandas()
+        .sort_values(["u", "t"])
+        .reset_index(drop=True)
+    )
+    assert len(long) == 6  # every (row, value-col) pair, zeros included
+    assert long.loc[(long["u"] == 1) & (long["t"] == "a"), "n"].item() == 2
+    assert long.loc[(long["u"] == 3) & (long["t"] == "b"), "n"].item() == 0
+
+
+def test_rolling_sum_window_semantics():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.window2 import rolling_sum
+
+    df = pd.DataFrame(
+        {
+            "k": ["x"] * 5 + ["y"] * 2,
+            "o": [1, 2, 3, 4, 5, 1, 2],
+            "v": [1, 10, 100, 1000, 10000, 7, 8],
+        }
+    )
+    out = (
+        rolling_sum(
+            ray.data.from_pandas(df).repartition(3),
+            key="k",
+            order=["o"],
+            value="v",
+            window=3,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    # x: windows of 3 rows, shorter at the head; y: independent key
+    assert out.loc[out["k"] == "x", "roll_sum"].tolist() == [
+        1, 11, 111, 1110, 11100
+    ]
+    assert out.loc[out["k"] == "y", "roll_sum"].tolist() == [7, 15]
