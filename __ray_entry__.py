@@ -1284,6 +1284,46 @@ def q_rolling_sum(sf_dir: str):
     ).select_columns(["user_id", "event_id", "roll_sum"])
 
 
+def q_lag_lead(sf_dir: str):
+    """SQL LAG/LEAD: each event's previous and next event type within
+    its user's timeline — one sharded key shuffle, whole-shard shifted
+    slices with segment-boundary masking."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.window2 import lag_lead
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    return lag_lead(
+        ds,
+        key="user_id",
+        order=["ts", "event_id"],
+        col="event_type",
+        lag_name="prev_type",
+        lead_name="next_type",
+    ).select_columns(["user_id", "event_id", "prev_type", "next_type"])
+
+
+def q_normalize(sf_dir: str):
+    """Canonical text normalization (lowercase, strip punctuation,
+    collapse whitespace) over a mixed-case column — stateless
+    vectorized RE2 kernels, zero shuffle."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import normalize_batch
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(
+        lambda t: normalize_batch(t, col="c_name", out="name_norm").select(
+            ["c_custkey", "name_norm"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_sft_pairs(sf_dir: str):
     """SFT prompt→response pair extraction: user turn + immediately
     following assistant turn, one sharded conversation shuffle."""
@@ -2030,6 +2070,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pivot_counts": q_pivot_counts,
     "unpivot_counts": q_unpivot_counts,
     "rolling_sum": q_rolling_sum,
+    "lag_lead": q_lag_lead,
+    "normalize": q_normalize,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -2352,6 +2394,19 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_counts": (
             "SELECT user_id, event_type, cast(count(*) AS bigint) AS n "
             "FROM events GROUP BY user_id, event_type"
+        ),
+        "normalize": (
+            "SELECT c_custkey, "
+            "trim(regexp_replace(regexp_replace(lower(c_name), "
+            "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS name_norm "
+            "FROM customer"
+        ),
+        "lag_lead": (
+            "SELECT user_id, event_id, "
+            "LAG(event_type) OVER w AS prev_type, "
+            "LEAD(event_type) OVER w AS next_type "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "rolling_sum": (
             "WITH q AS (SELECT user_id, event_id, ts, "

@@ -133,6 +133,25 @@ def redact_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("text_redacted", text)
 
 
+def normalize_batch(
+    batch: pa.Table, col: str = "text", out: str | None = None
+) -> pa.Table:
+    """Canonical text normalization for training corpora: lowercase,
+    strip non-alphanumerics (whitespace kept), collapse whitespace
+    runs, trim — all vectorized RE2/utf8 kernels, zero shuffle.
+    RE2-safe patterns so a DuckDB oracle computes the identical string
+    (both engines are RE2-backed)."""
+    out = out or f"{col}_norm"
+    text = batch[col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.utf8_lower(text)
+    text = pc.replace_substring_regex(text, r"[^a-z0-9\s]", "")
+    text = pc.replace_substring_regex(text, r"\s+", " ")
+    text = pc.utf8_trim_whitespace(text)
+    return batch.append_column(out, text)
+
+
 # ------------------------------------------------------------ langid
 
 

@@ -220,3 +220,43 @@ def rolling_sum(
         return g.assign(**{out: cs - prev})
 
     return sharded_group_map(ds, [key], per_shard)
+
+
+def lag_lead(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    order: list[str],
+    col: str,
+    lag_name: str | None = None,
+    lead_name: str | None = None,
+) -> ray.data.Dataset:
+    """SQL ``LAG(col)`` / ``LEAD(col)`` over ``PARTITION BY key ORDER
+    BY order`` (default offset 1, NULL at partition edges). One sharded
+    key shuffle; the shift is a whole-shard slice with segment-boundary
+    masking — no per-key loop."""
+    from ..functions.shard import sharded_group_map
+
+    lag_name = lag_name or f"lag_{col}"
+    lead_name = lead_name or f"lead_{col}"
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order, kind="mergesort")
+        k = g[key].to_numpy()
+        v = g[col].to_numpy(dtype=object)
+        n = len(g)
+        same_prev = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_prev[1:] = k[1:] == k[:-1]
+        lagv = np.empty(n, dtype=object)
+        leadv = np.empty(n, dtype=object)
+        lagv[1:] = v[:-1]
+        leadv[:-1] = v[1:]
+        lagv[~same_prev] = None
+        valid_lead = np.zeros(n, dtype=bool)
+        if n > 1:
+            valid_lead[:-1] = same_prev[1:]
+        leadv[~valid_lead] = None
+        return g.assign(**{lag_name: lagv, lead_name: leadv})
+
+    return sharded_group_map(ds, [key], per_shard)

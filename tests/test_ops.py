@@ -1111,3 +1111,38 @@ def test_rolling_sum_window_semantics():
         1, 11, 111, 1110, 11100
     ]
     assert out.loc[out["k"] == "y", "roll_sum"].tolist() == [7, 15]
+
+
+def test_lag_lead_partition_edges():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.window2 import lag_lead
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b"],  # b: single-row partition
+            "o": [2, 1, 3, 1],  # unsorted input
+            "v": ["v2", "v1", "v3", "w1"],
+        }
+    )
+    out = (
+        lag_lead(
+            ray.data.from_pandas(df).repartition(2),
+            key="k",
+            order=["o"],
+            col="v",
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert out["lag_v"].tolist() == [None, "v1", "v2", None]
+    assert out["lead_v"].tolist() == ["v2", "v3", None, None]
+
+
+def test_normalize_batch_rules():
+    from opentelemetry_collector_ray.stages.text import normalize_batch
+
+    t = pa.table({"text": ["  Hello,   WORLD!! x9 ", "a\tb\nc", ""]})
+    out = normalize_batch(t)["text_norm"].to_pylist()
+    assert out == ["hello world x9", "a b c", ""]
