@@ -1407,6 +1407,57 @@ def q_rollup(sf_dir: str):
     )
 
 
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE (event_type, hour): all four grouping sets from
+    one finest-level shuffle, coarser sets derived from the tiny
+    finest table."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.agg import grouped_cube
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hr = (us // 3_600_000_000) % 24
+        return pa.table(
+            {"event_type": t["event_type"], "hr": pa.array(hr, pa.int64())}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    ).map_batches(derive, batch_format="pyarrow")
+    return grouped_cube(
+        ds,
+        ["event_type", "hr"],
+        alias="n",
+        sentinels={"event_type": "(all)", "hr": -1},
+    )
+
+
+def q_variance(sf_dir: str):
+    """Per-type population variance of the fixed-point value — integer
+    count/sum/sum-of-squares combiner, one tiny groupby, IEEE-identical
+    float finish on both engines."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.agg import grouped_variance
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "vm": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_variance(ds, ["event_type"], "vm")
+
+
 def q_gauge_last(sf_dir: str):
     """Gauge metric type: last observed value per series."""
     import ray.data
@@ -2072,6 +2123,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rolling_sum": q_rolling_sum,
     "lag_lead": q_lag_lead,
     "normalize": q_normalize,
+    "cube": q_cube,
+    "variance": q_variance,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -2452,6 +2505,26 @@ def oracle_sql() -> dict[str, str]:
             "cast(coalesce(hr, -1) AS bigint) AS hr, "
             "cast(count(*) AS bigint) AS n "
             "FROM e GROUP BY ROLLUP (event_type, hr)"
+        ),
+        "cube": (
+            "WITH e AS (SELECT event_type, "
+            "cast(extract(hour FROM ts) AS bigint) AS hr FROM events) "
+            "SELECT coalesce(event_type, '(all)') AS event_type, "
+            "cast(coalesce(hr, -1) AS bigint) AS hr, "
+            "cast(count(*) AS bigint) AS n "
+            "FROM e GROUP BY CUBE (event_type, hr)"
+        ),
+        "variance": (
+            "WITH q AS (SELECT event_type, "
+            "cast(floor(value * 1000) AS bigint) AS vm FROM events), "
+            "a AS (SELECT event_type, cast(count(*) AS bigint) AS n, "
+            "cast(sum(vm) AS bigint) AS sum_vm, "
+            "cast(sum(vm * vm) AS bigint) AS sumsq_vm "
+            "FROM q GROUP BY event_type) "
+            "SELECT event_type, n, sum_vm, sumsq_vm, "
+            "(cast(sumsq_vm AS double) / n) - "
+            "(cast(sum_vm AS double) / n) * (cast(sum_vm AS double) / n) "
+            "AS var_vm FROM a"
         ),
         "gauge_last": (
             "SELECT user_id, value AS last_value FROM events "

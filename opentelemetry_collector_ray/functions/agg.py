@@ -113,3 +113,91 @@ def grouped_rollup(
     return out.sort_values(keys + [alias], kind="mergesort").reset_index(
         drop=True
     )
+
+
+def grouped_cube(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    *,
+    alias: str = "n",
+    sentinels: dict | None = None,
+) -> pd.DataFrame:
+    """GROUP BY CUBE in one pass: counts at EVERY subset of ``keys``
+    (2^k grouping sets) from a SINGLE shuffle on the finest key
+    combination — every coarser set is re-aggregated from the tiny
+    finest-level table on the driver, same argument as
+    `grouped_rollup`. Grouped-out columns carry caller-chosen sentinels
+    so dtypes stay exact under the hash gate."""
+    from itertools import combinations
+
+    sentinels = sentinels or {}
+    finest = grouped_count(ds, keys, alias=alias).to_pandas()
+    levels = [finest]
+    for r in range(len(keys) - 1, -1, -1):
+        for kept_t in combinations(keys, r):
+            kept = list(kept_t)
+            dropped = [k for k in keys if k not in kept]
+            if kept:
+                lvl = finest.groupby(kept, as_index=False)[alias].sum()
+            else:
+                lvl = pd.DataFrame({alias: [int(finest[alias].sum())]})
+            for col in dropped:
+                lvl[col] = sentinels.get(col, "(all)")
+                lvl[col] = lvl[col].astype(finest[col].dtype)
+            levels.append(lvl[keys + [alias]])
+    out = pd.concat(levels, ignore_index=True)
+    out[alias] = out[alias].astype("int64")
+    return out.sort_values(keys + [alias], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def grouped_variance(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value: str,
+    *,
+    n_alias: str = "n",
+    sum_alias: str | None = None,
+    sumsq_alias: str | None = None,
+    var_alias: str | None = None,
+) -> ray.data.Dataset:
+    """Population variance per group from ONE combiner pass: integer
+    count / sum / sum-of-squares partials per batch (exact — ``value``
+    must be int64), tiny final groupby, then the float step
+    ``sumsq/n − (sum/n)²`` applied identically on both engines (exact
+    int operands + the same IEEE op order → bit-stable under the hash
+    gate). Overflow bound: per-group Σv² must fit int64, i.e.
+    n·max(v)² < 2⁶³ — quantize accordingly."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    sum_alias = sum_alias or f"sum_{value}"
+    sumsq_alias = sumsq_alias or f"sumsq_{value}"
+    var_alias = var_alias or f"var_{value}"
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value]
+        cols = {k: t[k] for k in keys}
+        cols["_v"] = v
+        cols["_sq"] = pc.multiply(v, v)
+        g = pa.table(cols).group_by(keys).aggregate(
+            [("_v", "count"), ("_v", "sum"), ("_sq", "sum")]
+        )
+        return g.rename_columns(keys + ["_pc", "_ps", "_pq"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(keys).aggregate(
+        Sum("_pc", alias_name=n_alias),
+        Sum("_ps", alias_name=sum_alias),
+        Sum("_pq", alias_name=sumsq_alias),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t[n_alias], pa.float64())
+        mean = pc.divide(pc.cast(t[sum_alias], pa.float64()), n)
+        msq = pc.divide(pc.cast(t[sumsq_alias], pa.float64()), n)
+        var = pc.subtract(msq, pc.multiply(mean, mean))
+        return t.append_column(var_alias, var)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

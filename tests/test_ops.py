@@ -1146,3 +1146,48 @@ def test_normalize_batch_rules():
     t = pa.table({"text": ["  Hello,   WORLD!! x9 ", "a\tb\nc", ""]})
     out = normalize_batch(t)["text_norm"].to_pylist()
     assert out == ["hello world x9", "a b c", ""]
+
+
+def test_grouped_cube_all_subsets():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.agg import grouped_cube
+
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y"], "b": np.array([1, 2, 1], dtype=np.int64)}
+    )
+    out = grouped_cube(
+        ray.data.from_pandas(df).repartition(2),
+        ["a", "b"],
+        sentinels={"a": "(all)", "b": -1},
+    )
+    # 2^2 grouping sets: finest(3) + by-a(2) + by-b(2) + total(1)
+    assert len(out) == 8
+    assert out.loc[(out["a"] == "(all)") & (out["b"] == -1), "n"].item() == 3
+    assert out.loc[(out["a"] == "x") & (out["b"] == -1), "n"].item() == 2
+    assert out.loc[(out["a"] == "(all)") & (out["b"] == 1), "n"].item() == 2
+    assert out["b"].dtype == np.int64  # sentinel kept the dtype
+
+
+def test_grouped_variance_matches_numpy():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.agg import grouped_variance
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], size=200),
+            "v": rng.integers(0, 1000, size=200, dtype=np.int64),
+        }
+    )
+    out = (
+        grouped_variance(ray.data.from_pandas(df).repartition(4), ["g"], "v")
+        .to_pandas()
+        .set_index("g")
+    )
+    for g in ["a", "b"]:
+        vals = df.loc[df["g"] == g, "v"].to_numpy()
+        assert out.loc[g, "n"] == len(vals)
+        assert out.loc[g, "sum_v"] == vals.sum()
+        assert abs(out.loc[g, "var_v"] - np.var(vals)) < 1e-6
