@@ -1458,6 +1458,110 @@ def q_variance(sf_dir: str):
     return grouped_variance(ds, ["event_type"], "vm")
 
 
+def _events_vm(sf_dir: str):
+    """events projected to (event_id, vm) with the fixed-point value
+    key vm = floor(value*1000)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "vm": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64()
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(derive, batch_format="pyarrow")
+
+
+def q_rank_stats(sf_dir: str):
+    """RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST over a global ORDER BY
+    with zero row shuffle — tiny value histogram → broadcast
+    searchsorted assignment (tie-sharing window functions depend only
+    on the value)."""
+    from opentelemetry_collector_ray.stages.window2 import global_rank_stats
+
+    return global_rank_stats(_events_vm(sf_dir), value="vm")
+
+
+def q_corr(sf_dir: str):
+    """Per-type Pearson correlation between the fixed-point value and
+    the props payload length — exact int64 moment combiner, float
+    finish mirrored term-by-term by the oracle."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.agg import grouped_corr
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "x": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64()
+                ),
+                "y": pc.cast(pc.utf8_length(t["props"]), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "props"]
+    ).map_batches(derive, batch_format="pyarrow")
+    return grouped_corr(ds, ["event_type"], "x", "y")
+
+
+def q_zscore_outliers(sf_dir: str):
+    """Per-type z-score anomaly count (|v−mean| > 2σ): stats combiner
+    pass + broadcast threshold filter pass, no corpus shuffle."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.agg import (
+        grouped_outlier_counts,
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "vm": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).map_batches(derive, batch_format="pyarrow")
+    return grouped_outlier_counts(ds, ["event_type"], "vm", k=2.0)
+
+
+def q_attributes_convert(sf_dir: str):
+    """contrib attributes `convert` action + OTTL truncate_all: value
+    double→int (trunc toward zero), user_id int→string, props clipped
+    to 20 chars — all vectorized casts/slices."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.attributes import AttributesStage
+
+    stage = AttributesStage(
+        [
+            {"action": "convert", "key": "value", "to": "int"},
+            {"action": "convert", "key": "user_id", "to": "string"},
+            {"action": "truncate", "key": "props", "value": 20},
+        ]
+    )
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "value", "user_id", "props"],
+    ).map_batches(stage, batch_format="pyarrow")
+
+
 def q_gauge_last(sf_dir: str):
     """Gauge metric type: last observed value per series."""
     import ray.data
@@ -2125,6 +2229,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "normalize": q_normalize,
     "cube": q_cube,
     "variance": q_variance,
+    "rank_stats": q_rank_stats,
+    "corr": q_corr,
+    "zscore_outliers": q_zscore_outliers,
+    "attributes_convert": q_attributes_convert,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -2525,6 +2633,58 @@ def oracle_sql() -> dict[str, str]:
             "(cast(sumsq_vm AS double) / n) - "
             "(cast(sum_vm AS double) / n) * (cast(sum_vm AS double) / n) "
             "AS var_vm FROM a"
+        ),
+        "rank_stats": (
+            "WITH q AS (SELECT event_id, "
+            "cast(floor(value * 1000) AS bigint) AS vm FROM events) "
+            "SELECT event_id, vm, "
+            "cast(rank() OVER w AS bigint) AS rnk, "
+            "cast(dense_rank() OVER w AS bigint) AS drnk, "
+            "percent_rank() OVER w AS pr, "
+            "cume_dist() OVER w AS cd "
+            "FROM q WINDOW w AS (ORDER BY vm)"
+        ),
+        "corr": (
+            "WITH q AS (SELECT event_type, "
+            "cast(floor(value * 1000) AS bigint) AS x, "
+            "cast(length(props) AS bigint) AS y FROM events), "
+            "a AS (SELECT event_type, cast(count(*) AS bigint) AS n, "
+            "cast(sum(x) AS bigint) AS sum_x, "
+            "cast(sum(y) AS bigint) AS sum_y, "
+            "cast(sum(x * y) AS bigint) AS sum_xy, "
+            "cast(sum(x * x) AS bigint) AS sum_xx, "
+            "cast(sum(y * y) AS bigint) AS sum_yy "
+            "FROM q GROUP BY event_type) "
+            "SELECT event_type, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy, "
+            "(cast(n AS double) * cast(sum_xy AS double) - "
+            "cast(sum_x AS double) * cast(sum_y AS double)) / "
+            "sqrt((cast(n AS double) * cast(sum_xx AS double) - "
+            "cast(sum_x AS double) * cast(sum_x AS double)) * "
+            "(cast(n AS double) * cast(sum_yy AS double) - "
+            "cast(sum_y AS double) * cast(sum_y AS double))) AS corr "
+            "FROM a"
+        ),
+        "zscore_outliers": (
+            "WITH q AS (SELECT event_type, "
+            "cast(floor(value * 1000) AS bigint) AS vm FROM events), "
+            "a AS (SELECT event_type, cast(count(*) AS bigint) AS n, "
+            "cast(sum(vm) AS bigint) AS s, "
+            "cast(sum(vm * vm) AS bigint) AS sq "
+            "FROM q GROUP BY event_type), "
+            "st AS (SELECT event_type, cast(s AS double) / n AS mean, "
+            "sqrt((cast(sq AS double) / n) - "
+            "(cast(s AS double) / n) * (cast(s AS double) / n)) AS std "
+            "FROM a) "
+            "SELECT q.event_type AS event_type, "
+            "cast(count(*) AS bigint) AS n_outliers "
+            "FROM q JOIN st USING (event_type) "
+            "WHERE abs(cast(q.vm AS double) - st.mean) > 2.0 * st.std "
+            "GROUP BY q.event_type"
+        ),
+        "attributes_convert": (
+            "SELECT event_id, cast(trunc(value) AS bigint) AS value, "
+            "cast(user_id AS varchar) AS user_id, "
+            "substr(props, 1, 20) AS props FROM events"
         ),
         "gauge_last": (
             "SELECT user_id, value AS last_value FROM events "

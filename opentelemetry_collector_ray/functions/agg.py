@@ -12,6 +12,7 @@ that shape as reusable helpers.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -201,3 +202,110 @@ def grouped_variance(
         return t.append_column(var_alias, var)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    x: str,
+    y: str,
+    *,
+    corr_alias: str = "corr",
+) -> ray.data.Dataset:
+    """Pearson correlation per group from ONE combiner pass: exact
+    int64 partials (n, Σx, Σy, Σxy, Σx², Σy²) per batch, tiny final
+    groupby, then the float finish
+    ``(n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)(n·Σy² − Σy²))`` with a
+    fixed IEEE op order so the oracle can mirror it term by term
+    (bit-stable under the hash gate, same argument as
+    `grouped_variance`). ``x``/``y`` must be int64; overflow bound:
+    per-group n·max(v)² < 2⁶³."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        cols["_x"] = t[x]
+        cols["_y"] = t[y]
+        cols["_xy"] = pc.multiply(t[x], t[y])
+        cols["_xx"] = pc.multiply(t[x], t[x])
+        cols["_yy"] = pc.multiply(t[y], t[y])
+        g = pa.table(cols).group_by(keys).aggregate(
+            [
+                ("_x", "count"),
+                ("_x", "sum"),
+                ("_y", "sum"),
+                ("_xy", "sum"),
+                ("_xx", "sum"),
+                ("_yy", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            keys + ["_pc", "_px", "_py", "_pxy", "_pxx", "_pyy"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(keys).aggregate(
+        Sum("_pc", alias_name="n"),
+        Sum("_px", alias_name="sum_x"),
+        Sum("_py", alias_name="sum_y"),
+        Sum("_pxy", alias_name="sum_xy"),
+        Sum("_pxx", alias_name="sum_xx"),
+        Sum("_pyy", alias_name="sum_yy"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = pa.float64()
+        nf = pc.cast(t["n"], f)
+        sx = pc.cast(t["sum_x"], f)
+        sy = pc.cast(t["sum_y"], f)
+        sxy = pc.cast(t["sum_xy"], f)
+        sxx = pc.cast(t["sum_xx"], f)
+        syy = pc.cast(t["sum_yy"], f)
+        cov_n = pc.subtract(pc.multiply(nf, sxy), pc.multiply(sx, sy))
+        vx = pc.subtract(pc.multiply(nf, sxx), pc.multiply(sx, sx))
+        vy = pc.subtract(pc.multiply(nf, syy), pc.multiply(sy, sy))
+        corr = pc.divide(cov_n, pc.sqrt(pc.multiply(vx, vy)))
+        return t.append_column(corr_alias, corr)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_outlier_counts(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value: str,
+    *,
+    k: float = 2.0,
+    alias: str = "n_outliers",
+) -> ray.data.Dataset:
+    """Per-group z-score outlier count: |v − mean| > k·std. Two
+    streaming passes over ``ds`` (which must be re-iterable, e.g. a
+    lazy read): (1) `grouped_variance` combiner → tiny per-group
+    stats table on the driver; (2) mean/std broadcast once
+    (``ray.put``), stateless vectorized threshold filter, then a tiny
+    `grouped_count`. No corpus shuffle in either pass. mean/std use
+    the exact `grouped_variance` float op order, so an oracle that
+    mirrors those formulas makes the strict ``>`` comparison
+    bit-deterministic; ``value`` must be int64."""
+    import ray as _ray
+
+    stats = grouped_variance(ds, keys, value).to_pandas()
+    mean = stats[f"sum_{value}"].to_numpy() / stats["n"].to_numpy()
+    std = np.sqrt(stats[f"var_{value}"].to_numpy())
+    key_tuples = list(map(tuple, stats[keys].itertuples(index=False)))
+    lookup = _ray.put(
+        {kt: (m, s) for kt, m, s in zip(key_tuples, mean, std)}
+    )
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        lk = _ray.get(lookup)
+        kt = list(map(tuple, g[keys].itertuples(index=False)))
+        ms = np.array([lk[t] for t in kt], dtype=np.float64)
+        v = g[value].to_numpy().astype(np.float64)
+        keep = np.abs(v - ms[:, 0]) > k * ms[:, 1]
+        return g.loc[keep, keys]
+
+    return grouped_count(
+        ds.map_batches(flag, batch_format="pandas"), keys, alias=alias
+    )

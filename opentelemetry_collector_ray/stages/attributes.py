@@ -34,7 +34,11 @@ _VALID = {
     "extract",
     "keep_keys",
     "replace_pattern",
+    "convert",
+    "truncate",
 }
+
+_CONVERT_TYPES = {"int": pa.int64(), "double": pa.float64(), "string": pa.string()}
 
 
 @dataclass
@@ -59,7 +63,7 @@ class Action:
         if self.action not in _VALID:
             raise ValueError(f"unknown attributes action: {self.action!r}")
         if self.where is not None:
-            if self.action in {"rename", "keep_keys"}:
+            if self.action in {"rename", "keep_keys", "convert"}:
                 raise ValueError(
                     f"{self.action} is structural — 'where' not supported"
                 )
@@ -85,6 +89,16 @@ class Action:
             or self.replacement is None
         ):
             raise ValueError("replace_pattern needs key, pattern, replacement")
+        if self.action == "convert":
+            if self.key is None or self.to not in _CONVERT_TYPES:
+                raise ValueError(
+                    "convert needs key and to in "
+                    f"{sorted(_CONVERT_TYPES)} (got {self.to!r})"
+                )
+        if self.action == "truncate" and (
+            self.key is None or not isinstance(self.value, int) or self.value < 0
+        ):
+            raise ValueError("truncate needs key and a non-negative int value")
 
 
 def _const_column(value, length: int) -> pa.Array:
@@ -104,6 +118,29 @@ def _md5_hex(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     for i, v in enumerate(vals):
         out[i] = None if v is None else hashlib.md5(v.encode()).hexdigest()
     return pa.array(out, type=pa.string())
+
+
+def _convert_col(col: pa.ChunkedArray | pa.Array, to: str) -> pa.Array:
+    """contrib attributes `convert` action (attraction.go CONVERT):
+    vectorized type conversion. double→int truncates toward zero (Go
+    int64() semantics; oracle mirror: ``cast(trunc(x) AS bigint)``);
+    string→numeric yields null for non-parseable values (mirror with a
+    regex-guarded CASE, not TRY_CAST, to stay lockstep); int→string is
+    exact. double→string is supported but NOT oracle-stable (Go vs SQL
+    float formatting differ)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    target = _CONVERT_TYPES[to]
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        if to == "string":
+            return col
+        pat = r"^-?[0-9]+$" if to == "int" else r"^-?[0-9]+(\.[0-9]+)?$"
+        ok = pc.match_substring_regex(col, pat)
+        guarded = pc.if_else(ok, col, pa.scalar(None, type=col.type))
+        return pc.cast(guarded, target)
+    if to == "int" and pa.types.is_floating(col.type):
+        return pc.cast(pc.trunc(col), target, safe=False)
+    return pc.cast(col, target)
 
 
 def apply_actions(batch: pa.Table, actions: list[Action]) -> pa.Table:
@@ -200,6 +237,19 @@ def apply_actions(batch: pa.Table, actions: list[Action]) -> pa.Table:
                 new = pc.replace_substring_regex(
                     col, pattern=a.pattern, replacement=a.replacement
                 )
+                if m is not None:
+                    new = pc.if_else(m, new, col)
+                batch = batch.set_column(names.index(a.key), a.key, new)
+        elif a.action == "convert":
+            if a.key in names:
+                new = _convert_col(batch[a.key], a.to)
+                batch = batch.set_column(names.index(a.key), a.key, new)
+        elif a.action == "truncate":
+            if a.key in names:
+                col = batch[a.key]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                new = pc.utf8_slice_codeunits(col, 0, a.value)
                 if m is not None:
                     new = pc.if_else(m, new, col)
                 batch = batch.set_column(names.index(a.key), a.key, new)

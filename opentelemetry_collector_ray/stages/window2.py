@@ -260,3 +260,54 @@ def lag_lead(
         return g.assign(**{lag_name: lagv, lead_name: leadv})
 
     return sharded_group_map(ds, [key], per_shard)
+
+
+def global_rank_stats(
+    ds: ray.data.Dataset,
+    *,
+    value: str,
+) -> ray.data.Dataset:
+    """``RANK() / DENSE_RANK() / PERCENT_RANK() / CUME_DIST() OVER
+    (ORDER BY value)`` for every row, with ZERO row shuffle.
+
+    Tie-sharing window functions depend only on the row's value, so:
+    (1) a tiny combiner histogram of value counts (the only shuffle —
+    O(distinct values)); (2) the driver prefix-sums it into per-value
+    rank/dense/cume arrays; (3) one ``ray.put`` broadcast and a
+    stateless ``map_batches`` assigns every row via ``np.searchsorted``
+    against the sorted distinct values — vectorized, no dict, no sort
+    of the corpus. Valid while distinct values are bounded (same
+    contract as `discrete_quantiles` / `global_ntile`); the floats are
+    the exact SQL formulas ``(rank-1)/(n-1)`` and ``cum/n`` evaluated
+    in IEEE double, bit-stable vs the oracle."""
+    import ray as _ray
+
+    from ..functions.agg import grouped_count
+
+    hist = grouped_count(ds, [value], alias="_n").to_pandas()
+    hist = hist.sort_values(value, kind="mergesort")
+    cnt = hist["_n"].to_numpy(dtype=np.int64)
+    n = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    starts = cum - cnt
+    stats = _ray.put(
+        {
+            "vals": hist[value].to_numpy(),
+            "rnk": starts + 1,
+            "drnk": np.arange(1, len(cnt) + 1, dtype=np.int64),
+            "pr": starts.astype(np.float64) / max(n - 1, 1),
+            "cd": cum.astype(np.float64) / n,
+        }
+    )
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        s = _ray.get(stats)
+        idx = np.searchsorted(s["vals"], g[value].to_numpy())
+        return g.assign(
+            rnk=s["rnk"][idx],
+            drnk=s["drnk"][idx],
+            pr=s["pr"][idx],
+            cd=s["cd"][idx],
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -1191,3 +1191,108 @@ def test_grouped_variance_matches_numpy():
         assert out.loc[g, "n"] == len(vals)
         assert out.loc[g, "sum_v"] == vals.sum()
         assert abs(out.loc[g, "var_v"] - np.var(vals)) < 1e-6
+
+
+def test_attributes_convert_and_truncate():
+    from opentelemetry_collector_ray.stages.attributes import (
+        Action,
+        AttributesStage,
+    )
+
+    t = pa.table(
+        {
+            "d": [1.9, -1.9, None],
+            "i": pa.array([7, -3, None], pa.int64()),
+            "s": ["12", "x", None],
+            "txt": ["abcdefgh", "ab", None],
+        }
+    )
+    out = AttributesStage(
+        [
+            {"action": "convert", "key": "d", "to": "int"},
+            {"action": "convert", "key": "i", "to": "string"},
+            {"action": "convert", "key": "s", "to": "int"},
+            {"action": "truncate", "key": "txt", "value": 3},
+        ]
+    )(t)
+    # double→int truncates toward zero (Go int64() semantics)
+    assert out["d"].to_pylist() == [1, -1, None]
+    assert out["i"].to_pylist() == ["7", "-3", None]
+    # non-parseable string → null, not an error
+    assert out["s"].to_pylist() == [12, None, None]
+    assert out["txt"].to_pylist() == ["abc", "ab", None]
+    # convert is structural: 'where' must be rejected at validation
+    with pytest.raises(ValueError):
+        Action(action="convert", key="d", to="int", where=("d", ">", 0)).validate()
+
+
+def test_global_rank_stats_tie_semantics():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.window2 import global_rank_stats
+
+    df = pd.DataFrame(
+        {"id": np.arange(5), "v": np.array([10, 10, 20, 30, 30], dtype=np.int64)}
+    )
+    out = (
+        global_rank_stats(ray.data.from_pandas(df).repartition(2), value="v")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["rnk"].tolist() == [1, 1, 3, 4, 4]
+    assert out["drnk"].tolist() == [1, 1, 2, 3, 3]
+    # percent_rank = (rank-1)/(n-1); cume_dist = peers-cum/n
+    assert out["pr"].tolist() == [0.0, 0.0, 0.5, 0.75, 0.75]
+    assert out["cd"].tolist() == [0.4, 0.4, 0.6, 1.0, 1.0]
+
+
+def test_grouped_corr_matches_numpy():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.agg import grouped_corr
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], size=300),
+            "x": rng.integers(0, 100, size=300, dtype=np.int64),
+        }
+    )
+    df["y"] = df["x"] * 2 + rng.integers(0, 50, size=300, dtype=np.int64)
+    out = (
+        grouped_corr(
+            ray.data.from_pandas(df).repartition(4), ["g"], "x", "y"
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    for g in ["a", "b"]:
+        sub = df[df["g"] == g]
+        expected = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert abs(out.loc[g, "corr"] - expected) < 1e-9
+
+
+def test_grouped_outlier_counts_matches_pandas():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.agg import grouped_outlier_counts
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], size=400),
+            "v": rng.integers(0, 1000, size=400, dtype=np.int64),
+        }
+    )
+    out = (
+        grouped_outlier_counts(
+            ray.data.from_pandas(df).repartition(4), ["g"], "v", k=1.0
+        )
+        .to_pandas()
+        .set_index("g")["n_outliers"]
+    )
+    for g in ["a", "b"]:
+        v = df.loc[df["g"] == g, "v"].to_numpy().astype(np.float64)
+        expected = int((np.abs(v - v.mean()) > 1.0 * v.std()).sum())
+        assert out.get(g, 0) == expected
