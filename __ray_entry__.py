@@ -1562,6 +1562,25 @@ def q_attributes_convert(sf_dir: str):
     ).map_batches(stage, batch_format="pyarrow")
 
 
+def q_json_parse(sf_dir: str):
+    """Structured-log JSON body parsing (stanza json parser / OTTL
+    ParseJSON): whole column → one NDJSON buffer → Arrow's native JSON
+    reader, schema pinned so batches can't drift."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.parse import json_parse_batch
+
+    schema = pa.schema([("k", pa.int64())])
+
+    def run(t: pa.Table) -> pa.Table:
+        out = json_parse_batch(t, col="props", keep=["k"], schema=schema)
+        return out.select(["event_id", "k"])
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    ).map_batches(run, batch_format="pyarrow")
+
+
 def q_gauge_last(sf_dir: str):
     """Gauge metric type: last observed value per series."""
     import ray.data
@@ -2233,6 +2252,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "corr": q_corr,
     "zscore_outliers": q_zscore_outliers,
     "attributes_convert": q_attributes_convert,
+    "json_parse": q_json_parse,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -2685,6 +2705,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, cast(trunc(value) AS bigint) AS value, "
             "cast(user_id AS varchar) AS user_id, "
             "substr(props, 1, 20) AS props FROM events"
+        ),
+        "json_parse": (
+            "SELECT event_id, "
+            "cast(json_extract(props, '$.k') AS bigint) AS k FROM events"
         ),
         "gauge_last": (
             "SELECT user_id, value AS last_value FROM events "

@@ -84,3 +84,62 @@ class ParseStage:
                 col = pc.cast(col, pa.int64())
             out = out.append_column(name, col)
         return out.append_column("parse_ok", ok)
+
+
+def json_parse_batch(
+    batch: pa.Table,
+    *,
+    col: str = "props",
+    keep: list[str] | None = None,
+    schema: pa.Schema | None = None,
+) -> pa.Table:
+    """Parse a column of JSON objects into typed Arrow columns — the
+    structured-log staple (contrib json log parsing / OTTL
+    ``ParseJSON``; stanza/operator/parser/json).
+
+    Fully C-path vectorized: the whole column is joined into ONE
+    newline-delimited JSON buffer with ``pc.binary_join`` (JSON strings
+    cannot contain raw newlines, so NDJSON framing is safe), then
+    ``pyarrow.json.read_json`` parses it in Arrow's native JSON reader
+    — no per-row Python loop, no json.loads. Null / empty rows parse
+    as ``{}`` (all-null fields). Pass ``schema`` to pin field types at
+    scale (blocks schema drift across batches — the 100 TB contract);
+    ``keep`` selects/orders the extracted fields. Invalid JSON raises
+    (the collector's json parser also errors; route around with a
+    filter stage first)."""
+    import io
+
+    import pyarrow.json as paj
+
+    src = batch[col]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    if len(src) == 0:
+        out = batch
+        for f in schema or []:
+            out = out.append_column(
+                f.name, pa.array([], type=f.type)
+            )
+        return out
+    src = pc.if_else(
+        pc.or_kleene(src.is_null(), pc.equal(pc.utf8_length(src), 0)),
+        pa.scalar("{}", type=src.type),
+        src,
+    )
+    lst = pa.ListArray.from_arrays(
+        pa.array([0, len(src)], pa.int32()), pc.cast(src, pa.string())
+    )
+    ndjson = pc.binary_join(lst, "\n")[0].as_py().encode()
+    opts = (
+        paj.ParseOptions(explicit_schema=schema) if schema is not None else None
+    )
+    parsed = paj.read_json(io.BytesIO(ndjson), parse_options=opts)
+    if len(parsed) != len(batch):
+        raise ValueError(
+            f"json parse row drift: {len(parsed)} != {len(batch)}"
+        )
+    fields = keep if keep is not None else parsed.column_names
+    out = batch
+    for f in fields:
+        out = out.append_column(f, parsed[f])
+    return out

@@ -1296,3 +1296,30 @@ def test_grouped_outlier_counts_matches_pandas():
         v = df.loc[df["g"] == g, "v"].to_numpy().astype(np.float64)
         expected = int((np.abs(v - v.mean()) > 1.0 * v.std()).sum())
         assert out.get(g, 0) == expected
+
+
+def test_json_parse_batch_vectorized():
+    from opentelemetry_collector_ray.stages.parse import json_parse_batch
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "body": [
+                '{"k": 7, "s": "a\\nb"}',  # escaped newline inside a string
+                '{"k": -2}',
+                "",  # empty row parses as {}
+                None,  # null row parses as {}
+            ],
+        }
+    )
+    schema = pa.schema([("k", pa.int64()), ("s", pa.string())])
+    out = json_parse_batch(t, col="body", schema=schema)
+    assert out["k"].to_pylist() == [7, -2, None, None]
+    assert out["s"].to_pylist() == ["a\nb", None, None, None]
+    # keep selects and orders fields
+    out2 = json_parse_batch(t, col="body", keep=["k"], schema=schema)
+    assert out2.column_names == ["id", "body", "k"]
+    # zero-row batch keeps the pinned schema
+    empty = json_parse_batch(t.slice(0, 0), col="body", schema=schema)
+    assert empty.schema.field("k").type == pa.int64()
+    assert len(empty) == 0
