@@ -1092,6 +1092,23 @@ def q_latency_histogram(sf_dir: str):
     )
 
 
+def q_histogram_exemplars(sf_dir: str):
+    """Histogram buckets carrying exemplars (pmetric per-point
+    exemplars: max observed value + the trace that produced it,
+    deterministic tie-break)."""
+    from opentelemetry_collector_ray.stages.signals import (
+        histogram_exemplars,
+    )
+
+    return histogram_exemplars(
+        _enriched(sf_dir),
+        group="route",
+        value="latency_ms",
+        trace="conv_id",
+        bounds=(10, 100, 1000),
+    )
+
+
 def q_ipc_roundtrip(sf_dir: str):
     """Binary codec parity (§1.3 pb slot): transcripts → Arrow-IPC wire
     payloads → decoded back; content identical."""
@@ -2232,6 +2249,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "trace_groups": q_trace_groups,
     "trace_assemble": q_trace_assemble,
     "latency_histogram": q_latency_histogram,
+    "histogram_exemplars": q_histogram_exemplars,
     "exp_histogram": q_exp_histogram,
     "summary_metrics": q_summary_metrics,
     "rollup": q_rollup,
@@ -2519,6 +2537,21 @@ def oracle_sql() -> dict[str, str]:
             "WHEN latency_ms <= 1000 THEN '1000' ELSE 'inf' END AS le, "
             "count(*) AS n FROM enriched "
             "WHERE latency_ms IS NOT NULL GROUP BY 1, 2"
+        ),
+        "histogram_exemplars": o.ENRICHED_CTE
+        + (
+            ", b AS (SELECT route, CASE WHEN latency_ms <= 10 THEN '10' "
+            "WHEN latency_ms <= 100 THEN '100' "
+            "WHEN latency_ms <= 1000 THEN '1000' ELSE 'inf' END AS le, "
+            "cast(latency_ms AS bigint) AS v, conv_id FROM enriched "
+            "WHERE latency_ms IS NOT NULL), "
+            "m AS (SELECT route, le, cast(count(*) AS bigint) AS n, "
+            "max(v) AS exemplar_value FROM b GROUP BY 1, 2) "
+            "SELECT m.route AS route, m.le AS le, m.n AS n, "
+            "m.exemplar_value AS exemplar_value, "
+            "min(b.conv_id) AS exemplar_trace "
+            "FROM m JOIN b ON b.route = m.route AND b.le = m.le "
+            "AND b.v = m.exemplar_value GROUP BY 1, 2, 3, 4"
         ),
         "ipc_roundtrip": o.TRANSCRIPTS_CTE + "SELECT * FROM transcripts",
         "exp_histogram": o.ENRICHED_CTE

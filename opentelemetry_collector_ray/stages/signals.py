@@ -647,3 +647,65 @@ def rate_limit(
         return g[seq < max_per_window].drop(columns="_win")
 
     return sharded_group_map(ds, [key], per_shard)
+
+
+def histogram_exemplars(
+    ds: ray.data.Dataset,
+    *,
+    group: str = "route",
+    value: str = "latency_ms",
+    trace: str = "conv_id",
+    bounds: tuple[int, ...] = (10, 100, 1000),
+) -> pd.DataFrame:
+    """Histogram buckets WITH exemplars — the pdata per-point exemplar
+    surface (pmetric exemplars: each point may carry sampled values +
+    the trace that produced them). Per (group, le) bucket: count, the
+    max observed value, and the trace id that observed it (ties →
+    lexicographically smallest trace id, so the choice is deterministic
+    across parallelism).
+
+    Argmax is combiner-friendly: each batch emits one (count, max v,
+    min trace@max) row per bucket; the driver merges
+    O(groups·buckets·blocks) tiny partials — larger v wins, tie →
+    smaller trace id, counts sum."""
+    bounds_arr = np.asarray(bounds, dtype=np.int64)
+    labels = np.asarray([str(int(b)) for b in bounds] + ["inf"], dtype=object)
+    gcols = [group, "le"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[value].notna()]
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    group: pd.Series([], dtype=object),
+                    "le": pd.Series([], dtype=object),
+                    "_n": pd.Series([], dtype=np.int64),
+                    "_v": pd.Series([], dtype=np.int64),
+                    "_t": pd.Series([], dtype=object),
+                }
+            )
+        v = df[value].to_numpy().astype(np.int64)
+        le = labels[np.searchsorted(bounds_arr, v, side="left")]
+        b = pd.DataFrame(
+            {group: df[group].to_numpy(), "le": le, "_v": v,
+             "_t": df[trace].to_numpy()}
+        )
+        n = b.groupby(gcols, as_index=False).size().rename(columns={"size": "_n"})
+        best = b.sort_values(
+            gcols + ["_v", "_t"], ascending=[True, True, False, True],
+            kind="mergesort",
+        ).drop_duplicates(gcols)
+        return n.merge(best[gcols + ["_v", "_t"]], on=gcols)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = parts.groupby(gcols, as_index=False)["_n"].sum()
+    best = parts.sort_values(
+        gcols + ["_v", "_t"], ascending=[True, True, False, True],
+        kind="mergesort",
+    ).drop_duplicates(gcols)
+    out = n.merge(best[gcols + ["_v", "_t"]], on=gcols).rename(
+        columns={"_n": "n", "_v": "exemplar_value", "_t": "exemplar_trace"}
+    )
+    out["n"] = out["n"].astype("int64")
+    out["exemplar_value"] = out["exemplar_value"].astype("int64")
+    return out.sort_values(gcols, kind="mergesort").reset_index(drop=True)

@@ -243,3 +243,32 @@ def test_metrics_generation_error_ratio_ppm():
     assert out["n_requests"].tolist() == [3, 2]
     assert out["n_errors"].tolist() == [1, 0]
     assert out["error_rate_ppm"].tolist() == [333333, 0]
+
+
+def test_histogram_exemplars_argmax_merge():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.signals import histogram_exemplars
+
+    df = pd.DataFrame(
+        {
+            "route": ["a", "a", "a", "b", "b"],
+            "latency_ms": [5, 9, 9, 500, 500],
+            "conv_id": ["c3", "c2", "c1", "c9", "c2"],
+        }
+    )
+    out = histogram_exemplars(
+        ray.data.from_pandas(df).repartition(3),
+        group="route",
+        value="latency_ms",
+        trace="conv_id",
+        bounds=(10, 100, 1000),
+    )
+    a = out[(out["route"] == "a") & (out["le"] == "10")].iloc[0]
+    assert a["n"] == 3 and a["exemplar_value"] == 9
+    # tie on max value → lexicographically smallest trace wins,
+    # regardless of which block it arrived in
+    assert a["exemplar_trace"] == "c1"
+    b = out[(out["route"] == "b") & (out["le"] == "1000")].iloc[0]
+    assert b["n"] == 2 and b["exemplar_value"] == 500
+    assert b["exemplar_trace"] == "c2"
