@@ -781,33 +781,44 @@ def jaccard_pairs_blocked(
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")
         ids = g[id_col].to_numpy()
-        words_per_doc = [
-            t.split() if t is not None else [] for t in g["text"]
-        ]
-        counts = np.fromiter(
-            (len(w) for w in words_per_doc), np.int64, count=len(ids)
-        )
-        flat = np.asarray(
-            [w for ws in words_per_doc for w in ws], dtype=object
-        )
-        doc_idx = np.repeat(np.arange(len(ids)), counts)
-        # vectorized membership build: factorize the flat word array
-        # once (C), then one fancy-indexed assignment — assigning the
-        # same cell twice (repeated word in a doc) is idempotent, so
-        # set semantics need no per-doc dedup pass
+        n = len(ids)
+        # Arrow-vectorized tokenization (no Python word loop): one
+        # whitespace split per block, flatten to (doc_idx, word) pairs.
+        # Python's str.split() and Arrow's split on trimmed text agree.
+        texts = pa.array(g["text"].fillna("").to_numpy(), type=pa.string())
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        # split of "" yields [""] — drop empty tokens
+        nonempty = flat != ""
+        doc_idx = np.repeat(np.arange(n), counts)[nonempty]
+        flat = flat[nonempty]
         if len(flat):
             vocab_idx, uniques = pd.factorize(flat)
             v = max(len(uniques), 1)
         else:
             vocab_idx = np.empty(0, np.intp)
             v = 1
-        n = len(ids)
-        # membership matrix → intersections by one matmul (the O(n²)
-        # term runs in BLAS, not Python; n is bounded by the block key)
-        mat = np.zeros((n, v), dtype=np.float64)
-        mat[doc_idx, vocab_idx] = 1.0
-        inter = mat @ mat.T
-        sizes = mat.sum(axis=1)
+        # membership → intersections by chunked float32 BLAS matmuls:
+        # the O(n²·v) term never builds the full n×v matrix (peak extra
+        # memory n×CHUNK×4 B). Repeated (doc, word) assignments are
+        # idempotent, so set semantics need no dedup pass. float32 is
+        # exact here: counts < 2²⁴, and a rational i/u can't round
+        # across the threshold in either precision.
+        inter = np.zeros((n, n), dtype=np.float32)
+        sizes = np.zeros(n, dtype=np.float32)
+        CHUNK = 4096
+        order = np.argsort(vocab_idx, kind="stable")
+        vi, di = vocab_idx[order], doc_idx[order]
+        for start in range(0, v, CHUNK):
+            lo, hi = np.searchsorted(vi, [start, start + CHUNK])
+            if lo == hi:
+                continue
+            w = min(CHUNK, v - start)
+            m = np.zeros((n, w), dtype=np.float32)
+            m[di[lo:hi], vi[lo:hi] - start] = 1.0
+            inter += m @ m.T
+            sizes += m.sum(axis=1)
         union = sizes[:, None] + sizes[None, :] - inter
         with np.errstate(divide="ignore", invalid="ignore"):
             jac = np.where(union > 0, inter / union, 0.0)
