@@ -1579,6 +1579,34 @@ def q_attributes_convert(sf_dir: str):
     ).map_batches(stage, batch_format="pyarrow")
 
 
+def q_funnel(sf_dir: str):
+    """Ordered funnel (view → click → purchase): users reaching each
+    step via strictly-after earliest-event semantics — one sharded
+    user shuffle, vectorized per-step mins."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.funnel import funnel_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_counts(ev, steps=["view", "click", "purchase"])
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention triangle: first-active-day cohorts × re-activity
+    offsets — one sharded user shuffle over pre-deduped (user, day)
+    pairs, tiny final count."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.funnel import cohort_retention
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return cohort_retention(ev)
+
+
 def q_json_parse(sf_dir: str):
     """Structured-log JSON body parsing (stanza json parser / OTTL
     ParseJSON): whole column → one NDJSON buffer → Arrow's native JSON
@@ -2271,6 +2299,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zscore_outliers": q_zscore_outliers,
     "attributes_convert": q_attributes_convert,
     "json_parse": q_json_parse,
+    "funnel": q_funnel,
+    "retention": q_retention,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -2742,6 +2772,32 @@ def oracle_sql() -> dict[str, str]:
         "json_parse": (
             "SELECT event_id, "
             "cast(json_extract(props, '$.k') AS bigint) AS k FROM events"
+        ),
+        "funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN s1 USING (user_id) WHERE e.event_type = 'click' "
+            "AND e.ts > s1.t1 GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts > s2.t2 GROUP BY e.user_id) "
+            "SELECT cast(1 AS bigint) AS step, "
+            "cast(count(*) AS bigint) AS n_users FROM s1 "
+            "UNION ALL SELECT 2, count(*) FROM s2 "
+            "UNION ALL SELECT 3, count(*) FROM s3"
+        ),
+        "retention": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "cast(date_diff('day', DATE '1970-01-01', "
+            "cast(date_trunc('day', ts) AS date)) AS bigint) AS day "
+            "FROM events), "
+            "c AS (SELECT user_id, min(day) AS cohort_day FROM d "
+            "GROUP BY user_id) "
+            "SELECT c.cohort_day AS cohort_day, "
+            "d.day - c.cohort_day AS day_offset, "
+            "cast(count(*) AS bigint) AS n_users "
+            "FROM d JOIN c USING (user_id) GROUP BY 1, 2"
         ),
         "gauge_last": (
             "SELECT user_id, value AS last_value FROM events "

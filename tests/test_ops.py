@@ -1323,3 +1323,72 @@ def test_json_parse_batch_vectorized():
     empty = json_parse_batch(t.slice(0, 0), col="body", schema=schema)
     assert empty.schema.field("k").type == pa.int64()
     assert len(empty) == 0
+
+
+def test_funnel_strictly_after_semantics():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.funnel import (
+        funnel_counts,
+        funnel_steps,
+    )
+
+    t0 = pd.Timestamp("2026-01-01")
+    h = pd.Timedelta(hours=1)
+    df = pd.DataFrame(
+        {
+            # u1 completes; u2 clicks BEFORE viewing (no conversion);
+            # u3 click ties view exactly (strictly-after → no advance);
+            # u4 only views
+            "user_id": [1, 1, 1, 2, 2, 3, 3, 4],
+            "event_type": [
+                "view", "click", "purchase",
+                "click", "view",
+                "view", "click",
+                "view",
+            ],
+            "ts": [t0, t0 + h, t0 + 2 * h,
+                   t0, t0 + h,
+                   t0, t0,
+                   t0],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    steps = funnel_steps(
+        ds, steps=["view", "click", "purchase"]
+    ).to_pandas().set_index("user_id").sort_index()
+    assert steps.loc[1, "t3"] == t0 + 2 * h
+    assert pd.isna(steps.loc[2, "t2"])  # click preceded view
+    assert pd.isna(steps.loc[3, "t2"])  # tie does not advance
+    assert pd.isna(steps.loc[4, "t2"])
+    out = funnel_counts(ds, steps=["view", "click", "purchase"])
+    assert out["n_users"].tolist() == [4, 1, 1]
+
+
+def test_cohort_retention_triangle():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.funnel import cohort_retention
+
+    d0 = pd.Timestamp("2026-03-01")
+    day = pd.Timedelta(days=1)
+    df = pd.DataFrame(
+        {
+            # u1: cohort day0, active day0+day2 (twice on day2 — dedup);
+            # u2: cohort day0 only; u3: cohort day1, active day1+day2
+            "user_id": [1, 1, 1, 2, 3, 3],
+            "ts": [d0, d0 + 2 * day, d0 + 2 * day + pd.Timedelta(hours=3),
+                   d0, d0 + day, d0 + 2 * day],
+        }
+    )
+    out = (
+        cohort_retention(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index(["cohort_day", "day_offset"])["n_users"]
+    )
+    base = (d0 - pd.Timestamp("1970-01-01")).days
+    assert out.loc[(base, 0)] == 2  # u1, u2
+    assert out.loc[(base, 2)] == 1  # u1 returned once (deduped)
+    assert out.loc[(base + 1, 0)] == 1  # u3
+    assert out.loc[(base + 1, 1)] == 1
+    assert len(out) == 4
