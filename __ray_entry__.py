@@ -1593,6 +1593,33 @@ def q_funnel(sf_dir: str):
     return funnel_counts(ev, steps=["view", "click", "purchase"])
 
 
+def q_tfidf(sf_dir: str):
+    """Top-3 TF-IDF terms per document — integer-exact scoring
+    (tf·1e6·N // df) so ranking is bit-stable; df table broadcast once,
+    second pass zero-shuffle."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import tfidf_top_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_top_terms(docs, k=3, min_df=1)
+
+
+def q_stratified_take(sf_dir: str):
+    """Fixed-n per-stratum deterministic sampling: 50 docs per lang by
+    multiplicative-hash rank — combiner top-n, seed-free."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import stratified_take
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_take(docs, group="lang", id_col="doc_id", n=50)
+
+
 def q_retention(sf_dir: str):
     """Cohort retention triangle: first-active-day cohorts × re-activity
     offsets — one sharded user shuffle over pre-deduped (user, day)
@@ -2301,6 +2328,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "json_parse": q_json_parse,
     "funnel": q_funnel,
     "retention": q_retention,
+    "tfidf": q_tfidf,
+    "stratified_take": q_stratified_take,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -2786,6 +2815,31 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(*) AS bigint) AS n_users FROM s1 "
             "UNION ALL SELECT 2, count(*) FROM s2 "
             "UNION ALL SELECT 3, count(*) FROM s3"
+        ),
+        "stratified_take": (
+            "WITH h AS (SELECT doc_id, lang, "
+            "(doc_id * 2654435761) % 4294967296 AS h FROM documents) "
+            "SELECT doc_id, lang, cast(h AS bigint) AS h, "
+            "cast(row_number() OVER (PARTITION BY lang "
+            "ORDER BY h, doc_id) AS bigint) AS rank "
+            "FROM h QUALIFY rank <= 50"
+        ),
+        "tfidf": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS token "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, token, cast(count(*) AS bigint) AS tf "
+            "FROM toks GROUP BY 1, 2), "
+            "df AS (SELECT token, cast(count(DISTINCT doc_id) AS bigint) "
+            "AS df FROM toks GROUP BY 1), "
+            "n AS (SELECT cast(count(*) AS bigint) AS c FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.token, tf.tf, "
+            "cast((tf.tf * 1000000 * n.c) // df.df AS bigint) AS score "
+            "FROM tf JOIN df USING (token) CROSS JOIN n), "
+            "r AS (SELECT doc_id, token, tf, score, "
+            "cast(row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, token) AS bigint) AS rank FROM s) "
+            "SELECT doc_id, token, tf, score, rank FROM r WHERE rank <= 3"
         ),
         "retention": (
             "WITH d AS (SELECT DISTINCT user_id, "

@@ -417,6 +417,8 @@ def repetition_batch(
 # --------------------------------------------------- unigram LM score
 
 import pandas as _pd  # noqa: E402  (module-level: worker-safe)
+import pandas as pd  # noqa: E402
+import ray.data  # noqa: E402,F401
 
 
 def build_unigram_lm(docs, *, top: int = 10_000):
@@ -841,3 +843,103 @@ def temperature_mix(docs, *, key_col: str = "source", id_col: str = "doc_id"):
         return t.filter(pa.array(pctl < thresh))
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def tfidf_top_terms(
+    docs: ray.data.Dataset,
+    *,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_df: int = 1,
+) -> ray.data.Dataset:
+    """Top-k TF-IDF terms per document. Scoring is INTEGER-exact so it
+    is bit-stable across engines: ``score = (tf · 1e6 · N) // df`` —
+    monotone in tf/df exactly like tf·log-idf for ranking purposes,
+    with floor division mirroring SQL ``//``. Ranking tie-break is
+    (score desc, token asc), 1-based rank.
+
+    Two streaming passes: (1) `doc_freq` combiner → df table on the
+    driver (bounded by vocabulary, prunable via ``min_df``), broadcast
+    once; (2) per-batch tf + score + per-doc top-k — documents never
+    cross batches, so the second pass needs ZERO shuffle."""
+    import ray as _ray
+
+    n_docs = docs.count()
+    df_tbl = doc_freq(docs, col=col, min_df=min_df).to_pandas()
+    df_ref = _ray.put(
+        dict(zip(df_tbl["token"].tolist(), df_tbl["df"].tolist()))
+    )
+
+    def per_batch(t: pa.Table) -> pd.DataFrame:
+        lookup = _ray.get(df_ref)
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.utf8_split_whitespace(text)  # same tokenizer as doc_freq
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pd.DataFrame(
+            {
+                id_col: np.repeat(
+                    t[id_col].to_numpy(zero_copy_only=False), counts
+                ),
+                "token": toks.flatten().to_numpy(zero_copy_only=False),
+            }
+        )
+        tf = (
+            flat.groupby([id_col, "token"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        dfv = tf["token"].map(lookup)
+        tf = tf[dfv.notna()]
+        dfv = dfv[dfv.notna()].astype(np.int64)
+        score = (
+            tf["tf"].to_numpy(dtype=np.int64) * 1_000_000 * n_docs
+        ) // dfv.to_numpy()
+        tf = tf.assign(score=score)
+        tf = tf.sort_values(
+            [id_col, "score", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        tf["rank"] = tf.groupby(id_col, sort=False).cumcount() + 1
+        out = tf[tf["rank"] <= k].reset_index(drop=True)
+        return out.astype({"tf": "int64", "score": "int64", "rank": "int64"})
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+def stratified_take(
+    ds: ray.data.Dataset,
+    *,
+    group: str,
+    id_col: str,
+    n: int,
+) -> ray.data.Dataset:
+    """Deterministic fixed-n per-stratum sampling ("take n docs per
+    language"): rows ranked inside each stratum by a seed-free
+    multiplicative hash of the id (Knuth 2654435761 mod 2³²; exact in
+    int64 while id < 3.5e9 — mirrorable as plain SQL arithmetic), ties
+    by id; the first n win. Rate-free complement to `mix_sample`.
+
+    Scale shape = `topk_per_group`: per-batch partial top-n, only
+    O(strata·n·blocks) rows reach the shuffle. Output keeps all
+    columns + the hash ``h`` and 1-based ``rank``."""
+    from .window2 import topk_per_group
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * 2654435761) % (1 << 32)
+        return t.append_column("h", pa.array(h, pa.int64())).append_column(
+            "_hneg", pa.array(-h, pa.int64())
+        )
+
+    tagged = ds.map_batches(derive, batch_format="pyarrow")
+    out = topk_per_group(
+        tagged, group=group, order_by="_hneg", tiebreak=id_col, k=n
+    )
+    return out.map_batches(
+        lambda df: df.drop(columns=["_hneg"]), batch_format="pandas"
+    )

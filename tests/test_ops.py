@@ -1392,3 +1392,70 @@ def test_cohort_retention_triangle():
     assert out.loc[(base + 1, 0)] == 1  # u3
     assert out.loc[(base + 1, 1)] == 1
     assert len(out) == 4
+
+
+def test_tfidf_integer_score_ranking():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.text import tfidf_top_terms
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [
+                "rare rare common",   # 'rare' df=1 tf=2 → top
+                "common common zz",   # 'zz' df=1 beats 'common' df=3
+                "common",
+            ],
+        }
+    )
+    out = (
+        tfidf_top_terms(
+            ray.data.from_pandas(df).repartition(2), k=1, min_df=1
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "token"] == "rare"
+    assert out.loc[2, "token"] == "zz"
+    assert out.loc[3, "token"] == "common"
+    # integer score: tf*1e6*N // df
+    assert out.loc[1, "score"] == 2 * 1_000_000 * 3 // 1
+
+
+def test_stratified_take_fixed_n_deterministic():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.text import stratified_take
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, dtype=np.int64),
+            "lang": np.where(np.arange(100) % 2 == 0, "en", "fr"),
+        }
+    )
+    a = (
+        stratified_take(
+            ray.data.from_pandas(df).repartition(4),
+            group="lang", id_col="doc_id", n=10,
+        )
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (a.groupby("lang").size() == 10).all()
+    b = (
+        stratified_take(
+            ray.data.from_pandas(df).repartition(7),
+            group="lang", id_col="doc_id", n=10,
+        )
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    # partitioning-invariant: identical selection and ranks
+    pd.testing.assert_frame_equal(a[["doc_id", "lang", "rank"]],
+                                  b[["doc_id", "lang", "rank"]])
+    # matches the hash rule
+    h = (a["doc_id"].to_numpy() * 2654435761) % (1 << 32)
+    assert (a["h"].to_numpy() == h).all()
