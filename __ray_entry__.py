@@ -1607,6 +1607,34 @@ def q_tfidf(sf_dir: str):
     return tfidf_top_terms(docs, k=3, min_df=1)
 
 
+def q_join_bloom(sf_dir: str):
+    """Selective join with Bloom pre-filter: purchases joined to
+    per-user signup counts — non-matching left rows dropped before the
+    join shuffle, result exact (FPs fail the real join)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.agg import grouped_count
+    from opentelemetry_collector_ray.functions.join import bloom_filtered_join
+
+    cols = ["event_id", "user_id", "event_type"]
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    signups = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "signup")).select(
+            ["user_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    counts = grouped_count(signups, ["user_id"], alias="n_signups")
+    return bloom_filtered_join(purchases, counts, "user_id")
+
+
 def q_stratified_take(sf_dir: str):
     """Fixed-n per-stratum deterministic sampling: 50 docs per lang by
     multiplicative-hash rank — combiner top-n, seed-free."""
@@ -2330,6 +2358,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "retention": q_retention,
     "tfidf": q_tfidf,
     "stratified_take": q_stratified_take,
+    "join_bloom": q_join_bloom,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -2815,6 +2844,15 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(*) AS bigint) AS n_users FROM s1 "
             "UNION ALL SELECT 2, count(*) FROM s2 "
             "UNION ALL SELECT 3, count(*) FROM s3"
+        ),
+        "join_bloom": (
+            "WITH su AS (SELECT user_id, cast(count(*) AS bigint) AS "
+            "n_signups FROM events WHERE event_type = 'signup' "
+            "GROUP BY user_id), "
+            "p AS (SELECT event_id, user_id FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT p.event_id, p.user_id, su.n_signups "
+            "FROM p JOIN su USING (user_id)"
         ),
         "stratified_take": (
             "WITH h AS (SELECT doc_id, lang, "

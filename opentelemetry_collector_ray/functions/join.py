@@ -135,10 +135,18 @@ def bucketed_hash_join(
     lonly = [c for c in lcols if c != on]
     ronly = [c for c in rcols if c != on]
 
+    # the null-padded union upcasts ints to float in pandas groups —
+    # restore declared integer dtypes (all cols for inner; only the
+    # left side for outer joins, where right cols may carry NaN)
+    int_restore = [c for c in all_cols if pa.types.is_integer(all_types[c])]
+    if how != "inner":
+        int_restore = [c for c in int_restore if c in [on] + lonly]
+
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g.loc[g["_side"] == 0, [on] + lonly]
         rg = g.loc[g["_side"] == 1, [on] + ronly]
-        return lg.merge(rg, on=on, how=how)
+        merged = lg.merge(rg, on=on, how=how)
+        return merged.astype({c: "int64" for c in int_restore if c in merged})
 
     return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
 
@@ -353,4 +361,46 @@ def bucketed_semi_join(
 
     return both.groupby("_bucket").map_groups(
         filter_bucket, batch_format="pandas"
+    )
+
+
+def bloom_filtered_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    *,
+    m_bits: int = 1 << 20,
+    hashes: int = 4,
+    buckets: int = 16,
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Inner bucketed join with a Bloom pre-filter on the build side —
+    the classic shuffle-volume reducer for selective joins: when most
+    left rows have no right-side partner, shipping them into the join
+    exchange is pure waste. The right side's keys are folded into one
+    mergeable bitmap (`build_bloom`, OR-combined per block), broadcast
+    ONCE, and left rows failing the membership probe are dropped
+    BEFORE the shuffle. False positives only ride along and fail the
+    real per-bucket hash join, so inner-join results are exact; false
+    negatives cannot occur. Size ``m_bits`` to the right side's key
+    cardinality (~10 bits/key ≈ 1% FP)."""
+    import ray as _ray
+
+    from .sketch import bloom_filter_new, build_bloom
+
+    bloom = build_bloom(
+        right.select_columns([on]), value=on, m_bits=m_bits, hashes=hashes
+    )
+    ref = _ray.put(bloom)
+    flagged = bloom_filter_new(
+        left, ref, value=on, m_bits=m_bits, hashes=hashes
+    )
+    filtered = flagged.map_batches(
+        lambda t: t.filter(pc.equal(t["maybe_dup"], 1)).drop_columns(
+            ["maybe_dup"]
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_hash_join(
+        filtered, right, on, buckets=buckets, how="inner", suffix=suffix
     )

@@ -1459,3 +1459,44 @@ def test_stratified_take_fixed_n_deterministic():
     # matches the hash rule
     h = (a["doc_id"].to_numpy() * 2654435761) % (1 << 32)
     assert (a["h"].to_numpy() == h).all()
+
+
+def test_bloom_filtered_join_exact_vs_plain():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.join import (
+        bloom_filtered_join,
+        bucketed_hash_join,
+    )
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 1000, size=500, dtype=np.int64),
+            "lv": np.arange(500, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": np.arange(0, 50, dtype=np.int64),  # selective: 5% match
+            "rv": np.arange(50, dtype=np.int64) * 10,
+        }
+    )
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    a = (
+        bloom_filtered_join(lds, rds, "k", m_bits=1 << 12)
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    b = (
+        bucketed_hash_join(lds, rds, "k")
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)]
+    )
+    assert a["lv"].dtype == np.int64  # dtype restoration survived
