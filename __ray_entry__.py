@@ -1607,6 +1607,34 @@ def q_tfidf(sf_dir: str):
     return tfidf_top_terms(docs, k=3, min_df=1)
 
 
+def q_gap_fill(sf_dir: str):
+    """Per-series daily gap filling with last-observation-carried-
+    forward (Prometheus staleness idiom): one dense point per day
+    between each user's first and last active day."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.signals import gap_fill_locf
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "vm": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).map_batches(derive, batch_format="pyarrow")
+    return gap_fill_locf(ds)
+
+
 def q_join_bloom(sf_dir: str):
     """Selective join with Bloom pre-filter: purchases joined to
     per-user signup counts — non-matching left rows dropped before the
@@ -2359,6 +2387,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tfidf": q_tfidf,
     "stratified_take": q_stratified_take,
     "join_bloom": q_join_bloom,
+    "gap_fill": q_gap_fill,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -2844,6 +2873,19 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(*) AS bigint) AS n_users FROM s1 "
             "UNION ALL SELECT 2, count(*) FROM s2 "
             "UNION ALL SELECT 3, count(*) FROM s3"
+        ),
+        "gap_fill": (
+            "WITH q AS (SELECT user_id, ts, event_id, "
+            "cast(floor(value * 1000) AS bigint) AS vm, "
+            "cast(floor(epoch(ts) / 86400) AS bigint) AS iv FROM events), "
+            "p AS (SELECT user_id, iv, vm FROM q "
+            "QUALIFY row_number() OVER (PARTITION BY user_id, iv "
+            "ORDER BY ts DESC, event_id DESC) = 1), "
+            "r AS (SELECT user_id, unnest(range(min(iv), max(iv) + 1)) "
+            "AS iv FROM p GROUP BY user_id) "
+            "SELECT r.user_id AS user_id, r.iv AS iv, p.vm AS vm "
+            "FROM r ASOF JOIN p ON r.user_id = p.user_id "
+            "AND r.iv >= p.iv"
         ),
         "join_bloom": (
             "WITH su AS (SELECT user_id, cast(count(*) AS bigint) AS "

@@ -709,3 +709,74 @@ def histogram_exemplars(
     out["n"] = out["n"].astype("int64")
     out["exemplar_value"] = out["exemplar_value"].astype("int64")
     return out.sort_values(gcols, kind="mergesort").reset_index(drop=True)
+
+
+def gap_fill_locf(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "vm",
+    tiebreak: str = "event_id",
+    interval_us: int = 86_400_000_000,
+) -> ray.data.Dataset:
+    """Gap filling with last-observation-carried-forward — the
+    Prometheus-staleness / metrics-upsampling idiom: each series gets
+    exactly one point per ``interval_us`` between its first and last
+    observed interval; intervals with no observation repeat the most
+    recent one. The in-interval representative is the last observation
+    (max ts, tie → max ``tiebreak``), so the result is deterministic.
+
+    ONE sharded shuffle on the series key; inside a shard the fill is
+    fully vectorized across ALL series: dense slots are generated with
+    a concatenated-arange trick and matched to observations by a single
+    ``searchsorted`` over composite (series, interval) keys — no
+    per-series Python loop. ``value`` must be integer for bit-stable
+    hashing."""
+    from ..functions.shard import sharded_group_map
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        t_us = g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = g.assign(_iv=t_us // interval_us)
+        g = g.sort_values([key, "_iv", ts, tiebreak], kind="mergesort")
+        k = g[key].to_numpy()
+        iv = g["_iv"].to_numpy()
+        # last observation per (key, interval): keep rows where the
+        # next row starts a different (key, interval)
+        if not len(k):
+            return pd.DataFrame(
+                {
+                    key: np.array([], dtype=k.dtype),
+                    "iv": np.array([], dtype=np.int64),
+                    value: np.array([], dtype=np.int64),
+                }
+            )
+        last = np.r_[(k[1:] != k[:-1]) | (iv[1:] != iv[:-1]), True]
+        k, iv = k[last], iv[last]
+        v = g[value].to_numpy()[last]
+        # per-series interval spans
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        lo, hi = iv[starts], iv[ends - 1]
+        n_out = hi - lo + 1
+        # dense slots: concatenated aranges without a Python loop
+        offs = np.r_[0, np.cumsum(n_out)]
+        total = int(offs[-1])
+        series_idx = np.repeat(np.arange(len(lo)), n_out)
+        slot_iv = np.arange(total) - offs[series_idx] + lo[series_idx]
+        # composite keys are monotone over (series, interval), so one
+        # global searchsorted maps every slot to its latest observation
+        codes = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+        span = int(max(iv.max() - iv.min() + 1, 1)) if len(iv) else 1
+        obs_key = codes * span + (iv - iv.min())
+        slot_key = series_idx * span + (slot_iv - iv.min())
+        pos = np.searchsorted(obs_key, slot_key, side="right") - 1
+        return pd.DataFrame(
+            {
+                key: k[starts][series_idx],
+                "iv": slot_iv.astype(np.int64),
+                value: v[pos],
+            }
+        )
+
+    return sharded_group_map(ds, [key], per_shard)

@@ -272,3 +272,34 @@ def test_histogram_exemplars_argmax_merge():
     b = out[(out["route"] == "b") & (out["le"] == "1000")].iloc[0]
     assert b["n"] == 2 and b["exemplar_value"] == 500
     assert b["exemplar_trace"] == "c2"
+
+
+def test_gap_fill_locf_dense_and_deterministic():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.signals import gap_fill_locf
+
+    day = 86_400_000_000
+    t = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame(
+        {
+            # u1: days 0 and 3 (gap 1,2 carries 7); day 0 has two obs,
+            # later ts wins (vm=7 not 5). u2: single day.
+            "user_id": [1, 1, 1, 2],
+            "ts": [t, t + pd.Timedelta(hours=2), t + pd.Timedelta(days=3), t],
+            "event_id": [10, 11, 12, 13],
+            "vm": np.array([5, 7, 9, 2], dtype=np.int64),
+        }
+    )
+    out = (
+        gap_fill_locf(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values(["user_id", "iv"])
+        .reset_index(drop=True)
+    )
+    base = int(t.value // 1000) // day
+    u1 = out[out["user_id"] == 1]
+    assert u1["iv"].tolist() == [base, base + 1, base + 2, base + 3]
+    assert u1["vm"].tolist() == [7, 7, 7, 9]  # LOCF + last-obs-per-day
+    u2 = out[out["user_id"] == 2]
+    assert u2["iv"].tolist() == [base] and u2["vm"].tolist() == [2]
