@@ -1607,6 +1607,37 @@ def q_tfidf(sf_dir: str):
     return tfidf_top_terms(docs, k=3, min_df=1)
 
 
+def q_zorder(sf_dir: str):
+    """Z-order (Morton) layout key over (user_id, quantized value) —
+    the two-dimensional row-group clustering key for pruned sink
+    layouts; pure int64 bit arithmetic, engine-exact."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.layout import zorder_batch
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "x": pc.bit_wise_and(t["user_id"], 0xFFFF),
+                "y": pc.bit_wise_and(
+                    pc.cast(
+                        pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64()
+                    ),
+                    0xFFFF,
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).map_batches(derive, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: zorder_batch(t, x="x", y="y"), batch_format="pyarrow"
+    )
+
+
 def q_gap_fill(sf_dir: str):
     """Per-series daily gap filling with last-observation-carried-
     forward (Prometheus staleness idiom): one dense point per day
@@ -2388,6 +2419,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "stratified_take": q_stratified_take,
     "join_bloom": q_join_bloom,
     "gap_fill": q_gap_fill,
+    "zorder": q_zorder,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -2873,6 +2905,24 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(*) AS bigint) AS n_users FROM s1 "
             "UNION ALL SELECT 2, count(*) FROM s2 "
             "UNION ALL SELECT 3, count(*) FROM s3"
+        ),
+        "zorder": (
+            "WITH s0 AS (SELECT event_id, user_id & 65535 AS x, "
+            "cast(floor(value * 1000) AS bigint) & 65535 AS y FROM events), "
+            "s1 AS (SELECT event_id, x, y, "
+            "(x | (x << 8)) & 16711935 AS xs, "
+            "(y | (y << 8)) & 16711935 AS ys FROM s0), "
+            "s2 AS (SELECT event_id, x, y, "
+            "(xs | (xs << 4)) & 252645135 AS xs, "
+            "(ys | (ys << 4)) & 252645135 AS ys FROM s1), "
+            "s3 AS (SELECT event_id, x, y, "
+            "(xs | (xs << 2)) & 858993459 AS xs, "
+            "(ys | (ys << 2)) & 858993459 AS ys FROM s2), "
+            "s4 AS (SELECT event_id, x, y, "
+            "(xs | (xs << 1)) & 1431655765 AS xs, "
+            "(ys | (ys << 1)) & 1431655765 AS ys FROM s3) "
+            "SELECT event_id, x, y, "
+            "cast(xs | (ys << 1) AS bigint) AS zkey FROM s4"
         ),
         "gap_fill": (
             "WITH q AS (SELECT user_id, ts, event_id, "

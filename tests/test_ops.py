@@ -1500,3 +1500,21 @@ def test_bloom_filtered_join_exact_vs_plain():
         a[sorted(a.columns)], b[sorted(b.columns)]
     )
     assert a["lv"].dtype == np.int64  # dtype restoration survived
+
+
+def test_zorder_interleave_exact():
+    from opentelemetry_collector_ray.functions.layout import zorder_key
+
+    x = np.array([0b101, 0, 0xFFFF], dtype=np.int64)
+    y = np.array([0b011, 0, 0xFFFF], dtype=np.int64)
+    z = zorder_key(x, y)
+    # interleave: x bits at even positions, y at odd → (5, 3) = 0b011011
+    assert z[0] == 0b011011
+    assert z[1] == 0
+    assert z[2] == (1 << 32) - 1
+    # z-curve locality: sorting by z keeps 2x2 quadrants contiguous
+    xs, ys = np.meshgrid(np.arange(4), np.arange(4))
+    zz = zorder_key(xs.ravel(), ys.ravel())
+    order = np.argsort(zz)
+    first_four = {(int(xs.ravel()[i]), int(ys.ravel()[i])) for i in order[:4]}
+    assert first_four == {(0, 0), (1, 0), (0, 1), (1, 1)}
