@@ -1607,6 +1607,20 @@ def q_tfidf(sf_dir: str):
     return tfidf_top_terms(docs, k=3, min_df=1)
 
 
+def q_cooccurrence(sf_dir: str):
+    """Document co-occurrence counts over the top-50 vocabulary —
+    per-batch V×V matrix partials (BLAS), elementwise-sum merge; no
+    pair explosion through the shuffle."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import cooccurrence_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return cooccurrence_counts(docs, vocab_k=50, min_n=1)
+
+
 def q_zorder(sf_dir: str):
     """Z-order (Morton) layout key over (user_id, quantized value) —
     the two-dimensional row-group clustering key for pruned sink
@@ -2420,6 +2434,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "join_bloom": q_join_bloom,
     "gap_fill": q_gap_fill,
     "zorder": q_zorder,
+    "cooccurrence": q_cooccurrence,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -2905,6 +2920,20 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(*) AS bigint) AS n_users FROM s1 "
             "UNION ALL SELECT 2, count(*) FROM s2 "
             "UNION ALL SELECT 3, count(*) FROM s3"
+        ),
+        "cooccurrence": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS token "
+            "FROM documents), "
+            "vc AS (SELECT token, count(*) AS n FROM toks GROUP BY token), "
+            "vocab AS (SELECT token FROM vc ORDER BY n DESC, token "
+            "LIMIT 50), "
+            "d AS (SELECT DISTINCT doc_id, token FROM toks "
+            "WHERE token IN (SELECT token FROM vocab)) "
+            "SELECT a.token AS token_a, b.token AS token_b, "
+            "cast(count(*) AS bigint) AS n_docs "
+            "FROM d a JOIN d b ON a.doc_id = b.doc_id "
+            "AND a.token < b.token GROUP BY 1, 2"
         ),
         "zorder": (
             "WITH s0 AS (SELECT event_id, user_id & 65535 AS x, "

@@ -943,3 +943,70 @@ def stratified_take(
     return out.map_batches(
         lambda df: df.drop(columns=["_hneg"]), batch_format="pandas"
     )
+
+
+def cooccurrence_counts(
+    docs: ray.data.Dataset,
+    *,
+    col: str = "text",
+    vocab_k: int = 100,
+    min_n: int = 1,
+) -> _pd.DataFrame:
+    """Token co-occurrence statistics over the top-``vocab_k``
+    vocabulary: for every ordered token pair (a < b), the number of
+    documents containing BOTH — the input to PMI/word-vector-style
+    corpus analysis.
+
+    Textbook mergeable-partial shape: the vocabulary is fixed first
+    (`vocab_topk`, tiny, broadcast); each batch builds its docs×V
+    0/1 membership matrix and emits ONE V×V count matrix ``MᵀM``
+    (BLAS); partials merge by elementwise sum — V² floats per block
+    through the merge, never a pair explosion. Diagonal = per-token
+    document frequency (kept as a consistency handle)."""
+    import ray as _ray
+
+    vocab = vocab_topk(docs, col=col, k=vocab_k).to_pandas()
+    # deterministic order: same (n desc, token asc) as vocab_topk
+    tokens = vocab["token"].tolist()
+    index = {t: i for i, t in enumerate(tokens)}
+    v = len(tokens)
+    idx_ref = _ray.put(index)
+
+    def partial(t: pa.Table) -> pa.Table:
+        lookup = _ray.get(idx_ref)
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.utf8_split_whitespace(text)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t)), counts)
+        col_idx = (
+            _pd.Series(flat).map(lookup).fillna(-1).to_numpy(dtype=np.int64)
+        )
+        keep = col_idx >= 0
+        m = np.zeros((len(t), v), dtype=np.float32)
+        m[doc_idx[keep], col_idx[keep]] = 1.0
+        cm = m.T @ m  # V×V document co-occurrence partial
+        return pa.table({"_cm": pa.array([cm.tobytes()], type=pa.binary())})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = np.zeros((v, v), dtype=np.float32)
+    for blob in parts["_cm"]:
+        total += np.frombuffer(blob, dtype=np.float32).reshape(v, v)
+    ia, ib = np.nonzero(np.triu(total, k=1) >= min_n)
+    tok_arr = np.asarray(tokens, dtype=object)
+    # pair order is LEXICOGRAPHIC on the token strings (the SQL-mirror
+    # convention), not vocab-index order
+    a0, b0 = tok_arr[ia], tok_arr[ib]
+    swap = a0 > b0
+    a0[swap], b0[swap] = b0[swap], a0[swap].copy()
+    return _pd.DataFrame(
+        {
+            "token_a": a0,
+            "token_b": b0,
+            "n_docs": total[ia, ib].astype(np.int64),
+        }
+    ).sort_values(["token_a", "token_b"], kind="mergesort").reset_index(
+        drop=True
+    )

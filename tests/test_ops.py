@@ -1518,3 +1518,28 @@ def test_zorder_interleave_exact():
     order = np.argsort(zz)
     first_four = {(int(xs.ravel()[i]), int(ys.ravel()[i])) for i in order[:4]}
     assert first_four == {(0, 0), (1, 0), (0, 1), (1, 1)}
+
+
+def test_cooccurrence_counts_matrix_merge():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.text import cooccurrence_counts
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "apple banana",
+                "apple banana cherry",
+                "banana cherry",
+                "apple apple",  # repeated token counts once per doc
+            ],
+        }
+    )
+    out = cooccurrence_counts(
+        ray.data.from_pandas(df).repartition(3), vocab_k=10, min_n=1
+    ).set_index(["token_a", "token_b"])["n_docs"]
+    assert out.loc[("apple", "banana")] == 2
+    assert out.loc[("banana", "cherry")] == 2
+    assert out.loc[("apple", "cherry")] == 1
+    assert len(out) == 3
