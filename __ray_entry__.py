@@ -1607,6 +1607,24 @@ def q_tfidf(sf_dir: str):
     return tfidf_top_terms(docs, k=3, min_df=1)
 
 
+def q_grouped_tdigest(sf_dir: str):
+    """Per-type approximate quantiles via grouped t-digest — the
+    unbounded-cardinality grouped quantile tier (no oracle: sketch;
+    accuracy pinned by pytest vs exact quantiles)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.sketch import (
+        grouped_tdigest_quantiles,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return grouped_tdigest_quantiles(
+        ds, group="event_type", value="value", qs=(0.5, 0.9, 0.99)
+    )
+
+
 def q_cooccurrence(sf_dir: str):
     """Document co-occurrence counts over the top-50 vocabulary —
     per-batch V×V matrix partials (BLAS), elementwise-sum merge; no
@@ -2435,6 +2453,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gap_fill": q_gap_fill,
     "zorder": q_zorder,
     "cooccurrence": q_cooccurrence,
+    "grouped_tdigest": q_grouped_tdigest,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,

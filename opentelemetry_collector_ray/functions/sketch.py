@@ -422,3 +422,59 @@ def tdigest_quantile(
     cum = np.cumsum(weights) - weights / 2.0
     total = weights.sum()
     return np.interp(np.asarray(qs, dtype=np.float64) * total, cum, means)
+
+
+def grouped_tdigest_quantiles(
+    ds: ray.data.Dataset,
+    *,
+    group: str,
+    value: str,
+    qs=(0.5, 0.9, 0.99),
+    delta: float = 200.0,
+) -> pd.DataFrame:
+    """Per-GROUP approximate quantiles at unbounded value cardinality —
+    the grouped tier of `build_tdigest`, completing the quantile story:
+    `window2.discrete_quantiles` is the exact tier for bounded-distinct
+    values; this is the sketch tier for continuous ones.
+
+    Per batch, each group present emits its ≤2δ-centroid pre-cluster
+    row; partials collapse through ONE uniform groupby on the group key
+    (O(groups·blocks) tiny rows, never raw values) and each group's
+    digest merges independently inside `map_groups`. Output:
+    (group, q, value_est)."""
+    qs_arr = np.asarray(qs, dtype=np.float64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        v_all = df[value].to_numpy()
+        for gval, idx in df.groupby(group, sort=False).indices.items():
+            v = np.sort(v_all[idx].astype(np.float64))
+            v = v[~np.isnan(v)]
+            if not len(v):
+                continue
+            m, w = _td_block_centroids(v, 2.0 * delta)
+            rows.append((gval, m.tobytes(), w.tobytes()))
+        return pd.DataFrame(rows, columns=[group, "_m", "_w"])
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate(
+            [np.frombuffer(b, dtype=np.float64) for b in g["_m"]]
+        )
+        weights = np.concatenate(
+            [np.frombuffer(b, dtype=np.float64) for b in g["_w"]]
+        )
+        m, w = _td_merge(means, weights, delta)
+        est = tdigest_quantile(m, w, qs_arr)
+        return pd.DataFrame(
+            {group: g[group].iloc[0], "q": qs_arr, "value_est": est}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = (
+        partials.groupby(group)
+        .map_groups(merge_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values([group, "q"], kind="mergesort").reset_index(
+        drop=True
+    )

@@ -183,3 +183,29 @@ def test_tdigest_quantiles_accurate_and_ordered():
     assert np.all(q_err < 1e-3), q_err
     rel = np.abs(est - true) / true
     assert np.all(rel[1:5] < 0.01), rel  # value-tight in p10..p99
+
+
+def test_grouped_tdigest_accuracy_vs_exact():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.sketch import (
+        grouped_tdigest_quantiles,
+    )
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], size=20000),
+            "v": rng.lognormal(0.0, 1.0, size=20000),
+        }
+    )
+    out = grouped_tdigest_quantiles(
+        ray.data.from_pandas(df).repartition(8), group="g", value="v",
+        qs=(0.5, 0.9, 0.99),
+    ).set_index(["g", "q"])["value_est"]
+    for g in ["a", "b"]:
+        v = df.loc[df["g"] == g, "v"].to_numpy()
+        for q in (0.5, 0.9, 0.99):
+            exact = np.quantile(v, q)
+            # mid/tail rank accuracy: within 2% relative on lognormal
+            assert abs(out.loc[(g, q)] - exact) / exact < 0.02
