@@ -1607,6 +1607,20 @@ def q_tfidf(sf_dir: str):
     return tfidf_top_terms(docs, k=3, min_df=1)
 
 
+def q_budget_select(sf_dir: str):
+    """Exact per-source char-budget selection (take docs in hash order
+    until 4000 chars/source) — distributed prefix via bucket histogram
+    + boundary refinement, no global sort."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import budget_select
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return budget_select(docs, budget=4000)
+
+
 def q_grouped_tdigest(sf_dir: str):
     """Per-type approximate quantiles via grouped t-digest — the
     unbounded-cardinality grouped quantile tier (no oracle: sketch;
@@ -2454,6 +2468,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zorder": q_zorder,
     "cooccurrence": q_cooccurrence,
     "grouped_tdigest": q_grouped_tdigest,
+    "budget_select": q_budget_select,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -2939,6 +2954,16 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(*) AS bigint) AS n_users FROM s1 "
             "UNION ALL SELECT 2, count(*) FROM s2 "
             "UNION ALL SELECT 3, count(*) FROM s3"
+        ),
+        "budget_select": (
+            "WITH q AS (SELECT doc_id, source, n_chars, "
+            "(doc_id * 2654435761) % 4294967296 AS h FROM documents), "
+            "w AS (SELECT doc_id, source, n_chars, h, "
+            "coalesce(sum(n_chars) OVER (PARTITION BY source "
+            "ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING), 0) AS run_before FROM q) "
+            "SELECT doc_id, source, n_chars, cast(h AS bigint) AS h "
+            "FROM w WHERE run_before < 4000"
         ),
         "cooccurrence": (
             "WITH toks AS (SELECT doc_id, "

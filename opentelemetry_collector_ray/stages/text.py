@@ -1010,3 +1010,129 @@ def cooccurrence_counts(
     ).sort_values(["token_a", "token_b"], kind="mergesort").reset_index(
         drop=True
     )
+
+
+def budget_select(
+    docs: ray.data.Dataset,
+    *,
+    group: str = "source",
+    weight: str = "n_chars",
+    id_col: str = "doc_id",
+    budget: int,
+    buckets: int = 4096,
+) -> ray.data.Dataset:
+    """Exact per-group budget selection without a global sort: walk
+    each group's docs in seed-free hash order (same multiplicative hash
+    as `stratified_take`, tie → id) and keep a doc iff the running
+    weight total BEFORE it is still under ``budget`` — the
+    token/char-budget curation idiom ("take ~50B chars per source").
+
+    Distributed-prefix shape: (1) per-batch partial sums per (group,
+    hash-bucket) → tiny combiner groupby → the driver prefix-sums each
+    group's bucket histogram to find its cutoff bucket; (2) only the
+    cutoff buckets' rows (≈ corpus/``buckets`` — size the knob to the
+    corpus) are collected to find each group's exact boundary (h, id)
+    pair; (3) a stateless broadcast filter keeps rows strictly below
+    the boundary. Three streaming passes, no corpus shuffle, exact."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    shift = max(32 - int(np.log2(buckets)), 0)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * 2654435761) % (1 << 32)
+        return t.append_column("h", pa.array(h, pa.int64())).append_column(
+            "_bk", pa.array(h >> shift, pa.int64())
+        )
+
+    tagged = docs.map_batches(tag, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({group: t[group], "_bk": t["_bk"], "_w": t[weight]})
+            .group_by([group, "_bk"])
+            .aggregate([("_w", "sum")])
+        )
+        return g.rename_columns([group, "_bk", "_ws"])
+
+    hist = (
+        tagged.map_batches(partial, batch_format="pyarrow")
+        .groupby([group, "_bk"])
+        .aggregate(Sum("_ws", alias_name="w"))
+        .to_pandas()
+        .sort_values([group, "_bk"], kind="mergesort")
+    )
+    # per group: cutoff bucket = first bucket where cum weight >= budget
+    cutoffs: dict = {}
+    for gval, sub in hist.groupby(group, sort=False):
+        cum = sub["w"].cumsum()
+        over = cum >= budget
+        if not over.any():
+            continue  # whole group fits the budget
+        i = int(np.argmax(over.to_numpy()))
+        before = int(cum.iloc[i - 1]) if i > 0 else 0
+        cutoffs[gval] = (int(sub["_bk"].iloc[i]), before)
+
+    if cutoffs:
+        cut_ref = _ray.put(cutoffs)
+
+        def in_cut(t: pa.Table) -> pa.Table:
+            cuts = _ray.get(cut_ref)
+            gv = t[group].to_numpy(zero_copy_only=False)
+            bk = t["_bk"].to_numpy(zero_copy_only=False)
+            want = np.asarray(
+                [cuts.get(g, (-1, 0))[0] for g in gv], dtype=np.int64
+            )
+            return t.filter(pa.array(bk == want))
+
+        edge = (
+            tagged.map_batches(in_cut, batch_format="pyarrow")
+            .select_columns([group, "h", id_col, weight])
+            .to_pandas()
+            .sort_values([group, "h", id_col], kind="mergesort")
+        )
+        # exact boundary inside the cutoff bucket: first DROPPED (h, id)
+        bounds: dict = {}
+        for gval, sub in edge.groupby(group, sort=False):
+            before = cutoffs[gval][1]
+            run = before + sub[weight].cumsum().shift(fill_value=0)
+            dropped = sub[run >= budget]
+            if len(dropped):
+                bounds[gval] = (
+                    cutoffs[gval][0],
+                    int(dropped["h"].iloc[0]),
+                    int(dropped[id_col].iloc[0]),
+                )
+            else:
+                # budget boundary fell exactly at this bucket's end:
+                # keep the whole bucket, drop every later one
+                bounds[gval] = (cutoffs[gval][0] + 1, -1, -1)
+        bound_ref = _ray.put(bounds)
+    else:
+        bound_ref = _ray.put({})
+
+    BIG = np.int64(1) << 62  # groups with no boundary keep everything
+
+    def keep(t: pa.Table) -> pa.Table:
+        bnds = _ray.get(bound_ref)
+        gv = _pd.Series(t[group].to_numpy(zero_copy_only=False))
+        bk = t["_bk"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        cb = gv.map({g: b[0] for g, b in bnds.items()}).fillna(BIG).to_numpy(
+            dtype=np.int64
+        )
+        hb = gv.map({g: b[1] for g, b in bnds.items()}).fillna(BIG).to_numpy(
+            dtype=np.int64
+        )
+        ib = gv.map({g: b[2] for g, b in bnds.items()}).fillna(BIG).to_numpy(
+            dtype=np.int64
+        )
+        mask = (bk < cb) | (
+            (bk == cb) & ((h < hb) | ((h == hb) & (ids < ib)))
+        )
+        return t.filter(pa.array(mask)).drop_columns(["_bk"])
+
+    return tagged.map_batches(keep, batch_format="pyarrow")

@@ -1543,3 +1543,44 @@ def test_cooccurrence_counts_matrix_merge():
     assert out.loc[("banana", "cherry")] == 2
     assert out.loc[("apple", "cherry")] == 1
     assert len(out) == 3
+
+
+def test_budget_select_exact_prefix_semantics():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.text import budget_select
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "source": np.where(np.arange(200) % 2 == 0, "a", "b"),
+            "n_chars": rng.integers(10, 100, size=200, dtype=np.int64),
+        }
+    )
+    # pandas reference: hash order walk, keep while run-before < budget
+    ref = df.assign(h=(df["doc_id"] * 2654435761) % (1 << 32))
+    ref = ref.sort_values(["source", "h", "doc_id"], kind="mergesort")
+    ref["before"] = ref.groupby("source")["n_chars"].cumsum() - ref["n_chars"]
+    want = set(ref.loc[ref["before"] < 800, "doc_id"])
+
+    for buckets, parts in [(4, 3), (4096, 5)]:  # tiny buckets force the
+        got = (                                  # boundary-refinement path
+            budget_select(
+                ray.data.from_pandas(df).repartition(parts),
+                budget=800, buckets=buckets,
+            )
+            .to_pandas()
+        )
+        assert set(got["doc_id"]) == want, f"buckets={buckets}"
+
+    # a group whose total fits the budget is kept whole
+    small = pd.DataFrame(
+        {"doc_id": np.arange(3, dtype=np.int64),
+         "source": ["c"] * 3,
+         "n_chars": np.array([5, 5, 5], dtype=np.int64)}
+    )
+    all_kept = budget_select(
+        ray.data.from_pandas(small), budget=1000
+    ).to_pandas()
+    assert len(all_kept) == 3
