@@ -1607,6 +1607,20 @@ def q_tfidf(sf_dir: str):
     return tfidf_top_terms(docs, k=3, min_df=1)
 
 
+def q_embedding_pca(sf_dir: str):
+    """Distributed PCA projection of the embedding corpus (covariance
+    combiner → driver eigh → broadcast matmul projection); rows-only
+    (float output), pinned by variance-ordering tests."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import embedding_pca
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_pca(ds, k=4)
+
+
 def q_budget_select(sf_dir: str):
     """Exact per-source char-budget selection (take docs in hash order
     until 4000 chars/source) — distributed prefix via bucket histogram
@@ -2469,6 +2483,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cooccurrence": q_cooccurrence,
     "grouped_tdigest": q_grouped_tdigest,
     "budget_select": q_budget_select,
+    "embedding_pca": q_embedding_pca,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,

@@ -583,3 +583,74 @@ def ivf_topk(
         .to_pandas()
     )
     return _merge_topk_partials(partials, k)
+
+
+def embedding_pca(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+) -> ray.data.Dataset:
+    """Distributed PCA over an embedding column — the
+    covariance-combiner archetype for dimensionality
+    reduction/whitening ahead of ANN or clustering.
+
+    Pass 1 streams the corpus once: each batch emits (n, Σx, XᵀX) —
+    a scalar, a d-vector and a d×d float64 matrix — which merge by
+    elementwise sum (the same mergeable-matrix shape as
+    `cooccurrence_counts`); the driver assembles the d×d covariance
+    and eigendecomposes it (O(d³), corpus-size-independent).
+    Pass 2 projects every vector onto the top-``k`` components with
+    one BLAS matmul per batch (components broadcast once).
+
+    Sign convention: each component is flipped so its
+    largest-|loading| coordinate is positive — eigenvector signs are
+    otherwise arbitrary and would break run-to-run determinism.
+    Driver state is O(d²), never O(corpus)."""
+    import ray as _ray
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = _matrix(t[vec_col])
+        return pa.table(
+            {
+                "_n": pa.array([len(x)], pa.int64()),
+                "_s": pa.array([x.sum(axis=0).tobytes()], pa.binary()),
+                "_xx": pa.array([(x.T @ x).tobytes()], pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(parts["_n"].sum())
+    s = np.sum(
+        [np.frombuffer(b, dtype=np.float64) for b in parts["_s"]], axis=0
+    )
+    d = len(s)
+    xx = np.sum(
+        [
+            np.frombuffer(b, dtype=np.float64).reshape(d, d)
+            for b in parts["_xx"]
+        ],
+        axis=0,
+    )
+    mean = s / n
+    cov = xx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    comps = evecs[:, ::-1][:, :k]  # top-k, columns
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip
+    state = _ray.put({"mean": mean, "comps": comps})
+
+    def project(t: pa.Table) -> pa.Table:
+        st = _ray.get(state)
+        x = _matrix(t[vec_col])
+        proj = (x - st["mean"]) @ st["comps"]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "pc": pa.array(list(proj), pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -1584,3 +1584,38 @@ def test_budget_select_exact_prefix_semantics():
         ray.data.from_pandas(small), budget=1000
     ).to_pandas()
     assert len(all_kept) == 3
+
+
+def test_embedding_pca_matches_numpy_and_is_partition_invariant():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.similarity import embedding_pca
+
+    rng = np.random.default_rng(17)
+    # anisotropic cloud: dominant direction along axis 0
+    base = rng.normal(size=(300, 6))
+    base[:, 0] *= 10.0
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(300, dtype=np.int64),
+            "embedding": [r.astype(np.float32) for r in base],
+        }
+    )
+    out = (
+        embedding_pca(ray.data.from_pandas(df).repartition(4), k=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    proj = np.stack(out["pc"].to_numpy())
+    # PC1 carries the dominant variance and far more than PC2
+    assert proj[:, 0].var() > 50.0
+    assert proj[:, 0].var() > 5.0 * proj[:, 1].var()
+    # matches a direct numpy PCA up to the shared sign convention
+    x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    xc = x - x.mean(axis=0)
+    evals, evecs = np.linalg.eigh(np.cov(x.T, bias=True))
+    comp = evecs[:, ::-1][:, :2]
+    flip = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(2)])
+    ref = xc @ (comp * flip)
+    assert np.allclose(proj, ref, atol=1e-8)
