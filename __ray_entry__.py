@@ -1607,6 +1607,22 @@ def q_tfidf(sf_dir: str):
     return tfidf_top_terms(docs, k=3, min_df=1)
 
 
+def q_kmeans(sf_dir: str):
+    """Full-corpus distributed Lloyd k-means over embeddings: one
+    streaming pass per iteration, k×d partials to the driver; output =
+    per-vector cluster assignment (rows-only, pinned by blob-recovery
+    tests)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import kmeans_fit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    _, assignments, _ = kmeans_fit(ds, k=8, max_iter=5)
+    return assignments
+
+
 def q_embedding_pca(sf_dir: str):
     """Distributed PCA projection of the embedding corpus (covariance
     combiner → driver eigh → broadcast matmul projection); rows-only
@@ -2484,6 +2500,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "grouped_tdigest": q_grouped_tdigest,
     "budget_select": q_budget_select,
     "embedding_pca": q_embedding_pca,
+    "kmeans": q_kmeans,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,

@@ -654,3 +654,122 @@ def embedding_pca(
         )
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+):
+    """Full-corpus Lloyd k-means — the iterative-distributed-algorithm
+    archetype (vs `train_ivf_centroids`, which trains on a bounded
+    sample). Each iteration is ONE streaming pass: centroids broadcast
+    (`ray.put`), every batch assigns its vectors by one BLAS distance
+    matmul and emits per-cluster (count, Σx) partials; the driver sums
+    the tiny k×d partials into new centroids. Stops when the max
+    centroid shift < ``tol``. Driver state is O(k·d); empty clusters
+    keep their previous centroid.
+
+    Init is seed-free and partition-invariant: a bounded sample (the
+    ``max(256, 8k)`` smallest multiplicative-id-hash vectors, found by
+    per-batch partial top-m) seeds greedy farthest-point selection on
+    the driver — k-means++-style spread without RNG, so well-separated
+    clusters each get a seed. Returns (centroids ndarray, assignments
+    Dataset of (id, cluster), n_iters)."""
+    import ray as _ray
+
+    m = max(256, 8 * k)
+
+    def init_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * 2654435761) % (1 << 32)
+        order = np.lexsort((ids, h))[:m]
+        return pa.table(
+            {
+                "_h": pa.array(h[order], pa.int64()),
+                "_id": pa.array(ids[order], pa.int64()),
+                "_v": pa.array(
+                    [r.tobytes() for r in _matrix(t[vec_col])[order]],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    seeds = (
+        ds.map_batches(init_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["_h", "_id"], kind="mergesort")
+        .head(m)
+    )
+    sample = np.stack(
+        [np.frombuffer(b, dtype=np.float64) for b in seeds["_v"]]
+    )
+    # greedy farthest-point: deterministic k-means++ spread
+    chosen = [0]
+    d2min = ((sample - sample[0]) ** 2).sum(axis=1)
+    while len(chosen) < min(k, len(sample)):
+        nxt = int(d2min.argmax())
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    centroids = sample[chosen]
+
+    n_iter = 0
+    for n_iter in range(1, max_iter + 1):
+        cref = _ray.put(centroids)
+
+        def step(t: pa.Table) -> pa.Table:
+            c = _ray.get(cref)
+            x = _matrix(t[vec_col])
+            d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)
+            a = d2.argmin(axis=1)
+            counts = np.bincount(a, minlength=len(c))
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            return pa.table(
+                {
+                    "_n": pa.array([counts.tobytes()], pa.binary()),
+                    "_s": pa.array([sums.tobytes()], pa.binary()),
+                }
+            )
+
+        parts = ds.map_batches(step, batch_format="pyarrow").to_pandas()
+        counts = np.sum(
+            [np.frombuffer(b, dtype=np.int64) for b in parts["_n"]], axis=0
+        )
+        sums = np.sum(
+            [
+                np.frombuffer(b, dtype=np.float64).reshape(centroids.shape)
+                for b in parts["_s"]
+            ],
+            axis=0,
+        )
+        new = np.where(
+            counts[:, None] > 0,
+            sums / np.maximum(counts, 1)[:, None],
+            centroids,
+        )
+        shift = float(np.abs(new - centroids).max())
+        centroids = new
+        if shift < tol:
+            break
+
+    cref = _ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = _ray.get(cref)
+        x = _matrix(t[vec_col])
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(
+                    d2.argmin(axis=1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return centroids, ds.map_batches(assign, batch_format="pyarrow"), n_iter

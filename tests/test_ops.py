@@ -1619,3 +1619,44 @@ def test_embedding_pca_matches_numpy_and_is_partition_invariant():
     flip = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(2)])
     ref = xc @ (comp * flip)
     assert np.allclose(proj, ref, atol=1e-8)
+
+
+def test_kmeans_recovers_planted_blobs():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.similarity import kmeans_fit
+
+    rng = np.random.default_rng(23)
+    centers = np.array([[0.0, 0.0], [20.0, 0.0], [0.0, 20.0]])
+    labels = rng.integers(0, 3, size=300)
+    x = centers[labels] + rng.normal(scale=0.5, size=(300, 2))
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(300, dtype=np.int64),
+            "embedding": [r.astype(np.float32) for r in x],
+        }
+    )
+    cents, assign_ds, n_iter = kmeans_fit(
+        ray.data.from_pandas(df).repartition(4), k=3, max_iter=20
+    )
+    assign = (
+        assign_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # every recovered cluster maps 1:1 onto one planted blob
+    purity = (
+        pd.DataFrame({"c": assign["cluster"], "l": labels})
+        .groupby("c")["l"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+    )
+    assert (purity > 0.99).all() and len(purity) == 3
+    # centroids sit on the planted centers (within noise)
+    found = {tuple(np.round(c / 10).astype(int)) for c in cents}
+    assert found == {(0, 0), (2, 0), (0, 2)}
+    # partition invariance: same assignment from a different split
+    _, assign2_ds, _ = kmeans_fit(
+        ray.data.from_pandas(df).repartition(7), k=3, max_iter=20
+    )
+    assign2 = (
+        assign2_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (assign["cluster"] == assign2["cluster"]).all()
