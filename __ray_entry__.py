@@ -1607,6 +1607,22 @@ def q_tfidf(sf_dir: str):
     return tfidf_top_terms(docs, k=3, min_df=1)
 
 
+def q_linear_probe(sf_dir: str):
+    """Closed-form distributed ridge regression over embeddings → label
+    (linear-probe idiom): one sufficient-statistics pass, driver solve,
+    one scoring pass (rows-only, float scores)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.similarity import linear_probe
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    _, scored = linear_probe(ds)
+    return scored
+
+
 def q_kmeans(sf_dir: str):
     """Full-corpus distributed Lloyd k-means over embeddings: one
     streaming pass per iteration, k×d partials to the driver; output =
@@ -2501,6 +2517,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "budget_select": q_budget_select,
     "embedding_pca": q_embedding_pca,
     "kmeans": q_kmeans,
+    "linear_probe": q_linear_probe,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,

@@ -773,3 +773,62 @@ def kmeans_fit(
         )
 
     return centroids, ds.map_batches(assign, batch_format="pyarrow"), n_iter
+
+
+def linear_probe(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    ridge: float = 1e-3,
+):
+    """Closed-form distributed ridge regression (a linear probe over
+    the embedding column): solve (XᵀX + λI)w = Xᵀy exactly from ONE
+    streaming pass of mergeable sufficient statistics — each batch
+    emits (XᵀX, Xᵀy) with a bias feature appended (d+1 square matrix +
+    vector, elementwise-sum merge, the same shape as `embedding_pca`);
+    the driver solves the (d+1) system (corpus-size-independent). A
+    second pass scores every row. Returns (weights, predictions
+    Dataset of (id, label, score))."""
+    import ray as _ray
+
+    def stats(t: pa.Table) -> pa.Table:
+        x = _matrix(t[vec_col])
+        x = np.c_[x, np.ones(len(x))]
+        y = t[label_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "_xx": pa.array([(x.T @ x).tobytes()], pa.binary()),
+                "_xy": pa.array([(x.T @ y).tobytes()], pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    xy = np.sum(
+        [np.frombuffer(b, dtype=np.float64) for b in parts["_xy"]], axis=0
+    )
+    d1 = len(xy)
+    xx = np.sum(
+        [
+            np.frombuffer(b, dtype=np.float64).reshape(d1, d1)
+            for b in parts["_xx"]
+        ],
+        axis=0,
+    )
+    w = np.linalg.solve(xx + ridge * np.eye(d1), xy)
+    wref = _ray.put(w)
+
+    def score(t: pa.Table) -> pa.Table:
+        wv = _ray.get(wref)
+        x = _matrix(t[vec_col])
+        s = x @ wv[:-1] + wv[-1]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                label_col: t[label_col],
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    return w, ds.map_batches(score, batch_format="pyarrow")

@@ -1660,3 +1660,36 @@ def test_kmeans_recovers_planted_blobs():
         assign2_ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
     )
     assert (assign["cluster"] == assign2["cluster"]).all()
+
+
+def test_linear_probe_exact_normal_equations():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.similarity import linear_probe
+
+    rng = np.random.default_rng(29)
+    x = rng.normal(size=(400, 5))
+    true_w = np.array([2.0, -1.0, 0.5, 0.0, 3.0])
+    y = (x @ true_w + 1.5 > 0).astype(np.int32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(400, dtype=np.int64),
+            "embedding": [r.astype(np.float32) for r in x],
+            "label": y,
+        }
+    )
+    w, scored_ds = linear_probe(
+        ray.data.from_pandas(df).repartition(4), ridge=1e-6
+    )
+    scored = scored_ds.to_pandas()
+    # matches the single-machine closed form exactly (same float ops
+    # up to sum order; tolerance covers partial-sum reordering)
+    xb = np.c_[np.stack(df["embedding"].to_numpy()).astype(np.float64),
+               np.ones(400)]
+    ref = np.linalg.solve(
+        xb.T @ xb + 1e-6 * np.eye(6), xb.T @ y.astype(np.float64)
+    )
+    assert np.allclose(w, ref, atol=1e-8)
+    # a linearly separable probe separates: threshold at 0.5
+    acc = ((scored["score"] > 0.5).astype(int) == scored["label"]).mean()
+    assert acc > 0.95
