@@ -2222,6 +2222,28 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_counter_resets(sf_dir: str):
+    """cumulative→delta with monotonic-counter reset handling: a
+    negative diff means the counter restarted, so the new value itself
+    is the delta (contrib cumulativetodelta reset rule)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.signals import cumulative_to_delta
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return cumulative_to_delta(
+        ds,
+        key="user_id",
+        ts="ts",
+        value="value",
+        order_tiebreak="event_id",
+        handle_resets=True,
+    )
+
+
 def q_salted_counts(sf_dir: str):
     """Skew-proof two-phase (salted) grouped count — same result as a
     plain groupby, hot keys spread over 8 reducers."""
@@ -2518,6 +2540,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_pca": q_embedding_pca,
     "kmeans": q_kmeans,
     "linear_probe": q_linear_probe,
+    "counter_resets": q_counter_resets,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3177,6 +3200,13 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_delta": (
             "SELECT event_id, user_id, ts, value, "
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
+            "ELSE value - lag(value) OVER w END AS delta FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "counter_resets": (
+            "SELECT event_id, user_id, ts, value, "
+            "CASE WHEN lag(value) OVER w IS NULL THEN value "
+            "WHEN value - lag(value) OVER w < 0 THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),

@@ -291,11 +291,15 @@ def cumulative_to_delta(
     ts: str,
     value: str,
     order_tiebreak: str,
+    handle_resets: bool = False,
 ) -> ray.data.Dataset:
     """Per-series delta conversion: one sharded groupby(key) shuffle,
     ordered diff vectorized over every series in the shard at once.
     First point of each series keeps its value (the cumulativetodelta
-    'initial value' convention)."""
+    'initial value' convention). With ``handle_resets`` a NEGATIVE diff
+    is treated as a monotonic-counter restart and the new value is
+    emitted as the delta (the contrib processor's reset rule for
+    monotonic sums)."""
     from ..functions.shard import sharded_group_map
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -306,6 +310,8 @@ def cumulative_to_delta(
         delta[1:] = v[1:] - v[:-1]
         firsts = np.r_[True, k[1:] != k[:-1]]
         delta[firsts] = v[firsts]
+        if handle_resets:
+            delta = np.where(delta < 0, v, delta)
         return g.assign(delta=delta)
 
     return sharded_group_map(series, [key], per_shard)

@@ -303,3 +303,34 @@ def test_gap_fill_locf_dense_and_deterministic():
     assert u1["vm"].tolist() == [7, 7, 7, 9]  # LOCF + last-obs-per-day
     u2 = out[out["user_id"] == 2]
     assert u2["iv"].tolist() == [base] and u2["vm"].tolist() == [2]
+
+
+def test_cumulative_to_delta_reset_handling():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.signals import cumulative_to_delta
+
+    t = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 4,
+            "ts": [t + pd.Timedelta(minutes=i) for i in range(4)],
+            "id": np.arange(4, dtype=np.int64),
+            # counter climbs 10→25, restarts at 3, climbs to 9
+            "v": np.array([10.0, 25.0, 3.0, 9.0]),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    plain = (
+        cumulative_to_delta(ds, key="k", ts="ts", value="v", order_tiebreak="id")
+        .to_pandas().sort_values("id")["delta"].tolist()
+    )
+    assert plain == [10.0, 15.0, -22.0, 6.0]
+    reset = (
+        cumulative_to_delta(
+            ds, key="k", ts="ts", value="v", order_tiebreak="id",
+            handle_resets=True,
+        )
+        .to_pandas().sort_values("id")["delta"].tolist()
+    )
+    assert reset == [10.0, 15.0, 3.0, 6.0]  # restart emits the new value
