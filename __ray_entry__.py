@@ -2222,6 +2222,44 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_alerts(sf_dir: str):
+    """Threshold alert rule (the alerting-connector idiom / SQL
+    HAVING): hourly windows whose error count breaches the limit —
+    tumbling combiner counts, tiny driver filter."""
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.window import tumbling_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    counts = tumbling_counts(ds, unit="hour")
+    alerts = counts[
+        (counts["event_type"] == "error") & (counts["n"] > 5)
+    ].reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "window_start": alerts["window_start"],
+            "n": alerts["n"].astype("int64"),
+        }
+    )
+
+
+def q_severity_numbers(sf_dir: str):
+    """plog SeverityNumber mapping: severity text → numeric band
+    (severity_number.go), unknown/unparsed → 0 UNSPECIFIED."""
+    from opentelemetry_collector_ray.stages.signals import (
+        severity_number_batch,
+    )
+
+    return (
+        _parsed(sf_dir)
+        .map_batches(severity_number_batch, batch_format="pyarrow")
+        .select_columns(["conv_id", "turn_idx", "level", "severity_number"])
+    )
+
+
 def q_counter_resets(sf_dir: str):
     """cumulative→delta with monotonic-counter reset handling: a
     negative diff means the counter restarted, so the new value itself
@@ -2541,6 +2579,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "kmeans": q_kmeans,
     "linear_probe": q_linear_probe,
     "counter_resets": q_counter_resets,
+    "severity_numbers": q_severity_numbers,
+    "alerts": q_alerts,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3202,6 +3242,19 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "alerts": (
+            "SELECT date_trunc('hour', ts) AS window_start, "
+            "cast(count(*) AS bigint) AS n FROM events "
+            "WHERE event_type = 'error' GROUP BY 1 HAVING count(*) > 5"
+        ),
+        "severity_numbers": o.PARSED_CTE
+        + (
+            "SELECT conv_id, turn_idx, level, "
+            "cast(CASE level WHEN 'TRACE' THEN 1 WHEN 'DEBUG' THEN 5 "
+            "WHEN 'INFO' THEN 9 WHEN 'WARN' THEN 13 WHEN 'ERROR' THEN 17 "
+            "WHEN 'FATAL' THEN 21 ELSE 0 END AS bigint) "
+            "AS severity_number FROM parsed2"
         ),
         "counter_resets": (
             "SELECT event_id, user_id, ts, value, "

@@ -786,3 +786,31 @@ def gap_fill_locf(
         )
 
     return sharded_group_map(ds, [key], per_shard)
+
+
+# plog SeverityNumber vocabulary (pdata/plog/severity_number.go:18-46):
+# each text level maps to the FIRST number of its 4-slot band.
+SEVERITY_NUMBER = {
+    "TRACE": 1,
+    "DEBUG": 5,
+    "INFO": 9,
+    "WARN": 13,
+    "ERROR": 17,
+    "FATAL": 21,
+}
+
+
+def severity_number_batch(
+    batch: pa.Table, *, col: str = "level", out: str = "severity_number"
+) -> pa.Table:
+    """Map severity TEXT to the OTel SeverityNumber scale — the log
+    data model's numeric severity (severity_number.go bands of 4 per
+    level; unknown text → 0 = UNSPECIFIED). One `index_in`/`take`
+    dictionary join per batch, zero shuffle."""
+    c = batch[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    keys = pa.array(list(SEVERITY_NUMBER), pa.string())
+    vals = pa.array(list(SEVERITY_NUMBER.values()) + [0], pa.int64())
+    idx = pc.fill_null(pc.index_in(c, keys), len(SEVERITY_NUMBER))
+    return batch.append_column(out, pc.take(vals, idx))
