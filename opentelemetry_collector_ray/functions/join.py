@@ -85,6 +85,7 @@ def bucketed_hash_join(
     buckets: int = 16,
     how: str = "inner",
     suffix: str = "_r",
+    restore_ints: bool = True,
 ) -> ray.data.Dataset:
     """Explicit partitioned hash join of two large datasets on ``on``.
 
@@ -135,18 +136,33 @@ def bucketed_hash_join(
     lonly = [c for c in lcols if c != on]
     ronly = [c for c in rcols if c != on]
 
-    # the null-padded union upcasts ints to float in pandas groups —
-    # restore declared integer dtypes (all cols for inner; only the
-    # left side for outer joins, where right cols may carry NaN)
-    int_restore = [c for c in all_cols if pa.types.is_integer(all_types[c])]
-    if how != "inner":
-        int_restore = [c for c in int_restore if c in [on] + lonly]
+    # The null-padded union upcasts ints to float in pandas groups —
+    # restore declared integer dtypes on the way out. Restoration must
+    # be the SAME decision in every bucket (a per-bucket NaN check
+    # would emit int64 blocks beside float64 blocks → schema drift),
+    # so it is a static contract: inner joins restore ints and a
+    # genuinely-null int column raises a clear error (pass
+    # restore_ints=False for such data); outer joins always keep
+    # float, since unmatched rows make NaN structurally possible.
+    int_restore = (
+        [c for c in all_cols if pa.types.is_integer(all_types[c])]
+        if (restore_ints and how == "inner")
+        else []
+    )
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g.loc[g["_side"] == 0, [on] + lonly]
         rg = g.loc[g["_side"] == 1, [on] + ronly]
         merged = lg.merge(rg, on=on, how=how)
-        return merged.astype({c: "int64" for c in int_restore if c in merged})
+        try:
+            return merged.astype(
+                {c: "int64" for c in int_restore if c in merged}
+            )
+        except (ValueError, TypeError) as e:
+            raise ValueError(
+                "bucketed_hash_join: an integer column contains nulls; "
+                "call with restore_ints=False to keep float output"
+            ) from e
 
     return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
 

@@ -95,3 +95,12 @@ def sharded_group_map(
     return tagged.groupby("_shard").map_groups(
         lambda g: shard_fn(g.drop(columns=["_shard"])), batch_format="pandas"
     )
+
+
+def mult_hash(ids: "np.ndarray") -> "np.ndarray":
+    """Seed-free Knuth multiplicative hash of integer ids:
+    ``(id * 2654435761) % 2³²`` — exact in int64 while id < 3.5e9, and
+    expressible verbatim in SQL so oracles stay bit-identical. The ONE
+    shared definition used by `stratified_take`, `budget_select` and
+    `kmeans_fit` init (any change must update their oracle SQL too)."""
+    return (ids.astype(np.int64) * 2654435761) % (1 << 32)

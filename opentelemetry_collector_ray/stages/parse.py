@@ -115,10 +115,18 @@ def json_parse_batch(
     if isinstance(src, pa.ChunkedArray):
         src = src.combine_chunks()
     if len(src) == 0:
+        # An empty block must emit the SAME columns as non-empty ones
+        # or the dataset's blocks disagree on schema downstream.
+        if schema is None:
+            raise ValueError(
+                "json_parse_batch: a zero-row batch needs an explicit "
+                "schema to keep block schemas consistent"
+            )
         out = batch
-        for f in schema or []:
+        names = keep if keep is not None else [f.name for f in schema]
+        for name in names:
             out = out.append_column(
-                f.name, pa.array([], type=f.type)
+                name, pa.array([], type=schema.field(name).type)
             )
         return out
     src = pc.if_else(

@@ -19,6 +19,10 @@ import pyarrow as pa
 import ray
 import ray.data
 
+# module-level, NOT inside batch fns: workers get this package only by
+# pickle-by-value, so function-body relative imports fail off-repo
+from ..functions.shard import mult_hash
+
 
 def _matrix(batch_col) -> np.ndarray:
     arr = batch_col.to_pandas().to_numpy()
@@ -686,7 +690,7 @@ def kmeans_fit(
 
     def init_partial(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * 2654435761) % (1 << 32)
+        h = mult_hash(ids)
         order = np.lexsort((ids, h))[:m]
         return pa.table(
             {

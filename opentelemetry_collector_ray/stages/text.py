@@ -417,8 +417,11 @@ def repetition_batch(
 # --------------------------------------------------- unigram LM score
 
 import pandas as _pd  # noqa: E402  (module-level: worker-safe)
-import pandas as pd  # noqa: E402
 import ray.data  # noqa: E402,F401
+
+pd = _pd  # single import, both historical aliases point at it
+
+from ..functions.shard import mult_hash  # noqa: E402
 
 
 def build_unigram_lm(docs, *, top: int = 10_000):
@@ -876,15 +879,18 @@ def tfidf_top_terms(
         text = t[col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
+        # null → "" and drop the empty tokens Arrow's split emits for
+        # padded/empty text — the oracle's regexp \S+ never sees them
+        text = pc.fill_null(text, "")
         toks = pc.utf8_split_whitespace(text)  # same tokenizer as doc_freq
         counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        tok_flat = toks.flatten().to_numpy(zero_copy_only=False)
+        ids_flat = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False), counts
+        )
+        nonempty = tok_flat != ""
         flat = pd.DataFrame(
-            {
-                id_col: np.repeat(
-                    t[id_col].to_numpy(zero_copy_only=False), counts
-                ),
-                "token": toks.flatten().to_numpy(zero_copy_only=False),
-            }
+            {id_col: ids_flat[nonempty], "token": tok_flat[nonempty]}
         )
         tf = (
             flat.groupby([id_col, "token"], sort=False)
@@ -931,7 +937,7 @@ def stratified_take(
 
     def derive(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * 2654435761) % (1 << 32)
+        h = mult_hash(ids)
         return t.append_column("h", pa.array(h, pa.int64())).append_column(
             "_hneg", pa.array(-h, pa.int64())
         )
@@ -977,10 +983,12 @@ def cooccurrence_counts(
         text = t[col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        toks = pc.utf8_split_whitespace(text)
+        toks = pc.utf8_split_whitespace(pc.fill_null(text, ""))
         counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         flat = toks.flatten().to_numpy(zero_copy_only=False)
         doc_idx = np.repeat(np.arange(len(t)), counts)
+        nonempty = flat != ""
+        flat, doc_idx = flat[nonempty], doc_idx[nonempty]
         col_idx = (
             _pd.Series(flat).map(lookup).fillna(-1).to_numpy(dtype=np.int64)
         )
@@ -991,7 +999,9 @@ def cooccurrence_counts(
         return pa.table({"_cm": pa.array([cm.tobytes()], type=pa.binary())})
 
     parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
-    total = np.zeros((v, v), dtype=np.float32)
+    # float64 accumulator: per-BLOCK counts stay < 2^24 (float32-exact)
+    # but the cross-block total must not hit float32's integer ceiling
+    total = np.zeros((v, v), dtype=np.float64)
     for blob in parts["_cm"]:
         total += np.frombuffer(blob, dtype=np.float32).reshape(v, v)
     ia, ib = np.nonzero(np.triu(total, k=1) >= min_n)
@@ -1042,7 +1052,7 @@ def budget_select(
 
     def tag(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * 2654435761) % (1 << 32)
+        h = mult_hash(ids)
         return t.append_column("h", pa.array(h, pa.int64())).append_column(
             "_bk", pa.array(h >> shift, pa.int64())
         )
@@ -1080,10 +1090,12 @@ def budget_select(
 
         def in_cut(t: pa.Table) -> pa.Table:
             cuts = _ray.get(cut_ref)
-            gv = t[group].to_numpy(zero_copy_only=False)
+            gv = _pd.Series(t[group].to_numpy(zero_copy_only=False))
             bk = t["_bk"].to_numpy(zero_copy_only=False)
-            want = np.asarray(
-                [cuts.get(g, (-1, 0))[0] for g in gv], dtype=np.int64
+            want = (
+                gv.map({g: c[0] for g, c in cuts.items()})
+                .fillna(-1)
+                .to_numpy(dtype=np.int64)
             )
             return t.filter(pa.array(bk == want))
 

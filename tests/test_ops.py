@@ -1693,3 +1693,57 @@ def test_linear_probe_exact_normal_equations():
     # a linearly separable probe separates: threshold at 0.5
     acc = ((scored["score"] > 0.5).astype(int) == scored["label"]).mean()
     assert acc > 0.95
+
+
+def test_json_parse_empty_batch_respects_keep_and_requires_schema():
+    from opentelemetry_collector_ray.stages.parse import json_parse_batch
+
+    t = pa.table({"id": pa.array([], pa.int64()), "body": pa.array([], pa.string())})
+    schema = pa.schema([("k", pa.int64()), ("s", pa.string())])
+    out = json_parse_batch(t, col="body", keep=["k"], schema=schema)
+    assert out.column_names == ["id", "body", "k"]
+    with pytest.raises(ValueError):
+        json_parse_batch(t, col="body")
+
+
+def test_tfidf_and_cooccurrence_tolerate_null_and_padded_text():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.text import (
+        cooccurrence_counts,
+        tfidf_top_terms,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["  apple  banana ", None, "", "apple"],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    tf = tfidf_top_terms(ds, k=2, min_df=1).to_pandas()
+    # no phantom '' tokens, null/empty docs emit nothing
+    assert set(tf["token"]) == {"apple", "banana"}
+    assert set(tf["doc_id"]) == {0, 3}
+    co = cooccurrence_counts(ds, vocab_k=10, min_n=1)
+    assert co.set_index(["token_a", "token_b"])["n_docs"].loc[
+        ("apple", "banana")
+    ] == 1
+    assert "" not in set(co["token_a"]) | set(co["token_b"])
+
+
+def test_bucketed_join_null_int_column_raises_clearly():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.join import bucketed_hash_join
+
+    left = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "lv": pa.array([1, None], pa.int64())})
+    right = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                          "rv": np.array([5, 6], dtype=np.int64)})
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_pandas(right)
+    with pytest.raises(Exception, match="restore_ints"):
+        bucketed_hash_join(lds, rds, "k").to_pandas()
+    out = bucketed_hash_join(lds, rds, "k", restore_ints=False).to_pandas()
+    assert len(out) == 2  # float fallback keeps the data
