@@ -2222,6 +2222,34 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_sentences(sf_dir: str):
+    """Sentence segmentation: each doc exploded into trimmed non-empty
+    sentences (one RE2 split per batch, zero shuffle)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import sentence_split_batch
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(sentence_split_batch, batch_format="pyarrow")
+
+
+def q_line_dedup(sf_dir: str):
+    """Within-document line dedup (C4 cleaning rule): repeated lines
+    dropped, first occurrence and order kept."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import dedup_lines_batch
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(dedup_lines_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "text_dedup", "n_dropped_lines"])
+    )
+
+
 def q_alerts(sf_dir: str):
     """Threshold alert rule (the alerting-connector idiom / SQL
     HAVING): hourly windows whose error count breaches the limit —
@@ -2581,6 +2609,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "counter_resets": q_counter_resets,
     "severity_numbers": q_severity_numbers,
     "alerts": q_alerts,
+    "sentences": q_sentences,
+    "line_dedup": q_line_dedup,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3242,6 +3272,25 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "sentences": (
+            "SELECT doc_id, trim(s) AS sentence FROM "
+            "(SELECT doc_id, unnest(string_split_regex(text, "
+            "'[.!?]+\\s+')) AS s FROM documents) "
+            "WHERE length(trim(s)) > 0"
+        ),
+        "line_dedup": (
+            "WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ls "
+            "FROM documents), "
+            "l AS (SELECT doc_id, unnest(ls) AS line, "
+            "generate_subscripts(ls, 1) AS pos FROM s), "
+            "f AS (SELECT doc_id, line, pos, "
+            "row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) "
+            "AS rn, count(*) OVER (PARTITION BY doc_id) AS total FROM l) "
+            "SELECT doc_id, "
+            "string_agg(line, chr(10) ORDER BY pos) AS text_dedup, "
+            "cast(max(total) - count(*) AS bigint) AS n_dropped_lines "
+            "FROM f WHERE rn = 1 GROUP BY doc_id"
         ),
         "alerts": (
             "SELECT date_trunc('hour', ts) AS window_start, "

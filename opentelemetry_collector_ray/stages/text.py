@@ -1148,3 +1148,63 @@ def budget_select(
         return t.filter(pa.array(mask)).drop_columns(["_bk"])
 
     return tagged.map_batches(keep, batch_format="pyarrow")
+
+
+SENTENCE_SPLIT_PATTERN = r"[.!?]+\s+"  # RE2-safe (no lookbehind) — the
+# terminator run is consumed; mirrored verbatim by string_split_regex
+
+
+def sentence_split_batch(
+    batch: pa.Table, *, id_col: str = "doc_id", col: str = "text"
+) -> pa.Table:
+    """Sentence segmentation — explode each document into trimmed,
+    non-empty sentences (one RE2 split per batch + flatten; stateless
+    flat-map, zero shuffle). Output: (id, sentence)."""
+    text = batch[col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    parts = pc.split_pattern_regex(
+        pc.fill_null(text, ""), SENTENCE_SPLIT_PATTERN
+    )
+    counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    ids = np.repeat(
+        batch[id_col].to_numpy(zero_copy_only=False), counts
+    )
+    flat = pc.utf8_trim_whitespace(parts.flatten())
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    t = pa.table(
+        {id_col: pa.array(ids, pa.int64()), "sentence": flat}
+    )
+    return t.filter(keep)
+
+
+def dedup_lines_batch(
+    batch: pa.Table, *, id_col: str = "doc_id", col: str = "text"
+) -> pa.Table:
+    """Within-document line deduplication (the C4-style cleaning rule:
+    drop repeated lines inside a doc, keeping first occurrence and
+    order). Stateless per batch — docs never span batches, so the
+    stage shuffles nothing. Vectorized: explode lines once, mark first
+    occurrences via a pandas duplicated() over (doc, line), rebuild
+    each doc with one list-join kernel. Output adds ``text_dedup`` and
+    ``n_dropped_lines``."""
+    text = batch[col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lines = pc.split_pattern(pc.fill_null(text, ""), "\n")
+    counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(batch)), counts)
+    flat = lines.flatten().to_numpy(zero_copy_only=False)
+    firsts = ~_pd.DataFrame({"d": doc_idx, "l": flat}).duplicated().to_numpy()
+    kept_counts = np.bincount(doc_idx[firsts], minlength=len(batch))
+    offsets = np.r_[0, np.cumsum(kept_counts)].astype(np.int32)
+    rebuilt = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(flat[firsts], pa.string())
+        ),
+        "\n",
+    )
+    dropped = (counts - kept_counts).astype(np.int64)
+    return batch.append_column(
+        "text_dedup", pc.cast(rebuilt, pa.string())
+    ).append_column("n_dropped_lines", pa.array(dropped, pa.int64()))

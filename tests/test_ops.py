@@ -1747,3 +1747,30 @@ def test_bucketed_join_null_int_column_raises_clearly():
         bucketed_hash_join(lds, rds, "k").to_pandas()
     out = bucketed_hash_join(lds, rds, "k", restore_ints=False).to_pandas()
     assert len(out) == 2  # float fallback keeps the data
+
+
+def test_sentence_split_and_line_dedup_batches():
+    from opentelemetry_collector_ray.stages.text import (
+        dedup_lines_batch,
+        sentence_split_batch,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["One. Two!  Three? ", None, "solo"],
+        }
+    )
+    s = sentence_split_batch(t)
+    assert s["doc_id"].to_pylist() == [1, 1, 1, 3]
+    assert s["sentence"].to_pylist() == ["One", "Two", "Three", "solo"]
+
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["a\nb\na\nc\nb", "x"],
+        }
+    )
+    out = dedup_lines_batch(t2)
+    assert out["text_dedup"].to_pylist() == ["a\nb\nc", "x"]
+    assert out["n_dropped_lines"].to_pylist() == [2, 0]
