@@ -2222,6 +2222,23 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_union_evolved(sf_dir: str):
+    """Schema-evolution union (UNION ALL BY NAME): two reads with
+    drifted column sets align by name, missing columns null-fill —
+    the evolving-corpus ingestion path."""
+    import ray.data
+
+    from opentelemetry_collector_ray.sources.evolve import union_by_name
+
+    old = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    new = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return union_by_name([old, new])
+
+
 def q_sentences(sf_dir: str):
     """Sentence segmentation: each doc exploded into trimmed non-empty
     sentences (one RE2 split per batch, zero shuffle)."""
@@ -2611,6 +2628,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "alerts": q_alerts,
     "sentences": q_sentences,
     "line_dedup": q_line_dedup,
+    "union_evolved": q_union_evolved,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3272,6 +3290,11 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "union_evolved": (
+            "SELECT event_id, event_type FROM events "
+            "UNION ALL BY NAME "
+            "SELECT event_id, user_id, value FROM events"
         ),
         "sentences": (
             "SELECT doc_id, trim(s) AS sentence FROM "

@@ -1774,3 +1774,36 @@ def test_sentence_split_and_line_dedup_batches():
     out = dedup_lines_batch(t2)
     assert out["text_dedup"].to_pylist() == ["a\nb\nc", "x"]
     assert out["n_dropped_lines"].to_pylist() == [2, 0]
+
+
+def test_union_by_name_promotes_and_nullfills():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.sources.evolve import (
+        unified_schema,
+        union_by_name,
+    )
+
+    a = pa.table(
+        {"id": pa.array([1, 2], pa.int32()), "x": pa.array([1.5, 2.5], pa.float32())}
+    )
+    b = pa.table(
+        {"id": pa.array([3], pa.int64()), "y": pa.array(["new"], pa.string())}
+    )
+    u = unified_schema([a.schema, b.schema])
+    assert u.field("id").type == pa.int64()  # width promotion
+    assert u.field("x").type == pa.float32()
+    assert u.field("y").type == pa.string()
+    out = (
+        union_by_name([ray.data.from_arrow(a), ray.data.from_arrow(b)])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["id"].tolist() == [1, 2, 3]
+    assert pd.isna(out.loc[0, "y"]) and out.loc[2, "y"] == "new"
+    assert pd.isna(out.loc[2, "x"])
+    # int + float across files promotes to float64
+    c = pa.table({"id": pa.array([4], pa.int64()), "x": pa.array([7], pa.int64())})
+    u2 = unified_schema([a.schema, c.schema])
+    assert u2.field("x").type == pa.float64()
