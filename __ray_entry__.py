@@ -2222,6 +2222,23 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_cardinality_limit(sf_dir: str):
+    """Metric-cardinality protection: per event type at most 50
+    distinct user series keep identity (hash-rank chosen, run-stable),
+    the rest relabel to _overflow."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.signals import cardinality_limit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "user_id"],
+    )
+    return cardinality_limit(
+        ds, metric="event_type", series="user_id", limit=50
+    )
+
+
 def q_union_evolved(sf_dir: str):
     """Schema-evolution union (UNION ALL BY NAME): two reads with
     drifted column sets align by name, missing columns null-fill —
@@ -2629,6 +2646,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sentences": q_sentences,
     "line_dedup": q_line_dedup,
     "union_evolved": q_union_evolved,
+    "cardinality_limit": q_cardinality_limit,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3290,6 +3308,17 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "cardinality_limit": (
+            "WITH s AS (SELECT DISTINCT event_type, user_id FROM events), "
+            "r AS (SELECT event_type, user_id, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY "
+            "(user_id * 2654435761) % 4294967296, user_id) AS rn FROM s) "
+            "SELECT e.event_id AS event_id, e.event_type AS event_type, "
+            "CASE WHEN r.rn <= 50 THEN cast(e.user_id AS varchar) "
+            "ELSE '_overflow' END AS series "
+            "FROM events e JOIN r ON e.event_type = r.event_type "
+            "AND e.user_id = r.user_id"
         ),
         "union_evolved": (
             "SELECT event_id, event_type FROM events "

@@ -814,3 +814,53 @@ def severity_number_batch(
     vals = pa.array(list(SEVERITY_NUMBER.values()) + [0], pa.int64())
     idx = pc.fill_null(pc.index_in(c, keys), len(SEVERITY_NUMBER))
     return batch.append_column(out, pc.take(vals, idx))
+
+
+def cardinality_limit(
+    ds: ray.data.Dataset,
+    *,
+    metric: str = "event_type",
+    series: str = "user_id",
+    limit: int = 50,
+    overflow_label: str = "_overflow",
+) -> ray.data.Dataset:
+    """Metric-cardinality protection (the contrib cardinality-limit
+    idiom: an exploding label set must not take down the backend): per
+    metric, at most ``limit`` distinct series keep their identity —
+    chosen deterministically by seed-free hash rank, NOT arrival order,
+    so the kept set is stable across runs and parallelism — and every
+    other series is relabeled to ``overflow_label``.
+
+    Shape: distinct (metric, series) pairs via a combiner groupby,
+    `stratified_take` keeps the first ``limit`` per metric
+    (O(metrics·limit·blocks) through its shuffle), the kept set is
+    broadcast once, and the datapoint stream is relabeled in one
+    stateless pass. Beyond broadcast size, swap the kept set for a
+    Bloom bitmap (`functions/sketch.build_bloom`) — FPs would keep a
+    few extra series, never drop one."""
+    import ray as _ray
+
+    from ..functions.agg import grouped_count
+    from ..stages.text import stratified_take
+
+    pairs = grouped_count(ds, [metric, series], alias="_n")
+    kept = stratified_take(
+        pairs, group=metric, id_col=series, n=limit
+    ).to_pandas()
+    kept_idx = pd.MultiIndex.from_arrays(
+        [kept[metric], kept[series]], names=[metric, series]
+    )
+    kref = _ray.put(kept_idx)
+
+    def relabel(g: pd.DataFrame) -> pd.DataFrame:
+        ks = _ray.get(kref)
+        keep_mask = pd.MultiIndex.from_arrays(
+            [g[metric], g[series]]
+        ).isin(ks)
+        out = g.copy()
+        out["series"] = np.where(
+            keep_mask, g[series].astype(str), overflow_label
+        )
+        return out.drop(columns=[series])
+
+    return ds.map_batches(relabel, batch_format="pandas")

@@ -334,3 +334,42 @@ def test_cumulative_to_delta_reset_handling():
         .to_pandas().sort_values("id")["delta"].tolist()
     )
     assert reset == [10.0, 15.0, 3.0, 6.0]  # restart emits the new value
+
+
+def test_cardinality_limit_caps_and_is_stable():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.signals import cardinality_limit
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(500, dtype=np.int64),
+            "event_type": rng.choice(["m1", "m2"], size=500),
+            "user_id": rng.integers(0, 100, size=500, dtype=np.int64),
+        }
+    )
+    out = (
+        cardinality_limit(
+            ray.data.from_pandas(df).repartition(4),
+            metric="event_type", series="user_id", limit=10,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    named = out[out["series"] != "_overflow"]
+    # at most `limit` distinct named series per metric, rest overflow
+    assert (named.groupby("event_type")["series"].nunique() <= 10).all()
+    assert (out["series"] == "_overflow").any()
+    # stable across a different partitioning
+    out2 = (
+        cardinality_limit(
+            ray.data.from_pandas(df).repartition(7),
+            metric="event_type", series="user_id", limit=10,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert (out["series"] == out2["series"]).all()
