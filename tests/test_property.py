@@ -3,8 +3,10 @@ strategy (it has none, SURVEY.md §5); these pin the algebraic
 invariants the engine relies on."""
 
 import hypothesis.strategies as st
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray.data
 from hypothesis import given, settings
 
 from opentelemetry_collector_ray.stages.attributes import AttributesStage
@@ -143,3 +145,79 @@ def test_contamination_layout_invariant(doc_list, nblocks):
         )
     )
     assert a.equals(b)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 5),
+)
+@settings(max_examples=25, deadline=None)
+def test_global_rank_stats_matches_pandas(pairs, nparts):
+    """RANK/DENSE_RANK from the zero-shuffle histogram path equal the
+    pandas reference for ANY value multiset and partitioning."""
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.window2 import global_rank_stats
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(len(pairs), dtype=np.int64),
+            "v": np.array([p[1] for p in pairs], dtype=np.int64),
+        }
+    )
+    out = (
+        global_rank_stats(
+            ray.data.from_pandas(df).repartition(nparts), value="v"
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ref_rank = df["v"].rank(method="min").astype(np.int64)
+    ref_dense = df["v"].rank(method="dense").astype(np.int64)
+    assert out["rnk"].tolist() == ref_rank.tolist()
+    assert out["drnk"].tolist() == ref_dense.tolist()
+
+
+@given(
+    st.lists(st.integers(1, 30), min_size=1, max_size=40),
+    st.integers(1, 200),
+    st.integers(1, 4),
+)
+@settings(max_examples=25, deadline=None)
+def test_budget_select_prefix_property(weights, budget, nparts):
+    """budget_select keeps EXACTLY the hash-order prefix whose
+    running-before total is under budget — for any weights, budget and
+    partitioning."""
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.shard import mult_hash
+    from opentelemetry_collector_ray.stages.text import budget_select
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(weights), dtype=np.int64),
+            "source": ["s"] * len(weights),
+            "n_chars": np.array(weights, dtype=np.int64),
+        }
+    )
+    got = set(
+        budget_select(
+            ray.data.from_pandas(df).repartition(nparts),
+            budget=budget,
+            buckets=8,  # small buckets exercise boundary refinement
+        )
+        .to_pandas()["doc_id"]
+    )
+    order = np.lexsort((df["doc_id"], mult_hash(df["doc_id"].to_numpy())))
+    run = 0
+    want = set()
+    for i in order:
+        if run < budget:
+            want.add(int(df["doc_id"].iloc[i]))
+        run += int(df["n_chars"].iloc[i])
+    assert got == want
