@@ -2222,6 +2222,19 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_late_events(sf_dir: str):
+    """Watermark late-data flagging: watermark = max(ts) − 24 h (tiny
+    combiner max), events older are flagged for the late-data sink."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.signals import flag_late_events
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+    return flag_late_events(ds)
+
+
 def q_cardinality_limit(sf_dir: str):
     """Metric-cardinality protection: per event type at most 50
     distinct user series keep identity (hash-rank chosen, run-stable),
@@ -2647,6 +2660,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "line_dedup": q_line_dedup,
     "union_evolved": q_union_evolved,
     "cardinality_limit": q_cardinality_limit,
+    "late_events": q_late_events,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3308,6 +3322,12 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "late_events": (
+            "WITH m AS (SELECT max(ts) AS mx FROM events) "
+            "SELECT e.event_id, e.ts, "
+            "(e.ts < m.mx - INTERVAL 24 HOURS) AS is_late "
+            "FROM events e CROSS JOIN m"
         ),
         "cardinality_limit": (
             "WITH s AS (SELECT DISTINCT event_type, user_id FROM events), "

@@ -864,3 +864,32 @@ def cardinality_limit(
         return out.drop(columns=[series])
 
     return ds.map_batches(relabel, batch_format="pandas")
+
+
+def flag_late_events(
+    ds: ray.data.Dataset,
+    *,
+    ts: str = "ts",
+    lateness_us: int = 24 * 3600 * 1_000_000,
+    out: str = "is_late",
+) -> ray.data.Dataset:
+    """Watermark-style late-data flagging (beyond the reference — it
+    has no watermarks, SURVEY §2.6): watermark = corpus max(ts) −
+    allowed lateness (one tiny combiner max), every event older than
+    the watermark is flagged. The flag feeds a filter stage (drop) or
+    a router (late-data sink). Per-key watermarks are the same shape
+    with a per-key max + broadcast, bounded by key cardinality."""
+    # np.datetime64 handles datetime/pd.Timestamp/np types uniformly
+    # and never applies a local-timezone shift (datetime.timestamp()
+    # would, for naive values)
+    mx_us = int(np.datetime64(ds.max(ts), "us").astype(np.int64))
+    cutoff = mx_us - lateness_us
+
+    def flag(t: pa.Table) -> pa.Table:
+        tv = t[ts]
+        if isinstance(tv, pa.ChunkedArray):
+            tv = tv.combine_chunks()
+        us = tv.cast(pa.int64())
+        return t.append_column(out, pc.less(us, cutoff))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
