@@ -2222,6 +2222,34 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_time_weighted_avg(sf_dir: str):
+    """Per-series time-weighted average over irregular sampling
+    (avg_over_time idiom): exact int64 value·duration sums, bit-stable
+    float finish."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.signals import time_weighted_avg
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "vm": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).map_batches(derive, batch_format="pyarrow")
+    return time_weighted_avg(ds)
+
+
 def q_late_events(sf_dir: str):
     """Watermark late-data flagging: watermark = max(ts) − 24 h (tiny
     combiner max), events older are flagged for the late-data sink."""
@@ -2661,6 +2689,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "union_evolved": q_union_evolved,
     "cardinality_limit": q_cardinality_limit,
     "late_events": q_late_events,
+    "time_weighted_avg": q_time_weighted_avg,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3322,6 +3351,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "time_weighted_avg": (
+            "WITH q AS (SELECT user_id, ts, event_id, "
+            "cast(floor(value * 1000) AS bigint) AS vm FROM events), "
+            "w AS (SELECT user_id, vm, "
+            "cast(date_diff('second', ts, lead(ts) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id)) AS bigint) "
+            "AS dt FROM q), "
+            "a AS (SELECT user_id, cast(sum(vm * dt) AS bigint) AS "
+            "sum_vdt, cast(sum(dt) AS bigint) AS sum_dt FROM w "
+            "WHERE dt IS NOT NULL GROUP BY user_id) "
+            "SELECT user_id, sum_vdt, sum_dt, "
+            "cast(sum_vdt AS double) / cast(sum_dt AS double) AS twa "
+            "FROM a WHERE sum_dt > 0"
         ),
         "late_events": (
             "WITH m AS (SELECT max(ts) AS mx FROM events) "

@@ -893,3 +893,50 @@ def flag_late_events(
         return t.append_column(out, pc.less(us, cutoff))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def time_weighted_avg(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "vm",
+    tiebreak: str = "event_id",
+) -> ray.data.Dataset:
+    """Time-weighted average per series over irregular sampling (the
+    avg_over_time idiom where a value holds until the next sample):
+    ``Σ vᵢ·dtᵢ / Σ dtᵢ`` with dtᵢ = whole-second boundary crossings to
+    the next point (mirrors SQL ``date_diff('second', …)``) — sums stay
+    exact int64, the single division is the bit-stable float finish.
+    Series with fewer than two points (no interval) drop out, same as
+    the SQL. One sharded series shuffle, vectorized diff per shard."""
+    from ..functions.shard import sharded_group_map
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, tiebreak], kind="mergesort")
+        k = g[key].to_numpy()
+        sec = (
+            g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 1_000_000
+        )
+        v = g[value].to_numpy().astype(np.int64)
+        same_next = np.r_[k[1:] == k[:-1], False]
+        dt = np.zeros(len(g), dtype=np.int64)
+        dt[:-1] = sec[1:] - sec[:-1]
+        dt[~same_next] = 0
+        wsum = pd.Series(v * dt).groupby(k, sort=False).sum()
+        dsum = pd.Series(dt).groupby(k, sort=False).sum()
+        out = pd.DataFrame(
+            {
+                key: wsum.index,
+                "sum_vdt": wsum.to_numpy(dtype=np.int64),
+                "sum_dt": dsum.to_numpy(dtype=np.int64),
+            }
+        )
+        out = out[out["sum_dt"] > 0].reset_index(drop=True)
+        out["twa"] = out["sum_vdt"].astype(np.float64) / out[
+            "sum_dt"
+        ].astype(np.float64)
+        return out
+
+    return sharded_group_map(ds, [key], per_shard)

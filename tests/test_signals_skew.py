@@ -373,3 +373,31 @@ def test_cardinality_limit_caps_and_is_stable():
         .reset_index(drop=True)
     )
     assert (out["series"] == out2["series"]).all()
+
+
+def test_time_weighted_avg_holds_value_until_next_sample():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.signals import time_weighted_avg
+
+    t = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame(
+        {
+            # u1: 10 for 30s then 40 for 10s → (10*30+40*10)/40 = 17.5
+            # u2: single point → no interval → dropped
+            "user_id": [1, 1, 1, 2],
+            "ts": [t, t + pd.Timedelta(seconds=30),
+                   t + pd.Timedelta(seconds=40), t],
+            "event_id": np.arange(4, dtype=np.int64),
+            "vm": np.array([10, 40, 99, 5], dtype=np.int64),
+        }
+    )
+    out = (
+        time_weighted_avg(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert out.loc[1, "sum_vdt"] == 10 * 30 + 40 * 10
+    assert out.loc[1, "sum_dt"] == 40
+    assert out.loc[1, "twa"] == 17.5
+    assert 2 not in out.index
