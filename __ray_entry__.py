@@ -2222,6 +2222,25 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_trending_terms(sf_dir: str):
+    """Per-day top-5 tokens of the transcript text — windowed
+    vocabulary analytics via combiner counts + combiner top-k."""
+    import pyarrow.compute as pc
+
+    from opentelemetry_collector_ray.stages.text import trending_terms
+
+    def add_day(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        day = pc.cast(
+            pc.floor(pc.divide(pc.cast(us, pa.float64()), 86_400_000_000.0)),
+            pa.int64(),
+        )
+        return pa.table({"day": day, "text": t["text"]})
+
+    ds = _transcripts(sf_dir).map_batches(add_day, batch_format="pyarrow")
+    return trending_terms(ds, group="day", k=5)
+
+
 def q_time_weighted_avg(sf_dir: str):
     """Per-series time-weighted average over irregular sampling
     (avg_over_time idiom): exact int64 value·duration sums, bit-stable
@@ -2690,6 +2709,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cardinality_limit": q_cardinality_limit,
     "late_events": q_late_events,
     "time_weighted_avg": q_time_weighted_avg,
+    "trending_terms": q_trending_terms,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3351,6 +3371,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "trending_terms": o.TRANSCRIPTS_CTE
+        + (
+            ", t AS (SELECT cast(floor(epoch(ts) / 86400) AS bigint) "
+            "AS day, unnest(regexp_extract_all(text, '\\S+')) AS token "
+            "FROM transcripts), "
+            "c AS (SELECT day, token, cast(count(*) AS bigint) AS n "
+            "FROM t GROUP BY 1, 2) "
+            "SELECT day, token, n, rank FROM (SELECT day, token, n, "
+            "cast(row_number() OVER (PARTITION BY day "
+            "ORDER BY n DESC, token) AS bigint) AS rank FROM c) "
+            "WHERE rank <= 5"
         ),
         "time_weighted_avg": (
             "WITH q AS (SELECT user_id, ts, event_id, "

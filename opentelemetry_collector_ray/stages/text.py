@@ -1208,3 +1208,48 @@ def dedup_lines_batch(
     return batch.append_column(
         "text_dedup", pc.cast(rebuilt, pa.string())
     ).append_column("n_dropped_lines", pa.array(dropped, pa.int64()))
+
+
+def trending_terms(
+    ds: ray.data.Dataset,
+    *,
+    group: str,
+    col: str = "text",
+    k: int = 5,
+) -> ray.data.Dataset:
+    """Windowed vocabulary: top-k tokens per group (per day, per
+    source, …) — the trending-terms analytics idiom. Per-batch
+    (group, token) value_counts partials (Arrow), one uniform groupby
+    sum, then the combiner top-k (`topk_per_group`) with (n desc,
+    token asc) ties. Only O(groups·k·blocks) rows cross the final
+    shuffle."""
+    from ray.data.aggregate import Sum
+
+    from .window2 import topk_per_group
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.fill_null(text, ""))
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        gv = np.repeat(t[group].to_numpy(zero_copy_only=False), counts)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        nonempty = flat != ""
+        df = (
+            _pd.DataFrame({group: gv[nonempty], "token": flat[nonempty]})
+            .groupby([group, "token"], sort=False)
+            .size()
+            .rename("_pc")
+            .reset_index()
+        )
+        df["_pc"] = df["_pc"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    counts = partials.groupby([group, "token"]).aggregate(
+        Sum("_pc", alias_name="n")
+    )
+    return topk_per_group(
+        counts, group=group, order_by="n", tiebreak="token", k=k
+    )

@@ -1807,3 +1807,30 @@ def test_union_by_name_promotes_and_nullfills():
     c = pa.table({"id": pa.array([4], pa.int64()), "x": pa.array([7], pa.int64())})
     u2 = unified_schema([a.schema, c.schema])
     assert u2.field("x").type == pa.float64()
+
+
+def test_trending_terms_topk_per_window():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.text import trending_terms
+
+    df = pd.DataFrame(
+        {
+            "day": np.array([1, 1, 1, 2], dtype=np.int64),
+            "text": ["a a b", "b  c", None, "z z q"],
+        }
+    )
+    out = (
+        trending_terms(
+            ray.data.from_pandas(df).repartition(2), group="day", k=2
+        )
+        .to_pandas()
+        .sort_values(["day", "rank"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out["day"] == 1]
+    # a:2 b:2 c:1 → top-2 with (n desc, token asc): a then b
+    assert d1["token"].tolist() == ["a", "b"]
+    assert d1["n"].tolist() == [2, 2]
+    d2 = out[out["day"] == 2]
+    assert d2["token"].tolist() == ["z", "q"]
