@@ -2222,6 +2222,24 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_join_salted(sf_dir: str):
+    """Skew-aware salted join (hot keys spread over `salt` reducers,
+    right side replicated): same result as the plain bucketed join."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.agg import grouped_count
+    from opentelemetry_collector_ray.functions.join import salted_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    ).rename_columns({"l_orderkey": "o_orderkey"})
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    joined = salted_join(li, orders, on="o_orderkey", salt=4, buckets=8)
+    return grouped_count(joined, ["o_orderstatus"])
+
+
 def q_trending_terms(sf_dir: str):
     """Per-day top-5 tokens of the transcript text — windowed
     vocabulary analytics via combiner counts + combiner top-k."""
@@ -2710,6 +2728,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "late_events": q_late_events,
     "time_weighted_avg": q_time_weighted_avg,
     "trending_terms": q_trending_terms,
+    "join_salted": q_join_salted,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3371,6 +3390,10 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "join_salted": (
+            "SELECT o_orderstatus, count(*) AS n FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus"
         ),
         "trending_terms": o.TRANSCRIPTS_CTE
         + (

@@ -420,3 +420,47 @@ def bloom_filtered_join(
     return bucketed_hash_join(
         filtered, right, on, buckets=buckets, how="inner", suffix=suffix
     )
+
+
+def salted_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    *,
+    salt: int = 8,
+    buckets: int = 16,
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Skew-aware inner join for HOT keys: a dominant join key would
+    put its entire row set into one bucket of `bucketed_hash_join`
+    (one OOM-ing straggler at scale). Salting splits every left key's
+    rows across ``salt`` sub-keys (per-batch round-robin — any
+    distribution yields the identical join multiset) and replicates
+    each right row once per sub-key, so a hot key's work spreads over
+    ``salt`` reducers at the cost of a ``salt``× copy of the right
+    side — the standard trade for large×small-but-hot joins. Integer
+    join keys only (the composite sub-key is ``key·salt + s``)."""
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        k = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.arange(len(t), dtype=np.int64) % salt
+        return t.append_column("_sk", pa.array(k * salt + s, pa.int64()))
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        k = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(t)
+        idx = np.repeat(np.arange(n), salt)
+        reps = t.take(pa.array(idx))
+        s = np.tile(np.arange(salt, dtype=np.int64), n)
+        return reps.append_column(
+            "_sk", pa.array(k[idx] * salt + s, pa.int64())
+        )
+
+    lsalted = left.map_batches(salt_left, batch_format="pyarrow")
+    rsalted = right.map_batches(
+        replicate_right, batch_format="pyarrow"
+    ).drop_columns([on])
+    joined = bucketed_hash_join(
+        lsalted, rsalted, "_sk", buckets=buckets, suffix=suffix
+    )
+    return joined.drop_columns(["_sk"])

@@ -1834,3 +1834,34 @@ def test_trending_terms_topk_per_window():
     assert d1["n"].tolist() == [2, 2]
     d2 = out[out["day"] == 2]
     assert d2["token"].tolist() == ["z", "q"]
+
+
+def test_salted_join_equals_plain_join_under_hot_key():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.join import (
+        bucketed_hash_join,
+        salted_join,
+    )
+
+    rng = np.random.default_rng(37)
+    # 90% of left rows share ONE hot key
+    keys = np.where(
+        rng.random(400) < 0.9, 7, rng.integers(0, 20, size=400)
+    ).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "lv": np.arange(400, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"k": np.arange(20, dtype=np.int64),
+         "rv": np.arange(20, dtype=np.int64) * 3}
+    )
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right)
+    a = (
+        salted_join(lds, rds, "k", salt=4)
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    b = (
+        bucketed_hash_join(lds, rds, "k")
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
