@@ -2222,6 +2222,22 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_histogram_quantile(sf_dir: str):
+    """PromQL histogram_quantile over the route latency le-buckets:
+    p90 by in-bucket linear interpolation (fixed float op order, both
+    engines identical)."""
+    from opentelemetry_collector_ray.stages.signals import (
+        histogram_quantile,
+        latency_histogram,
+    )
+
+    hist = latency_histogram(
+        _enriched(sf_dir), group="route", value="latency_ms",
+        bounds=(10, 100, 1000),
+    )
+    return histogram_quantile(hist, group="route", bounds=(10, 100, 1000), q=0.9)
+
+
 def q_join_salted(sf_dir: str):
     """Skew-aware salted join (hot keys spread over `salt` reducers,
     right side replicated): same result as the plain bucketed join."""
@@ -2729,6 +2745,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "time_weighted_avg": q_time_weighted_avg,
     "trending_terms": q_trending_terms,
     "join_salted": q_join_salted,
+    "histogram_quantile": q_histogram_quantile,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3390,6 +3407,35 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "histogram_quantile": o.ENRICHED_CTE
+        + (
+            ", b AS (SELECT route, CASE WHEN latency_ms <= 10 THEN '10' "
+            "WHEN latency_ms <= 100 THEN '100' "
+            "WHEN latency_ms <= 1000 THEN '1000' ELSE 'inf' END AS le, "
+            "cast(count(*) AS bigint) AS n FROM enriched "
+            "WHERE latency_ms IS NOT NULL GROUP BY 1, 2), "
+            "o2 AS (SELECT route, le, n, CASE le WHEN '10' THEN 0 "
+            "WHEN '100' THEN 1 WHEN '1000' THEN 2 ELSE 3 END AS ord "
+            "FROM b), "
+            "w AS (SELECT route, le, n, ord, "
+            "coalesce(sum(n) OVER (PARTITION BY route ORDER BY ord "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS cum, sum(n) OVER (PARTITION BY route) AS total FROM o2), "
+            "sel AS (SELECT route, le, n, ord, cum, total FROM w "
+            "WHERE cast(cum + n AS double) >= "
+            "0.9 * cast(total AS double) "
+            "QUALIFY row_number() OVER (PARTITION BY route "
+            "ORDER BY ord) = 1) "
+            "SELECT route, 0.9 AS q, "
+            "CASE WHEN le = 'inf' THEN 1000.0 ELSE "
+            "(CASE le WHEN '10' THEN 0.0 WHEN '100' THEN 10.0 "
+            "ELSE 100.0 END) + "
+            "((CASE le WHEN '10' THEN 10.0 WHEN '100' THEN 100.0 "
+            "ELSE 1000.0 END) - (CASE le WHEN '10' THEN 0.0 "
+            "WHEN '100' THEN 10.0 ELSE 100.0 END)) * "
+            "((0.9 * cast(total AS double) - cast(cum AS double)) / "
+            "cast(n AS double)) END AS value_est FROM sel"
         ),
         "join_salted": (
             "SELECT o_orderstatus, count(*) AS n FROM lineitem "

@@ -940,3 +940,48 @@ def time_weighted_avg(
         return out
 
     return sharded_group_map(ds, [key], per_shard)
+
+
+def histogram_quantile(
+    hist: ray.data.Dataset,
+    *,
+    group: str = "route",
+    bounds: tuple[int, ...] = (10, 100, 1000),
+    q: float = 0.9,
+) -> pd.DataFrame:
+    """The monitoring-stack signature function (PromQL
+    ``histogram_quantile``): estimate a quantile per group from
+    le-bucket counts by linear interpolation inside the target bucket
+    (lower bound of the first bucket = 0; a target in the +inf bucket
+    returns the highest finite boundary, Prometheus's convention).
+
+    Runs on the ALREADY-AGGREGATED histogram (O(groups·buckets) rows,
+    driver-sized by construction); the float op order is fixed so a
+    SQL oracle mirrors it term by term."""
+    df = hist.to_pandas()
+    labels = [str(b) for b in bounds] + ["inf"]
+    uppers = {str(b): float(b) for b in bounds}
+    lowers = dict(zip(labels[1:], [float(b) for b in bounds]))
+    lowers[labels[0]] = 0.0
+    order = {lab: i for i, lab in enumerate(labels)}
+    df = df.assign(_o=df["le"].map(order)).sort_values(
+        [group, "_o"], kind="mergesort"
+    )
+    rows = []
+    for gval, sub in df.groupby(group, sort=False):
+        total = float(sub["n"].sum())
+        target = q * total
+        cum = 0.0
+        for _, r in sub.iterrows():
+            nb = float(r["n"])
+            if cum + nb >= target:
+                if r["le"] == "inf":
+                    est = float(bounds[-1])
+                else:
+                    lo = lowers[r["le"]]
+                    up = uppers[r["le"]]
+                    est = lo + (up - lo) * ((target - cum) / nb)
+                rows.append((gval, q, est))
+                break
+            cum += nb
+    return pd.DataFrame(rows, columns=[group, "q", "value_est"])

@@ -401,3 +401,35 @@ def test_time_weighted_avg_holds_value_until_next_sample():
     assert out.loc[1, "sum_dt"] == 40
     assert out.loc[1, "twa"] == 17.5
     assert 2 not in out.index
+
+
+def test_histogram_quantile_interpolation():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.signals import histogram_quantile
+
+    hist = pd.DataFrame(
+        {
+            "route": ["a"] * 4,
+            "le": ["10", "100", "1000", "inf"],
+            "n": np.array([50, 30, 15, 5], dtype=np.int64),
+        }
+    )
+    out = histogram_quantile(
+        ray.data.from_pandas(hist), group="route",
+        bounds=(10, 100, 1000), q=0.5,
+    )
+    # target = 50 → boundary of first bucket: 0 + 10*(50-0)/50 = 10
+    assert out.loc[0, "value_est"] == 10.0
+    out9 = histogram_quantile(
+        ray.data.from_pandas(hist), group="route",
+        bounds=(10, 100, 1000), q=0.9,
+    )
+    # target 90: bucket '1000' (cum 80, n 15): 100 + 900*(10/15) = 700
+    assert abs(out9.loc[0, "value_est"] - 700.0) < 1e-9
+    # inf bucket → highest finite boundary
+    out99 = histogram_quantile(
+        ray.data.from_pandas(hist), group="route",
+        bounds=(10, 100, 1000), q=0.99,
+    )
+    assert out99.loc[0, "value_est"] == 1000.0
