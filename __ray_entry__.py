@@ -2222,6 +2222,18 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_profile(sf_dir: str):
+    """Dataset profiling: per-column row/null/distinct counts + native
+    min/max — one combiner pass + one all-columns distinct shuffle."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.profile import profile_dataset
+
+    cols = ["event_id", "user_id", "event_type", "props"]
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    return profile_dataset(ds, cols)
+
+
 def q_histogram_quantile(sf_dir: str):
     """PromQL histogram_quantile over the route latency le-buckets:
     p90 by in-bucket linear interpolation (fixed float op order, both
@@ -2746,6 +2758,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "trending_terms": q_trending_terms,
     "join_salted": q_join_salted,
     "histogram_quantile": q_histogram_quantile,
+    "profile": q_profile,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3407,6 +3420,16 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "profile": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS column, cast(count(*) AS bigint) AS n, "
+                f"cast(count(*) - count({c}) AS bigint) AS n_null, "
+                f"cast(count(DISTINCT {c}) AS bigint) AS n_distinct, "
+                f"cast(min({c}) AS varchar) AS min_s, "
+                f"cast(max({c}) AS varchar) AS max_s FROM events"
+                for c in ["event_id", "user_id", "event_type", "props"]
+            )
         ),
         "histogram_quantile": o.ENRICHED_CTE
         + (

@@ -1865,3 +1865,27 @@ def test_salted_join_equals_plain_join_under_hot_key():
         .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_profile_dataset_stats():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.profile import profile_dataset
+
+    df = pd.DataFrame(
+        {
+            "a": pd.array([3, 1, 1, None], dtype="Int64").to_numpy(dtype=object),
+            "b": ["x", None, "y", "x"],
+        }
+    )
+    t = pa.table({"a": pa.array([3, 1, 1, None], pa.int64()),
+                  "b": pa.array(["x", None, "y", "x"], pa.string())})
+    out = (
+        profile_dataset(ray.data.from_arrow(t).repartition(2), ["a", "b"])
+        .set_index("column")
+    )
+    assert out.loc["a", "n"] == 4 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 2
+    assert out.loc["a", "min_s"] == "1" and out.loc["a", "max_s"] == "3"
+    assert out.loc["b", "n_distinct"] == 2
+    assert out.loc["b", "min_s"] == "x" and out.loc["b", "max_s"] == "y"
