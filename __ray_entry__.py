@@ -2222,6 +2222,20 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_hopping_counts(sf_dir: str):
+    """Hopping windows (3 h size, 1 h hop): each event counts in 3
+    overlapping windows — explode by the overlap factor, combiner
+    count."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.window import hopping_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return hopping_counts(ds, size_hours=3, hop_hours=1)
+
+
 def q_profile(sf_dir: str):
     """Dataset profiling: per-column row/null/distinct counts + native
     min/max — one combiner pass + one all-columns distinct shuffle."""
@@ -2759,6 +2773,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "join_salted": q_join_salted,
     "histogram_quantile": q_histogram_quantile,
     "profile": q_profile,
+    "hopping_counts": q_hopping_counts,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3420,6 +3435,14 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "hopping_counts": (
+            "WITH e AS (SELECT event_type, "
+            "cast(floor(epoch(ts) / 3600) AS bigint) AS h FROM events) "
+            "SELECT event_type, h - off AS window_start_hour, "
+            "cast(count(*) AS bigint) AS n "
+            "FROM e CROSS JOIN (SELECT unnest(range(0, 3)) AS off) "
+            "GROUP BY 1, 2"
         ),
         "profile": (
             " UNION ALL ".join(

@@ -77,3 +77,38 @@ def tumbling_counts(
     return out.sort_values(
         ["event_type", "window_start"], kind="mergesort"
     ).reset_index(drop=True)
+
+
+def hopping_counts(
+    events: "ray.data.Dataset",
+    *,
+    group: str = "event_type",
+    ts: str = "ts",
+    size_hours: int = 3,
+    hop_hours: int = 1,
+):
+    """Hopping (overlapping) windows — each event lands in
+    ``size/hop`` windows. Completes the window family (tumbling /
+    sliding / session / rolling / hopping): the event stream explodes
+    by the small overlap factor (np.repeat, stateless), then the same
+    tiny combiner count as tumbling. Output (group, window_start_hour,
+    n) with window w covering hours [w, w+size)."""
+    assert size_hours % hop_hours == 0
+    k = size_hours // hop_hours
+    from ..functions.agg import grouped_count
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        hours = (
+            df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 3_600_000_000
+        ) // hop_hours * hop_hours
+        g = np.repeat(df[group].to_numpy(), k)
+        offs = np.tile(np.arange(k, dtype=np.int64) * hop_hours, len(df))
+        return pd.DataFrame(
+            {group: g, "window_start_hour": np.repeat(hours, k) - offs}
+        )
+
+    import ray.data  # noqa: F401  (documented dependency)
+
+    exploded = events.map_batches(explode, batch_format="pandas")
+    return grouped_count(exploded, [group, "window_start_hour"], alias="n")
