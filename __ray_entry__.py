@@ -431,6 +431,23 @@ def q_sessionize(sf_dir: str):
     )
 
 
+def q_active_sessions(sf_dir: str):
+    """Concurrent-sessions-per-hour: sessions explode into the hours
+    they span (gap-bounded factor), tiny combiner count — sweep-line
+    without a global ordered scan."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.window import (
+        active_sessions_per_hour,
+        sessionize,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return active_sessions_per_hour(sessionize(ds, gap_minutes=30))
+
+
 def q_tumbling_hourly(sf_dir: str):
     import ray.data
 
@@ -2774,6 +2791,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "histogram_quantile": q_histogram_quantile,
     "profile": q_profile,
     "hopping_counts": q_hopping_counts,
+    "active_sessions": q_active_sessions,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3435,6 +3453,22 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "active_sessions": (
+            "WITH e AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+            "AS new_sess FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, sum(new_sess) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid, ts FROM e), "
+            "b AS (SELECT cast(floor(epoch(min(ts)) / 3600) AS bigint) "
+            "AS h0, cast(floor(epoch(max(ts)) / 3600) AS bigint) AS h1 "
+            "FROM s GROUP BY user_id, sid) "
+            ", x AS (SELECT unnest(range(h0, h1 + 1)) AS hour FROM b) "
+            "SELECT hour, cast(count(*) AS bigint) AS n_active "
+            "FROM x GROUP BY 1"
         ),
         "hopping_counts": (
             "WITH e AS (SELECT event_type, "

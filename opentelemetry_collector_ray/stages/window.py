@@ -112,3 +112,31 @@ def hopping_counts(
 
     exploded = events.map_batches(explode, batch_format="pandas")
     return grouped_count(exploded, [group, "window_start_hour"], alias="n")
+
+
+def active_sessions_per_hour(sessions: ray.data.Dataset) -> ray.data.Dataset:
+    """Concurrency metric: how many sessions were active in each hour —
+    the sweep-line question answered combiner-style: every session
+    explodes into the hours its [start, end] span touches (bounded by
+    session length / 1 h — sessions are gap-bounded, so the factor is
+    small) and a tiny grouped count sums overlaps. No global ordered
+    scan, no driver sweep."""
+    from ..functions.agg import grouped_count
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        h0 = (
+            df["start_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 3_600_000_000
+        )
+        h1 = (
+            df["end_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 3_600_000_000
+        )
+        spans = (h1 - h0 + 1).astype(np.int64)
+        # concatenated aranges without a per-session Python loop
+        starts = np.r_[0, np.cumsum(spans)]
+        offs = np.arange(int(starts[-1])) - np.repeat(starts[:-1], spans)
+        return pd.DataFrame({"hour": np.repeat(h0, spans) + offs})
+
+    exploded = sessions.map_batches(explode, batch_format="pandas")
+    return grouped_count(exploded, ["hour"], alias="n_active")

@@ -1889,3 +1889,30 @@ def test_profile_dataset_stats():
     assert out.loc["a", "min_s"] == "1" and out.loc["a", "max_s"] == "3"
     assert out.loc["b", "n_distinct"] == 2
     assert out.loc["b", "min_s"] == "x" and out.loc["b", "max_s"] == "y"
+
+
+def test_active_sessions_per_hour_overlap():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.window import (
+        active_sessions_per_hour,
+    )
+
+    t = pd.Timestamp("2026-02-01 00:30:00")
+    sessions = pd.DataFrame(
+        {
+            # s1 spans hours 0-2; s2 only hour 1; s3 hour 2
+            "start_ts": [t, t + pd.Timedelta(hours=1), t + pd.Timedelta(hours=2)],
+            "end_ts": [t + pd.Timedelta(hours=2), t + pd.Timedelta(hours=1),
+                       t + pd.Timedelta(hours=2)],
+        }
+    )
+    out = (
+        active_sessions_per_hour(ray.data.from_pandas(sessions).repartition(2))
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    base = int(t.value // 1000) // 3_600_000_000
+    assert out["hour"].tolist() == [base, base + 1, base + 2]
+    assert out["n_active"].tolist() == [1, 2, 2]
