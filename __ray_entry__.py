@@ -2239,6 +2239,48 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_corpus_overlap(sf_dir: str):
+    """Corpus-overlap diagnostic: KMV bottom-k sketches of two document
+    subsets → Jaccard + distinct estimates (rows-only sketch tier;
+    accuracy pinned by test_sketch)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.sketch import (
+        kmv_distinct,
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    even = docs.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        ),
+        batch_format="pyarrow",
+    )
+    odd = docs.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)
+        ),
+        batch_format="pyarrow",
+    )
+    k = 256
+    sa = kmv_sketch(even, value="text", k=k)
+    sb = kmv_sketch(odd, value="text", k=k)
+    return pd.DataFrame(
+        {
+            "k": [k],
+            "est_jaccard": [kmv_jaccard(sa, sb, k)],
+            "est_distinct_even": [kmv_distinct(sa, k)],
+            "est_distinct_odd": [kmv_distinct(sb, k)],
+        }
+    )
+
+
 def q_hopping_counts(sf_dir: str):
     """Hopping windows (3 h size, 1 h hop): each event counts in 3
     overlapping windows — explode by the overlap factor, combiner
@@ -2792,6 +2834,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "profile": q_profile,
     "hopping_counts": q_hopping_counts,
     "active_sessions": q_active_sessions,
+    "corpus_overlap": q_corpus_overlap,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,

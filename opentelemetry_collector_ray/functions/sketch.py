@@ -478,3 +478,53 @@ def grouped_tdigest_quantiles(
     return out.sort_values([group, "q"], kind="mergesort").reset_index(
         drop=True
     )
+
+
+def kmv_sketch(
+    ds: ray.data.Dataset, *, value: str, k: int = 256
+) -> np.ndarray:
+    """Bottom-k (KMV) sketch of a column's DISTINCT values (Beyer et
+    al., 'On synopses for distinct value estimation'): the k smallest
+    64-bit value hashes. Mergeable: each block emits its own bottom-k
+    (one packed row), the driver keeps the k smallest of the union —
+    same contract as the HLL/Bloom/CM builders. Supports distinct-count
+    estimation ((k−1)/h₍ₖ₎ on the unit interval) and, across two
+    sketches, Jaccard estimation (`kmv_jaccard`)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[value].to_numpy(zero_copy_only=False)
+        h = np.unique(_hash64(vals))[:k]
+        return pa.table({"_kmv": pa.array([h.tobytes()], type=pa.binary())})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    merged = np.unique(
+        np.concatenate(
+            [np.frombuffer(b, dtype=np.uint64) for b in parts["_kmv"]]
+            or [np.empty(0, dtype=np.uint64)]
+        )
+    )
+    return merged[:k]
+
+
+def kmv_distinct(sketch: np.ndarray, k: int) -> int:
+    """Distinct-count estimate from a bottom-k sketch: if fewer than k
+    hashes exist the count is exact; else (k−1)/u₍ₖ₎ with u the k-th
+    smallest hash mapped to (0,1]."""
+    if len(sketch) < k:
+        return int(len(sketch))
+    u_k = float(sketch[k - 1]) / float(2**64)
+    return int(round((k - 1) / u_k))
+
+
+def kmv_jaccard(sa: np.ndarray, sb: np.ndarray, k: int) -> float:
+    """Jaccard estimate between two value sets from their bottom-k
+    sketches: among the k smallest hashes of the UNION, the fraction
+    present in both sketches (an unbiased estimator; error
+    ~1/sqrt(k))."""
+    union = np.unique(np.concatenate([sa, sb]))[:k]
+    in_a = np.isin(union, sa)
+    in_b = np.isin(union, sb)
+    denom = max(len(union), 1)
+    return float((in_a & in_b).sum()) / denom

@@ -209,3 +209,35 @@ def test_grouped_tdigest_accuracy_vs_exact():
             exact = np.quantile(v, q)
             # mid/tail rank accuracy: within 2% relative on lognormal
             assert abs(out.loc[(g, q)] - exact) / exact < 0.02
+
+
+def test_kmv_distinct_and_jaccard_accuracy():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.sketch import (
+        kmv_distinct,
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    rng = np.random.default_rng(41)
+    # two overlapping value sets: |A|=4000, |B|=4000, |A∩B|=2000
+    a_vals = np.arange(0, 6000)
+    b_vals = np.arange(2000, 8000)
+    dsa = ray.data.from_pandas(
+        pd.DataFrame({"v": np.repeat(a_vals[:4000], 2)})
+    ).repartition(4)
+    dsb = ray.data.from_pandas(
+        pd.DataFrame({"v": b_vals[:4000]})
+    ).repartition(3)
+    k = 512
+    sa = kmv_sketch(dsa, value="v", k=k)
+    sb = kmv_sketch(dsb, value="v", k=k)
+    est_a = kmv_distinct(sa, k)
+    assert abs(est_a - 4000) / 4000 < 0.15  # ~1/sqrt(512) ≈ 4.4%
+    true_j = 2000 / 6000
+    est_j = kmv_jaccard(sa, sb, k)
+    assert abs(est_j - true_j) < 0.08
+    # exact when the set fits the sketch
+    small = ray.data.from_pandas(pd.DataFrame({"v": np.arange(100)}))
+    assert kmv_distinct(kmv_sketch(small, value="v", k=512), 512) == 100
