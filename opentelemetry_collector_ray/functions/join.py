@@ -441,12 +441,21 @@ def salted_join(
     side — the standard trade for large×small-but-hot joins. Integer
     join keys only (the composite sub-key is ``key·salt + s``)."""
 
+    def _check_keys(col):
+        if col.null_count:
+            raise ValueError(
+                "salted_join: null join keys unsupported (a NaN cast "
+                "would wrap into a real sub-key); filter them first"
+            )
+
     def salt_left(t: pa.Table) -> pa.Table:
+        _check_keys(t[on])
         k = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
         s = np.arange(len(t), dtype=np.int64) % salt
         return t.append_column("_sk", pa.array(k * salt + s, pa.int64()))
 
     def replicate_right(t: pa.Table) -> pa.Table:
+        _check_keys(t[on])
         k = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(t)
         idx = np.repeat(np.arange(n), salt)

@@ -493,7 +493,11 @@ def kmv_sketch(
 
     def partial(t: pa.Table) -> pa.Table:
         vals = t[value].to_numpy(zero_copy_only=False)
-        h = np.unique(_hash64(vals))[:k]
+        # vectorized 64-bit hash (pandas siphash with a FIXED key —
+        # deterministic across processes, no per-row Python loop; the
+        # sketch has no SQL oracle to mirror, so any stable hash works)
+        h = pd.util.hash_array(vals, hash_key="otelray-kmv-0001")
+        h = np.unique(h.astype(np.uint64))[:k]
         return pa.table({"_kmv": pa.array([h.tobytes()], type=pa.binary())})
 
     parts = ds.map_batches(

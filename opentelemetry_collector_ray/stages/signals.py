@@ -843,6 +843,13 @@ def cardinality_limit(
     from ..functions.agg import grouped_count
     from ..stages.text import stratified_take
 
+    # null series/metric rows can never match the kept set (SQL's
+    # inner join on the pair drops them) — drop them up front rather
+    # than letting NaN ride through hashing as INT64_MIN
+    ds = ds.map_batches(
+        lambda df: df[df[metric].notna() & df[series].notna()],
+        batch_format="pandas",
+    )
     pairs = grouped_count(ds, [metric, series], alias="_n")
     kept = stratified_take(
         pairs, group=metric, id_col=series, n=limit
@@ -919,7 +926,12 @@ def time_weighted_avg(
             g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
             // 1_000_000
         )
-        v = g[value].to_numpy().astype(np.int64)
+        # a null value still anchors its interval (its dt counts toward
+        # Σdt) but its product is skipped — exactly SQL's NULL-skipping
+        # sum over vm·dt; a blind astype(int64) would turn NaN into
+        # INT64_MIN and silently corrupt the sums
+        valid = ~pd.isna(g[value]).to_numpy()
+        v = np.where(valid, g[value].to_numpy(), 0).astype(np.int64)
         same_next = np.r_[k[1:] == k[:-1], False]
         dt = np.zeros(len(g), dtype=np.int64)
         dt[:-1] = sec[1:] - sec[:-1]

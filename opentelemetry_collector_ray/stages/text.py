@@ -1170,7 +1170,9 @@ def sentence_split_batch(
     ids = np.repeat(
         batch[id_col].to_numpy(zero_copy_only=False), counts
     )
-    flat = pc.utf8_trim_whitespace(parts.flatten())
+    # DuckDB trim() strips SPACES only — mirror it exactly (a
+    # unicode-whitespace trim would silently diverge on \n / \t)
+    flat = pc.utf8_trim(parts.flatten(), " ")
     keep = pc.greater(pc.utf8_length(flat), 0)
     t = pa.table(
         {id_col: pa.array(ids, pa.int64()), "sentence": flat}
@@ -1188,10 +1190,11 @@ def dedup_lines_batch(
     occurrences via a pandas duplicated() over (doc, line), rebuild
     each doc with one list-join kernel. Output adds ``text_dedup`` and
     ``n_dropped_lines``."""
+    batch = batch.filter(pc.is_valid(batch[col]))  # SQL unnest drops NULL docs
     text = batch[col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
-    lines = pc.split_pattern(pc.fill_null(text, ""), "\n")
+    lines = pc.split_pattern(text, "\n")
     counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
     doc_idx = np.repeat(np.arange(len(batch)), counts)
     flat = lines.flatten().to_numpy(zero_copy_only=False)

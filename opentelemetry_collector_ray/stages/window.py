@@ -108,8 +108,6 @@ def hopping_counts(
             {group: g, "window_start_hour": np.repeat(hours, k) - offs}
         )
 
-    import ray.data  # noqa: F401  (documented dependency)
-
     exploded = events.map_batches(explode, batch_format="pandas")
     return grouped_count(exploded, [group, "window_start_hour"], alias="n")
 

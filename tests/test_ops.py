@@ -1916,3 +1916,27 @@ def test_active_sessions_per_hour_overlap():
     base = int(t.value // 1000) // 3_600_000_000
     assert out["hour"].tolist() == [base, base + 1, base + 2]
     assert out["n_active"].tolist() == [1, 2, 2]
+
+
+def test_sentence_split_keeps_nonspace_whitespace_like_sql_trim():
+    from opentelemetry_collector_ray.stages.text import sentence_split_batch
+
+    # DuckDB trim() strips spaces only: a trailing newline survives
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["A. B\n"]})
+    out = sentence_split_batch(t)
+    assert out["sentence"].to_pylist() == ["A", "B\n"]
+
+
+def test_salted_join_rejects_null_keys():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.join import salted_join
+
+    left = pa.table({"k": pa.array([1, None], pa.int64()),
+                     "lv": pa.array([1, 2], pa.int64())})
+    right = pd.DataFrame({"k": np.array([0], dtype=np.int64),
+                          "rv": np.array([9], dtype=np.int64)})
+    with pytest.raises(Exception, match="null join keys"):
+        salted_join(
+            ray.data.from_arrow(left), ray.data.from_pandas(right), "k"
+        ).to_pandas()

@@ -433,3 +433,47 @@ def test_histogram_quantile_interpolation():
         bounds=(10, 100, 1000), q=0.99,
     )
     assert out99.loc[0, "value_est"] == 1000.0
+
+
+def test_time_weighted_avg_skips_null_values_like_sql():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.signals import time_weighted_avg
+
+    t = pd.Timestamp("2026-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": [t, t + pd.Timedelta(seconds=30), t + pd.Timedelta(seconds=41)],
+            "event_id": np.arange(3, dtype=np.int64),
+            "vm": pd.array([10, None, 99], dtype="Int64"),
+        }
+    )
+    out = (
+        time_weighted_avg(ray.data.from_pandas(df))
+        .to_pandas().set_index("user_id")
+    )
+    # null point anchors its interval (dt counts) but its product skips
+    assert out.loc[1, "sum_vdt"] == 10 * 30  # null's 11s product skipped
+    assert out.loc[1, "sum_dt"] == 41
+
+
+def test_cardinality_limit_drops_null_series_like_sql_join():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.signals import cardinality_limit
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "event_type": ["m"] * 4,
+            "user_id": pd.array([1, 2, None, 3], dtype="Int64"),
+        }
+    )
+    out = cardinality_limit(
+        ray.data.from_pandas(df), metric="event_type",
+        series="user_id", limit=2,
+    ).to_pandas()
+    assert 2 not in set(out["event_id"])  # null row dropped, not '<NA>'
+    named = out[out["series"] != "_overflow"]
+    assert named["series"].nunique() == 2
