@@ -2239,6 +2239,20 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_pareto(sf_dir: str):
+    """Concentration diagnostic: the share of all events produced by
+    the top 1% of users — exact from the tiny count-of-counts
+    histogram, integer ppm."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.agg import concentration_share
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    return concentration_share(ds, key="user_id", top_fraction_denom=100)
+
+
 def q_corpus_overlap(sf_dir: str):
     """Corpus-overlap diagnostic: KMV bottom-k sketches of two document
     subsets → Jaccard + distinct estimates (rows-only sketch tier;
@@ -2835,6 +2849,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hopping_counts": q_hopping_counts,
     "active_sessions": q_active_sessions,
     "corpus_overlap": q_corpus_overlap,
+    "pareto": q_pareto,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3496,6 +3511,23 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "pareto": (
+            "WITH c AS (SELECT user_id, cast(count(*) AS bigint) AS n "
+            "FROM events GROUP BY user_id), "
+            "t AS (SELECT cast(count(*) AS bigint) AS users, "
+            "cast(sum(n) AS bigint) AS total FROM c), "
+            "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, "
+            "user_id) AS rn FROM c), "
+            "k AS (SELECT greatest(users // 100, 1) AS kk FROM t) "
+            "SELECT t.users AS total_users, t.total AS total_events, "
+            "k.kk AS top_users, "
+            "cast(sum(CASE WHEN r.rn <= k.kk THEN r.n ELSE 0 END) "
+            "AS bigint) AS top_events, "
+            "cast((sum(CASE WHEN r.rn <= k.kk THEN r.n ELSE 0 END) "
+            "* 1000000) // t.total AS bigint) AS share_ppm "
+            "FROM r CROSS JOIN t CROSS JOIN k "
+            "GROUP BY t.users, t.total, k.kk"
         ),
         "active_sessions": (
             "WITH e AS (SELECT user_id, ts, event_id, "

@@ -309,3 +309,49 @@ def grouped_outlier_counts(
     return grouped_count(
         ds.map_batches(flag, batch_format="pandas"), keys, alias=alias
     )
+
+
+def concentration_share(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    top_fraction_denom: int = 100,
+) -> pd.DataFrame:
+    """Concentration (Pareto) diagnostic: what share of all events do
+    the top 1/``denom`` of keys produce? The identity of the top keys
+    is irrelevant to the SUM — keys with equal counts are
+    interchangeable — so the answer comes exactly from the tiny
+    count-of-counts histogram: per-key counts (uniform combiner
+    groupby), then a histogram of those counts (second tiny groupby),
+    then a driver walk accumulating the largest count values until the
+    top-k quota is filled (ties split a count level partially). Output
+    is one integer-exact row; the share is ppm via floor division."""
+    per_key = grouped_count(ds, [key], alias="_n")
+    hist = (
+        grouped_count(per_key, ["_n"], alias="_users")
+        .to_pandas()
+        .sort_values("_n", ascending=False)
+        .reset_index(drop=True)
+    )
+    users = int(hist["_users"].sum())
+    total = int((hist["_n"] * hist["_users"]).sum())
+    k = max(users // top_fraction_denom, 1)
+    remaining = k
+    top_events = 0
+    for _, r in hist.iterrows():
+        take = min(int(r["_users"]), remaining)
+        top_events += take * int(r["_n"])
+        remaining -= take
+        if remaining == 0:
+            break
+    return pd.DataFrame(
+        {
+            "total_users": np.array([users], dtype=np.int64),
+            "total_events": np.array([total], dtype=np.int64),
+            "top_users": np.array([k], dtype=np.int64),
+            "top_events": np.array([top_events], dtype=np.int64),
+            "share_ppm": np.array(
+                [top_events * 1_000_000 // total], dtype=np.int64
+            ),
+        }
+    )

@@ -1940,3 +1940,23 @@ def test_salted_join_rejects_null_keys():
         salted_join(
             ray.data.from_arrow(left), ray.data.from_pandas(right), "k"
         ).to_pandas()
+
+
+def test_concentration_share_tie_split():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.agg import concentration_share
+
+    # 200 users: one whale with 100 events, 199 users with 1 each.
+    # top 1% = 2 users → whale + one single-event user = 101 events.
+    uid = np.r_[np.zeros(100, dtype=np.int64), np.arange(1, 200)]
+    df = pd.DataFrame({"user_id": uid})
+    out = concentration_share(
+        ray.data.from_pandas(df).repartition(3),
+        key="user_id", top_fraction_denom=100,
+    )
+    assert out.loc[0, "total_users"] == 200
+    assert out.loc[0, "total_events"] == 299
+    assert out.loc[0, "top_users"] == 2
+    assert out.loc[0, "top_events"] == 101
+    assert out.loc[0, "share_ppm"] == 101 * 1_000_000 // 299
