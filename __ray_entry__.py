@@ -2253,6 +2253,20 @@ def q_pareto(sf_dir: str):
     return concentration_share(ds, key="user_id", top_fraction_denom=100)
 
 
+def q_gini(sf_dir: str):
+    """Exact Gini coefficient of the per-user event distribution (ppm
+    integer) from the count-of-counts histogram — no per-key ranking
+    shuffle."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.agg import gini_ppm
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    return gini_ppm(ds, key="user_id")
+
+
 def q_corpus_overlap(sf_dir: str):
     """Corpus-overlap diagnostic: KMV bottom-k sketches of two document
     subsets → Jaccard + distinct estimates (rows-only sketch tier;
@@ -2850,6 +2864,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "active_sessions": q_active_sessions,
     "corpus_overlap": q_corpus_overlap,
     "pareto": q_pareto,
+    "gini": q_gini,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3511,6 +3526,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "gini": (
+            "WITH c AS (SELECT user_id, cast(count(*) AS bigint) AS n "
+            "FROM events GROUP BY user_id), "
+            "r AS (SELECT n, row_number() OVER (ORDER BY n, user_id) "
+            "AS rn FROM c), "
+            "t AS (SELECT cast(count(*) AS bigint) AS nk, "
+            "cast(sum(n) AS bigint) AS tot, "
+            "cast(sum(rn * n) AS bigint) AS s FROM r) "
+            "SELECT nk AS n_keys, tot AS total, "
+            "cast(((2 * s - (nk + 1) * tot) * 1000000) // (nk * tot) "
+            "AS bigint) AS gini_ppm FROM t"
         ),
         "pareto": (
             "WITH c AS (SELECT user_id, cast(count(*) AS bigint) AS n "

@@ -355,3 +355,37 @@ def concentration_share(
             ),
         }
     )
+
+
+def gini_ppm(ds: ray.data.Dataset, *, key: str = "user_id") -> pd.DataFrame:
+    """Gini coefficient of the per-key event distribution, exact and
+    integer-valued (ppm): G = (2·S − (n+1)·T) / (n·T) with S the
+    rank-weighted sum over counts sorted ascending. Keys sharing a
+    count are interchangeable (a run of equal counts contributes
+    count · Σranks regardless of order), so — like
+    `concentration_share` — the tiny count-of-counts histogram answers
+    exactly, no per-key ranking shuffle. Overflow bound: n·T < 2⁶³."""
+    per_key = grouped_count(ds, [key], alias="_n")
+    hist = (
+        grouped_count(per_key, ["_n"], alias="_keys")
+        .to_pandas()
+        .sort_values("_n", ascending=True)
+        .reset_index(drop=True)
+    )
+    cnt = hist["_keys"].to_numpy(dtype=np.int64)
+    val = hist["_n"].to_numpy(dtype=np.int64)
+    n = int(cnt.sum())
+    total = int((cnt * val).sum())
+    last = np.cumsum(cnt)
+    first = last - cnt + 1
+    # Σ ranks of each equal-count run = cnt·(first+last)/2 (exact:
+    # cnt·(first+last) is always even)
+    s = int((val * (cnt * (first + last) // 2)).sum())
+    g_ppm = ((2 * s - (n + 1) * total) * 1_000_000) // (n * total)
+    return pd.DataFrame(
+        {
+            "n_keys": np.array([n], dtype=np.int64),
+            "total": np.array([total], dtype=np.int64),
+            "gini_ppm": np.array([g_ppm], dtype=np.int64),
+        }
+    )

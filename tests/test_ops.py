@@ -1960,3 +1960,25 @@ def test_concentration_share_tie_split():
     assert out.loc[0, "top_users"] == 2
     assert out.loc[0, "top_events"] == 101
     assert out.loc[0, "share_ppm"] == 101 * 1_000_000 // 299
+
+
+def test_gini_ppm_known_distributions():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.agg import gini_ppm
+
+    # perfectly equal: 4 users x 5 events → Gini 0
+    eq = pd.DataFrame({"user_id": np.repeat(np.arange(4), 5)})
+    out = gini_ppm(ray.data.from_pandas(eq).repartition(2))
+    assert out.loc[0, "gini_ppm"] == 0
+    # maximal concentration: 1 user with 99, 99 users with 1 each
+    skew = pd.DataFrame(
+        {"user_id": np.r_[np.zeros(99, dtype=np.int64), np.arange(1, 100)]}
+    )
+    o2 = gini_ppm(ray.data.from_pandas(skew).repartition(3))
+    # exact formula on sorted counts [1]*99 + [99]
+    n, total = 100, 198
+    s = sum((i + 1) * 1 for i in range(99)) + 100 * 99
+    want = ((2 * s - (n + 1) * total) * 1_000_000) // (n * total)
+    assert o2.loc[0, "gini_ppm"] == want
+    assert o2.loc[0, "gini_ppm"] > 400_000  # strongly unequal
