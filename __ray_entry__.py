@@ -2253,6 +2253,21 @@ def q_pareto(sf_dir: str):
     return concentration_share(ds, key="user_id", top_fraction_denom=100)
 
 
+def q_ottl_filter(sf_dir: str):
+    """OTTL-style STRING condition compiled to vectorized predicates
+    (transformprocessor parity: conditions as text, not tuples)."""
+    from opentelemetry_collector_ray.stages.ottl import ConditionFilter
+
+    f = ConditionFilter(
+        "(level == 'ERROR' or latency_ms > 900) and action matches '^[a-m]'"
+    )
+    return (
+        _parsed(sf_dir)
+        .map_batches(f, batch_format="pyarrow")
+        .select_columns(["conv_id", "turn_idx", "level", "action", "latency_ms"])
+    )
+
+
 def q_gini(sf_dir: str):
     """Exact Gini coefficient of the per-user event distribution (ppm
     integer) from the count-of-counts histogram — no per-key ranking
@@ -2865,6 +2880,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "corpus_overlap": q_corpus_overlap,
     "pareto": q_pareto,
     "gini": q_gini,
+    "ottl_filter": q_ottl_filter,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
@@ -3526,6 +3542,12 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lag(value) OVER w IS NULL THEN value "
             "ELSE value - lag(value) OVER w END AS delta FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "ottl_filter": o.PARSED_CTE
+        + (
+            "SELECT conv_id, turn_idx, level, action, latency_ms "
+            "FROM parsed2 WHERE (level = 'ERROR' OR latency_ms > 900) "
+            "AND regexp_matches(action, '^[a-m]')"
         ),
         "gini": (
             "WITH c AS (SELECT user_id, cast(count(*) AS bigint) AS n "

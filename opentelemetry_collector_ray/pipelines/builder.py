@@ -129,6 +129,14 @@ def _build_fingerprint(opts):
     return fingerprint_batch
 
 
+def _build_condition_filter(opts):
+    # OTTL-style string condition (transformprocessor parity):
+    # {type: condition_filter, condition: "level == 'ERROR' and ..."}
+    from ..stages.ottl import ConditionFilter
+
+    return ConditionFilter(opts["condition"])
+
+
 STAGE_REGISTRY: dict[str, Callable] = {
     "parse": _build_parse,
     "enrich": _build_enrich,
@@ -139,6 +147,7 @@ STAGE_REGISTRY: dict[str, Callable] = {
     "token_stats": _build_token_stats,
     "quality": _build_quality,
     "fingerprint": _build_fingerprint,
+    "condition_filter": _build_condition_filter,
     "rebatch": None,  # handled structurally (dataset-level, not batch-level)
 }
 

@@ -410,3 +410,47 @@ def test_processor_counters_gate(corpus, tmp_path):
     # ungated run carries no counter surface
     spec["pipeline"]["feature_gates"] = []
     assert "processor_counters" not in run_pipeline(spec)
+
+
+def test_condition_filter_stage_in_config_pipeline(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_ray.pipelines.builder import run_pipeline
+
+    src = tmp_path / "in"
+    src.mkdir()
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": ["user", "tool", "user"],
+            "text": [
+                "[ERROR] action=boom latency_ms=500 msg=x",
+                "[INFO] action=ok latency_ms=5 msg=y",
+                "[ERROR] action=kaput latency_ms=1 msg=z",
+            ],
+            "tool": ["", "search", ""],
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, src / "part.parquet")
+    out = tmp_path / "out"
+    res = run_pipeline(
+        {
+            "pipeline": {
+                "source": {"type": "parquet", "paths": [str(src)]},
+                "stages": [
+                    {"type": "parse"},
+                    {
+                        "type": "condition_filter",
+                        "condition": "level == 'ERROR' and latency_ms >= 100",
+                    },
+                ],
+                "sinks": {"mode": "single", "out_dir": str(out)},
+            }
+        }
+    )
+    kept = pq.read_table(out)
+    assert kept.num_rows == 1
+    assert kept["action"].to_pylist() == ["boom"]

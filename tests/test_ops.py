@@ -1982,3 +1982,33 @@ def test_gini_ppm_known_distributions():
     want = ((2 * s - (n + 1) * total) * 1_000_000) // (n * total)
     assert o2.loc[0, "gini_ppm"] == want
     assert o2.loc[0, "gini_ppm"] > 400_000  # strongly unequal
+
+
+def test_ottl_condition_parser_and_filter():
+    from opentelemetry_collector_ray.stages.ottl import (
+        ConditionFilter,
+        parse_condition,
+    )
+
+    t = pa.table(
+        {
+            "level": ["ERROR", "WARN", "ERROR", None],
+            "latency_ms": pa.array([150, 200, 50, 999], pa.int64()),
+            "action": ["get", "put", "del", "get"],
+        }
+    )
+    f = ConditionFilter("level == 'ERROR' and latency_ms > 100")
+    assert f(t)["action"].to_pylist() == ["get"]  # null level drops
+    f2 = ConditionFilter(
+        "(action in ('get', 'put') or latency_ms >= 999) and not level == 'WARN'"
+    )
+    assert f2(t)["latency_ms"].to_pylist() == [150]  # null != comparison drops
+    f3 = ConditionFilter("action matches '^g'")
+    assert f3(t)["action"].to_pylist() == ["get", "get"]
+    # parse errors are loud
+    with pytest.raises(ValueError):
+        parse_condition("level === 'x'")
+    with pytest.raises(ValueError):
+        parse_condition("and level == 'x'")
+    with pytest.raises(ValueError):
+        parse_condition("level == 'x' extra")
