@@ -23,6 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .filters import _mask
+from .ottl import eval_condition, parse_condition
 
 _VALID = {
     "insert",
@@ -51,12 +52,14 @@ class Action:
     replacement: str | None = None
     keys: list[str] = field(default_factory=list)
     # OTTL-style row condition (docs/processing.md:100-148 `where ...`):
-    # a (column, op, value) triple; the action mutates ONLY matching
-    # rows (null comparisons = no-match, same as the filter stage)
-    where: tuple | None = None
+    # a (column, op, value) triple OR a condition STRING parsed by
+    # `stages.ottl` ("level == 'ERROR' and latency_ms > 100"); the
+    # action mutates ONLY matching rows (null comparisons = no-match,
+    # same as the filter stage)
+    where: tuple | str | None = None
 
     def __post_init__(self):
-        if self.where is not None:
+        if self.where is not None and not isinstance(self.where, str):
             self.where = tuple(self.where)  # YAML/config lists coerce
 
     def validate(self) -> None:
@@ -67,8 +70,13 @@ class Action:
                 raise ValueError(
                     f"{self.action} is structural — 'where' not supported"
                 )
-            if len(tuple(self.where)) != 3:
-                raise ValueError("'where' must be a (column, op, value) triple")
+            if isinstance(self.where, str):
+                self._where_ast = parse_condition(self.where)  # loud now
+            elif len(tuple(self.where)) != 3:
+                raise ValueError(
+                    "'where' must be a (column, op, value) triple "
+                    "or a condition string"
+                )
         if self.action in {"insert", "update", "upsert"} and (
             self.key is None or self.value is None
         ):
@@ -150,11 +158,16 @@ def apply_actions(batch: pa.Table, actions: list[Action]) -> pa.Table:
         # Unconditional structural actions (rename/keep_keys/column
         # drop/append) keep their fast paths below; masked variants
         # blend new values into the existing column with if_else.
-        m = (
-            None
-            if a.where is None
-            else pc.fill_null(_mask(batch, *a.where), False)
-        )
+        if a.where is None:
+            m = None
+        elif isinstance(a.where, str):
+            ast = getattr(a, "_where_ast", None)
+            if ast is None:
+                ast = parse_condition(a.where)
+                a._where_ast = ast  # parse once, reuse per batch
+            m = pc.fill_null(eval_condition(ast, batch), False)
+        else:
+            m = pc.fill_null(_mask(batch, *a.where), False)
 
         def blend(new_col, old_col):
             if isinstance(old_col, pa.ChunkedArray):

@@ -158,6 +158,12 @@ def _eval(node, batch: pa.Table):
     raise ValueError(f"bad node {node!r}")
 
 
+def eval_condition(ast, batch: pa.Table):
+    """Evaluate a parsed condition AST to a boolean mask (Kleene
+    nulls preserved — callers decide the null policy)."""
+    return _eval(ast, batch)
+
+
 class ConditionFilter:
     """Actor-pool-friendly stage: condition parsed once (``__init__``),
     one vectorized mask per batch. Null comparisons are SQL-Kleene:

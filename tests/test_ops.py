@@ -2012,3 +2012,31 @@ def test_ottl_condition_parser_and_filter():
         parse_condition("and level == 'x'")
     with pytest.raises(ValueError):
         parse_condition("level == 'x' extra")
+
+
+def test_attributes_where_accepts_condition_string():
+    from opentelemetry_collector_ray.stages.attributes import AttributesStage
+
+    t = pa.table(
+        {
+            "level": ["ERROR", "INFO", None],
+            "lat": pa.array([500, 500, 500], pa.int64()),
+            "tag": ["a", "b", "c"],
+        }
+    )
+    out = AttributesStage(
+        [
+            {
+                "action": "upsert",
+                "key": "tag",
+                "value": "slow-error",
+                "where": "level == 'ERROR' and lat > 100",
+            }
+        ]
+    )(t)
+    # string form == triple form semantics; null level → no match
+    assert out["tag"].to_pylist() == ["slow-error", "b", "c"]
+    with pytest.raises(ValueError):
+        AttributesStage(
+            [{"action": "upsert", "key": "k", "value": 1, "where": "bad ==="}]
+        )
