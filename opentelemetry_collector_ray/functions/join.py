@@ -86,6 +86,7 @@ def bucketed_hash_join(
     how: str = "inner",
     suffix: str = "_r",
     restore_ints: bool = True,
+    schemas: tuple[dict, dict] | None = None,
 ) -> ray.data.Dataset:
     """Explicit partitioned hash join of two large datasets on ``on``.
 
@@ -93,13 +94,28 @@ def bucketed_hash_join(
     common schema (null columns, cheap), unioned, grouped by bucket
     (one shuffle covering both sides), and merged per bucket with a
     pandas hash join. Right-side name collisions get ``suffix``.
+
+    ``schemas``: optional (left, right) dicts of column → pyarrow type.
+    ``Dataset.schema()`` EXECUTES part of a lazy pipeline to discover
+    types — on a long lineage that costs a full extra pass (measured:
+    +2.3 s on the minhash verify). Callers that know their columns
+    should pass them explicitly.
     """
-    lschema = left.schema()
-    rschema = right.schema()
-    lcols = list(lschema.names)
-    rcols = list(rschema.names)
-    ltypes = {n: _as_pa_type(t) for n, t in zip(lschema.names, lschema.types)}
-    rtypes = {n: _as_pa_type(t) for n, t in zip(rschema.names, rschema.types)}
+    if schemas is not None:
+        ltypes = {n: _as_pa_type(t) for n, t in schemas[0].items()}
+        rtypes = {n: _as_pa_type(t) for n, t in schemas[1].items()}
+        lcols, rcols = list(ltypes), list(rtypes)
+    else:
+        lschema = left.schema()
+        rschema = right.schema()
+        lcols = list(lschema.names)
+        rcols = list(rschema.names)
+        ltypes = {
+            n: _as_pa_type(t) for n, t in zip(lschema.names, lschema.types)
+        }
+        rtypes = {
+            n: _as_pa_type(t) for n, t in zip(rschema.names, rschema.types)
+        }
     # disambiguate right-side collisions up front
     collide = [c for c in rcols if c in lcols and c != on]
     if collide:

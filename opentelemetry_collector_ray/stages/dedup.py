@@ -443,7 +443,18 @@ def verify_jaccard_pairs_joined(
     from ..functions.shard import sharded_group_map
 
     exploded = pairs.map_batches(explode, batch_format="pyarrow")
-    joined = bucketed_hash_join(exploded, sets_ds, on=id_col, buckets=buckets)
+    # explicit schemas: Dataset.schema() would execute BOTH lazy
+    # pipelines once just to discover types (+2.3 s at sf0.1)
+    joined = bucketed_hash_join(
+        exploded,
+        sets_ds,
+        on=id_col,
+        buckets=buckets,
+        schemas=(
+            {id_col: pa.int64(), "doc_a": pa.int64(), "doc_b": pa.int64()},
+            {id_col: pa.int64(), "shingles": pa.list_(pa.uint64())},
+        ),
+    )
 
     def verify_shard(g: pd.DataFrame) -> pd.DataFrame:
         # collapse duplicate candidates (multi-band collisions) first,
