@@ -190,10 +190,14 @@ def asof_join(
     key: str,
     left_ts: str,
     right_ts: str,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
     """As-of join: for each left row, the latest right row with the same
     ``key`` and ``right_ts <= left_ts`` (backward search — DuckDB/kdb
-    ASOF JOIN semantics). Inner: left rows with no prior right row drop.
+    ASOF JOIN semantics). ``direction='forward'`` matches the EARLIEST
+    right row with ``right_ts >= left_ts`` instead, ``'nearest'`` the
+    closest in either direction (pd.merge_asof semantics). Inner: left
+    rows with no match drop.
 
     Column names of the two sides must be disjoint except ``key``
     (rename before calling). Shape: both sides co-grouped by ``key``
@@ -256,7 +260,7 @@ def asof_join(
             left_on=left_ts,
             right_on=right_ts,
             by=key,
-            direction="backward",
+            direction=direction,
         )
         merged = merged.dropna(subset=[right_ts])
         return merged.astype({c: "int64" for c in int_cols if c in merged})

@@ -2040,3 +2040,29 @@ def test_attributes_where_accepts_condition_string():
         AttributesStage(
             [{"action": "upsert", "key": "k", "value": 1, "where": "bad ==="}]
         )
+
+
+def test_asof_join_forward_direction():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.join import asof_join
+
+    t = pd.Timestamp("2026-01-01")
+    left = pd.DataFrame(
+        {"k": [1, 1], "lts": [t, t + pd.Timedelta(minutes=10)],
+         "lv": np.array([0, 1], dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": [1, 1],
+         "rts": [t + pd.Timedelta(minutes=5), t + pd.Timedelta(minutes=50)],
+         "rv": np.array([100, 200], dtype=np.int64)}
+    )
+    out = (
+        asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            key="k", left_ts="lts", right_ts="rts", direction="forward",
+        )
+        .to_pandas().sort_values("lv").reset_index(drop=True)
+    )
+    # each left row matches the EARLIEST right at-or-after it
+    assert out["rv"].tolist() == [100, 200]
