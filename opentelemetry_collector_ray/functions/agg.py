@@ -311,6 +311,25 @@ def grouped_outlier_counts(
     )
 
 
+
+def _count_histogram(
+    ds: ray.data.Dataset, key: str, *, ascending: bool
+) -> pd.DataFrame:
+    """Count-of-counts histogram: (_n = per-key count, _keys = how many
+    keys have it), sorted by _n. Shared scaffold of
+    `concentration_share` and `gini_ppm`; normalizes the zero-block
+    empty-aggregate quirk (no-column to_pandas) to an empty typed
+    frame."""
+    per_key = grouped_count(ds, [key], alias="_n")
+    hist = grouped_count(per_key, ["_n"], alias="_keys").to_pandas()
+    if hist.empty or "_n" not in hist.columns:
+        return pd.DataFrame(
+            {"_n": np.array([], dtype=np.int64),
+             "_keys": np.array([], dtype=np.int64)}
+        )
+    return hist.sort_values("_n", ascending=ascending).reset_index(drop=True)
+
+
 def concentration_share(
     ds: ray.data.Dataset,
     *,
@@ -326,20 +345,20 @@ def concentration_share(
     then a driver walk accumulating the largest count values until the
     top-k quota is filled (ties split a count level partially). Output
     is one integer-exact row; the share is ppm via floor division."""
-    per_key = grouped_count(ds, [key], alias="_n")
-    hist = (
-        grouped_count(per_key, ["_n"], alias="_users")
-        .to_pandas()
-        .sort_values("_n", ascending=False)
-        .reset_index(drop=True)
-    )
-    users = int(hist["_users"].sum())
-    total = int((hist["_n"] * hist["_users"]).sum())
+    hist = _count_histogram(ds, key, ascending=False)
+    if hist.empty:
+        return pd.DataFrame(
+            {c: np.array([], dtype=np.int64)
+             for c in ["total_users", "total_events", "top_users",
+                       "top_events", "share_ppm"]}
+        )
+    users = int(hist["_keys"].sum())
+    total = int((hist["_n"] * hist["_keys"]).sum())
     k = max(users // top_fraction_denom, 1)
     remaining = k
     top_events = 0
     for _, r in hist.iterrows():
-        take = min(int(r["_users"]), remaining)
+        take = min(int(r["_keys"]), remaining)
         top_events += take * int(r["_n"])
         remaining -= take
         if remaining == 0:
@@ -365,13 +384,12 @@ def gini_ppm(ds: ray.data.Dataset, *, key: str = "user_id") -> pd.DataFrame:
     count · Σranks regardless of order), so — like
     `concentration_share` — the tiny count-of-counts histogram answers
     exactly, no per-key ranking shuffle. Overflow bound: n·T < 2⁶³."""
-    per_key = grouped_count(ds, [key], alias="_n")
-    hist = (
-        grouped_count(per_key, ["_n"], alias="_keys")
-        .to_pandas()
-        .sort_values("_n", ascending=True)
-        .reset_index(drop=True)
-    )
+    hist = _count_histogram(ds, key, ascending=True)
+    if hist.empty:
+        return pd.DataFrame(
+            {c: np.array([], dtype=np.int64)
+             for c in ["n_keys", "total", "gini_ppm"]}
+        )
     cnt = hist["_keys"].to_numpy(dtype=np.int64)
     val = hist["_n"].to_numpy(dtype=np.int64)
     n = int(cnt.sum())

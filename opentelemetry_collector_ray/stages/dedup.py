@@ -444,7 +444,9 @@ def verify_jaccard_pairs_joined(
 
     exploded = pairs.map_batches(explode, batch_format="pyarrow")
     # explicit schemas: Dataset.schema() would execute BOTH lazy
-    # pipelines once just to discover types (+2.3 s at sf0.1)
+    # pipelines once just to discover types. CONTRACT: ``id_col`` must
+    # be int64 (the minhash pipeline's doc_id type) — a different id
+    # dtype needs the schema()-derived path (pass schemas=None)
     joined = bucketed_hash_join(
         exploded,
         sets_ds,

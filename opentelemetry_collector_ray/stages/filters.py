@@ -35,9 +35,16 @@ _OPS = {
 def _mask(batch: pa.Table, col: str, op: str, value) -> pa.ChunkedArray:
     c = batch[col]
     if op == "in":
-        return pc.is_in(c, value_set=pa.array(value))
+        # pc.is_in yields FALSE for null inputs; SQL's IN yields NULL.
+        # Propagate the null so `not in` stays Kleene-correct (a plain
+        # invert would resurrect null rows SQL drops).
+        m = pc.is_in(c, value_set=pa.array(value))
+        return pc.if_else(pc.is_valid(c), m, pa.scalar(None, pa.bool_()))
     if op == "not_in":
-        return pc.invert(pc.is_in(c, value_set=pa.array(value)))
+        m = pc.is_in(c, value_set=pa.array(value))
+        return pc.invert(
+            pc.if_else(pc.is_valid(c), m, pa.scalar(None, pa.bool_()))
+        )
     if op == "matches":
         cc = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         return pc.match_substring_regex(cc, value)

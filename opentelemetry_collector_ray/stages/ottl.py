@@ -41,7 +41,6 @@ _TOKEN = re.compile(
     r"|(?P<word>[A-Za-z_][A-Za-z_0-9]*))"
 )
 
-_OP_NAME = {"==": "==", "!=": "!=", ">": ">", ">=": ">=", "<": "<", "<=": "<="}
 _KEYWORDS = {"and", "or", "not", "in", "matches", "true", "false"}
 
 
@@ -128,12 +127,19 @@ class _Parser:
                 self.take()
                 vals.append(self.literal())
             self.take("rparen")
+            # loud at parse time: Arrow's value_set needs one type
+            kinds = {type(x) for x in vals}
+            if kinds - {int, float} and len(kinds) > 1:
+                raise ValueError(f"'in' list mixes types: {vals!r}")
             return ("cmp", col, "in", vals)
         if (k, v) == ("word", "matches"):
             self.take()
-            return ("cmp", col, "matches", self.literal())
+            lit = self.literal()
+            if not isinstance(lit, str):
+                raise ValueError("'matches' needs a string pattern")
+            return ("cmp", col, "matches", lit)
         op = self.take("op")
-        return ("cmp", col, _OP_NAME[op], self.literal())
+        return ("cmp", col, op, self.literal())
 
 
 def parse_condition(src: str):

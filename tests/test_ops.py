@@ -2066,3 +2066,27 @@ def test_asof_join_forward_direction():
     )
     # each left row matches the EARLIEST right at-or-after it
     assert out["rv"].tolist() == [100, 200]
+
+
+def test_concentration_and_gini_empty_input():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.agg import (
+        concentration_share,
+        gini_ppm,
+    )
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"user_id": np.array([], dtype=np.int64)})
+    )
+    assert concentration_share(empty).empty
+    assert gini_ppm(empty).empty
+
+
+def test_not_in_is_kleene_null_correct():
+    from opentelemetry_collector_ray.stages.ottl import ConditionFilter
+
+    t = pa.table({"a": ["x", None, "y"]})
+    # SQL: NOT (a IN ('x')) drops the null row
+    out = ConditionFilter("not a in ('x')")(t)
+    assert out["a"].to_pylist() == ["y"]
