@@ -62,6 +62,14 @@ def main(argv: list[str] | None = None) -> int:
     cmpp.add_argument("path")
     cmpp.add_argument("--min-rows-per-file", type=int, default=1_000_000)
 
+    prof = sub.add_parser(
+        "profile", help="per-column n/null/distinct/min/max audit of parquet"
+    )
+    prof.add_argument("path")
+    prof.add_argument(
+        "--columns", required=True, help="comma-separated column names"
+    )
+
     args = p.parse_args(argv)
 
     from .pipelines.config import ConfigError, load_config
@@ -108,6 +116,17 @@ def main(argv: list[str] | None = None) -> int:
             args.path, min_rows_per_file=args.min_rows_per_file
         )
         print(json.dumps(report))
+        return 0
+
+    if args.cmd == "profile":
+        import ray.data
+
+        from .functions.profile import profile_dataset
+
+        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        ds = ray.data.read_parquet(args.path, columns=cols)
+        out = profile_dataset(ds, cols)
+        print(json.dumps(out.to_dict(orient="records"), default=str))
         return 0
 
     if args.cmd == "resume":
