@@ -2239,6 +2239,38 @@ def q_cumulative_delta(sf_dir: str):
     )
 
 
+def q_merge_counts(sf_dir: str):
+    """Incremental view maintenance: per-type counts of two disjoint
+    event partitions merged aggregate-to-aggregate — equals the full
+    rescan without touching raw rows again."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.agg import (
+        grouped_count,
+        merge_counts,
+    )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    even = ev.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
+        ).select(["event_type"]),
+        batch_format="pyarrow",
+    )
+    odd = ev.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["event_id"], 1), 1)
+        ).select(["event_type"]),
+        batch_format="pyarrow",
+    )
+    a = grouped_count(even, ["event_type"], alias="n")
+    b = grouped_count(odd, ["event_type"], alias="n")
+    return merge_counts([a, b], ["event_type"], alias="n")
+
+
 def q_pareto(sf_dir: str):
     """Concentration diagnostic: the share of all events produced by
     the top 1% of users — exact from the tiny count-of-counts
@@ -2880,6 +2912,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "corpus_overlap": q_corpus_overlap,
     "pareto": q_pareto,
     "gini": q_gini,
+    "merge_counts": q_merge_counts,
     "ottl_filter": q_ottl_filter,
     "dialogue_render": q_dialogue_render,
     "rate_limit": q_rate_limit,
@@ -3548,6 +3581,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, level, action, latency_ms "
             "FROM parsed2 WHERE (level = 'ERROR' OR latency_ms > 900) "
             "AND regexp_matches(action, '^[a-m]')"
+        ),
+        "merge_counts": (
+            "SELECT event_type, cast(count(*) AS bigint) AS n "
+            "FROM events GROUP BY event_type"
         ),
         "gini": (
             "WITH c AS (SELECT user_id, cast(count(*) AS bigint) AS n "

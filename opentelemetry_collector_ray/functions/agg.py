@@ -407,3 +407,27 @@ def gini_ppm(ds: ray.data.Dataset, *, key: str = "user_id") -> pd.DataFrame:
             "gini_ppm": np.array([g_ppm], dtype=np.int64),
         }
     )
+
+
+def merge_counts(
+    aggs: list[ray.data.Dataset], keys: list[str], *, alias: str = "n"
+) -> ray.data.Dataset:
+    """Incremental view maintenance for count aggregates: merge
+    previously materialized per-key counts with a new delta's counts —
+    counts are a commutative monoid, so the union of aggregate tables
+    re-grouped once equals a full rescan, at the cost of only the
+    (tiny) aggregate tables. The checkpointed-ingest companion: each
+    partition run materializes its counts; this merges them."""
+    from ray.data.aggregate import Sum
+
+    renamed = [
+        ds.map_batches(
+            lambda t: t.rename_columns(keys + ["_pc"]),
+            batch_format="pyarrow",
+        )
+        for ds in aggs
+    ]
+    out = renamed[0]
+    for ds in renamed[1:]:
+        out = out.union(ds)
+    return out.groupby(keys).aggregate(Sum("_pc", alias_name=alias))
