@@ -1060,6 +1060,24 @@ def q_json_roundtrip(sf_dir: str):
     return ray.data.read_json(out)
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """Codec parity (§1.3 family): parquet → CSV sink → CSV source;
+    integer/string content identical (the text-wire interchange tier
+    beside parquet, JSON, otlptext and Arrow-IPC)."""
+    import os
+    import shutil
+
+    import ray.data
+
+    out = f"/tmp/otel_ray_csv_roundtrip_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "user_id"]
+    )
+    ds.write_csv(out)
+    return ray.data.read_csv(out)
+
+
 # ------------------------------------------------- traces / metrics
 def q_spans(sf_dir: str):
     """Traces signal: parsed transcripts → span rows (trace = conv)."""
@@ -2953,6 +2971,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "distinct_users": q_distinct_users,
     "obs_counters": q_obs_counters,
     "json_roundtrip": q_json_roundtrip,
+    "csv_roundtrip": q_csv_roundtrip,
     "join_broadcast": q_join_broadcast,
     "join_bucketed": q_join_bucketed,
     "union_sources": q_union_sources,
@@ -3978,6 +3997,9 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS value FROM routed GROUP BY sink"
         ),
         "json_roundtrip": (
+            "SELECT event_id, event_type, user_id FROM events"
+        ),
+        "csv_roundtrip": (
             "SELECT event_id, event_type, user_id FROM events"
         ),
         "join_broadcast": (
