@@ -2125,3 +2125,29 @@ def test_zorder_sorted_write_tightens_row_group_stats(tmp_path):
     # 256-wide domain at 16 groups), so min/max stats prune 2-D
     # filters; unsorted groups span ~the whole domain
     assert sorted_span < unsorted_span / 2
+
+
+def test_merge_counts_equals_full_rescan():
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.agg import (
+        grouped_count,
+        merge_counts,
+    )
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], size=300)})
+    whole = (
+        grouped_count(ray.data.from_pandas(df), ["g"])
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    parts = [
+        grouped_count(ray.data.from_pandas(df.iloc[:100]), ["g"]),
+        grouped_count(ray.data.from_pandas(df.iloc[100:250]), ["g"]),
+        grouped_count(ray.data.from_pandas(df.iloc[250:]), ["g"]),
+    ]
+    merged = (
+        merge_counts(parts, ["g"])
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged, whole)
