@@ -31,7 +31,7 @@ import pyarrow as pa
 import ray.data
 
 from .join import _as_pa_type
-from .shard import coalesce_for_shuffle, shard_column
+from .shard import auto_shards, coalesce_for_shuffle, shard_column
 
 
 def _set_op(
@@ -39,8 +39,14 @@ def _set_op(
     b: ray.data.Dataset,
     *,
     anti: bool,
-    shards: int,
+    shards: int | None,
 ) -> ray.data.Dataset:
+    if shards is None:
+        try:
+            nbytes = (a.size_bytes() or 0) + (b.size_bytes() or 0)
+        except Exception:
+            nbytes = 0
+        shards = auto_shards(nbytes)
     schema = a.schema()
     cols = list(schema.names)
     if list(b.schema().names) != cols:
@@ -87,14 +93,14 @@ def _set_op(
 
 
 def dataset_intersect(
-    a: ray.data.Dataset, b: ray.data.Dataset, *, shards: int = 64
+    a: ray.data.Dataset, b: ray.data.Dataset, *, shards: int | None = None
 ) -> ray.data.Dataset:
     """SQL ``INTERSECT``: distinct rows present in both inputs."""
     return _set_op(a, b, anti=False, shards=shards)
 
 
 def dataset_except(
-    a: ray.data.Dataset, b: ray.data.Dataset, *, shards: int = 64
+    a: ray.data.Dataset, b: ray.data.Dataset, *, shards: int | None = None
 ) -> ray.data.Dataset:
     """SQL ``EXCEPT``: distinct rows of ``a`` not present in ``b``."""
     return _set_op(a, b, anti=True, shards=shards)

@@ -79,16 +79,47 @@ def coalesce_for_shuffle(
     return ds.repartition(n)
 
 
+def auto_shards(
+    size_bytes: int,
+    cpus: int | None = None,
+    *,
+    target_shard_bytes: int = 256 << 20,
+) -> int:
+    """Shard count that scales with BOTH cluster width and input size:
+    ``max(2×CPUs, size/target_shard_bytes)``. ``map_groups`` materializes
+    a whole shard as ONE pandas DataFrame, so a fixed count (the old
+    ``shards=64`` default) means a 100 TB input puts ~1.6 TB on one
+    reducer and caps the stage at 64-way parallelism regardless of
+    cluster width. 2×CPUs keeps every core busy through stragglers;
+    the bytes term bounds per-reducer memory as data grows."""
+    import ray as _ray
+
+    if cpus is None:
+        try:
+            cpus = int(_ray.cluster_resources().get("CPU", 16))
+        except Exception:
+            cpus = 16
+    return int(max(2 * cpus, -(-int(size_bytes or 0) // target_shard_bytes)))
+
+
 def sharded_group_map(
     ds: ray.data.Dataset,
     keys: list[str],
     shard_fn: Callable[[pd.DataFrame], pd.DataFrame],
     *,
-    shards: int = 64,
+    shards: int | None = None,
 ) -> ray.data.Dataset:
     """``groupby(keys).map_groups(fn)`` with group count bounded by
     ``shards``. One shuffle (on the hash shard), one vectorized
-    ``shard_fn`` call per shard."""
+    ``shard_fn`` call per shard. ``shards=None`` (the default)
+    auto-scales with cluster CPUs and input bytes via ``auto_shards``
+    so per-shard memory stays bounded at any data size."""
+    if shards is None:
+        try:
+            nbytes = ds.size_bytes() or 0
+        except Exception:
+            nbytes = 0
+        shards = auto_shards(nbytes)
     tagged = ds.map_batches(
         lambda t: shard_column(t, keys, shards), batch_format="pyarrow"
     )

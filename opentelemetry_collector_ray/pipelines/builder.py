@@ -278,6 +278,26 @@ def _run_one(cfg: PipelineConfig, source: ray.data.Dataset) -> dict:
     return report
 
 
+def _default_concurrency() -> tuple[int, int]:
+    """Actor-pool autoscale range for config-built stages: ceiling
+    tracks the CLUSTER's CPU count (floor 8 so tiny test sessions still
+    autoscale). A fixed ``(1, 8)`` ceiling — the round-2 default — is
+    invisible on a 32-core sandbox but caps every actor stage at 8
+    actors on a 256-node cluster and starves the pipeline."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return (1, max(8, cpus))
+
+
+def _stage_concurrency(opts: dict):
+    c = opts.get("concurrency")
+    if c is None:
+        return _default_concurrency()
+    return tuple(c) if isinstance(c, list) else c
+
+
 def _apply_stages(
     ds: ray.data.Dataset,
     cfg: PipelineConfig,
@@ -313,14 +333,16 @@ def _apply_stages(
                         "kwargs": kwargs,
                     },
                     batch_format="pyarrow",
-                    concurrency=st.options.get("concurrency", (1, 8)),
+                    batch_size=st.options.get("batch_size"),
+                    concurrency=_stage_concurrency(st.options),
                 )
             else:
                 ds = ds.map_batches(
                     cls,
                     fn_constructor_kwargs=kwargs,
                     batch_format="pyarrow",
-                    concurrency=st.options.get("concurrency", (1, 8)),
+                    batch_size=st.options.get("batch_size"),
+                    concurrency=_stage_concurrency(st.options),
                 )
         elif counters_run_id is not None:
             ds = ds.map_batches(
@@ -331,7 +353,8 @@ def _apply_stages(
                     "fn": built,
                 },
                 batch_format="pyarrow",
-                concurrency=(1, 8),
+                batch_size=st.options.get("batch_size"),
+                concurrency=_default_concurrency(),
             )
         else:
             ds = ds.map_batches(built, batch_format="pyarrow")

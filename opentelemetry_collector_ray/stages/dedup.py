@@ -5,9 +5,9 @@ is at-least-once and ships no dedup, SURVEY.md §2.4; contrib has
 groupbytrace-style processors). Four tiers:
 
 - **exact**: content-hash → hash-partitioned groupby → keep first
-  (deterministic representative = min id). The groupby key is the md5
-  of the content, so the shuffle moves (hash, id) pairs, and skew is
-  impossible (hashes are uniform).
+  (deterministic representative = min id). The groupby key is a
+  vectorized 128-bit siphash of the content, so the shuffle moves
+  (hash, id) pairs, and skew is impossible (hashes are uniform).
 - **MinHash + LSH**: word-shingle → k minhashes → banded LSH keys →
   groupby band key → candidate pairs → exact-Jaccard verify. The only
   all-to-all is the groupby on (band, band_hash) — uniform keys again.
@@ -30,8 +30,6 @@ scalar per round).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -41,10 +39,25 @@ import ray.data
 # ------------------------------------------------------------- exact
 
 
-def md5_column(batch: pa.Table, col: str = "text", out: str = "_md5") -> pa.Table:
-    vals = batch[col].to_pandas().astype(str)
-    hashes = [hashlib.md5(v.encode()).hexdigest() for v in vals]
-    return batch.append_column(out, pa.array(hashes, type=pa.string()))
+# two independent 16-byte siphash keys → a 128-bit combined content
+# key; collision odds ~n²/2¹²⁸, and the key never leaves the operator
+_CKEY_A = "otelray-contentA"
+_CKEY_B = "otelray-contentB"
+
+
+def content_key_columns(
+    batch: pa.Table, col: str, out_a: str = "_ck_a", out_b: str = "_ck_b"
+) -> pa.Table:
+    """128-bit content key as two uint64 columns — two keyed
+    ``pd.util.hash_array`` passes (C siphash), fully vectorized. Used
+    where the hash is internal (dedup group keys); ``md5_column`` stays
+    for oracle-visible hashes that must match SQL ``md5()``."""
+    vals = np.asarray(batch[col].to_pandas().astype(str), dtype=object)
+    ha = pd.util.hash_array(vals, hash_key=_CKEY_A)
+    hb = pd.util.hash_array(vals, hash_key=_CKEY_B)
+    return batch.append_column(out_a, pa.array(ha)).append_column(
+        out_b, pa.array(hb)
+    )
 
 
 def exact_dedup(
@@ -52,19 +65,22 @@ def exact_dedup(
 ) -> ray.data.Dataset:
     """One row per distinct ``col`` value, keeping the min ``id_col``
     (deterministic representative — parallelism-invariant). Sharded
-    groupby: group count bounded by the shard knob, keep-first is a
-    vectorized sort + drop_duplicates per shard."""
+    groupby on a vectorized 128-bit content key (no per-row hashlib in
+    the full-corpus pass); keep-first is a vectorized sort +
+    drop_duplicates per shard."""
     from ..functions.shard import sharded_group_map
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        return md5_column(batch, col)
+        return content_key_columns(batch, col)
 
     def keep_first_shard(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["_md5", id_col], kind="mergesort")
-        return g.drop_duplicates("_md5").drop(columns=["_md5"])
+        g = g.sort_values(["_ck_a", "_ck_b", id_col], kind="mergesort")
+        return g.drop_duplicates(["_ck_a", "_ck_b"]).drop(
+            columns=["_ck_a", "_ck_b"]
+        )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return sharded_group_map(hashed, ["_md5"], keep_first_shard)
+    return sharded_group_map(hashed, ["_ck_a", "_ck_b"], keep_first_shard)
 
 
 # --------------------------------------------------------- shingles
@@ -892,7 +908,7 @@ def contamination_check(
     test_mod: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
-    shards: int = 64,
+    shards: int | None = None,
 ) -> ray.data.Dataset:
     """Train/test contamination scan: for every held-out document
     (``doc_id % test_mod == 0``), count the distinct word-``n``-grams it
@@ -993,7 +1009,7 @@ def dup_span_fraction(
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    shards: int = 64,
+    shards: int | None = None,
 ) -> ray.data.Dataset:
     """Exact-substring duplication scoring (the passage-level signal of
     "Deduplicating Training Data Makes Language Models Better"): per
@@ -1001,26 +1017,28 @@ def dup_span_fraction(
     in at least one OTHER document — high fraction ⇒ boilerplate /
     cross-doc duplicated passages, a standard pre-training drop rule.
 
-    Shape: one explode pass emits per-doc distinct gram-hash postings
-    AND per-doc totals; gram postings co-locate via a sharded groupby
-    where a vectorized pass counts distinct docs per gram and credits
-    each doc of a ≥2-doc gram with one duplicated gram; the two partial
-    streams (totals, dup counts) merge in a single uniform groupby on
-    doc_id. Strict n-gram windows (docs shorter than ``n`` words emit
-    nothing — mirrors the SQL oracle)."""
+    Shape: ONE explode pass emits per-doc distinct gram-hash postings
+    (``batch_shingle_hashes`` dedups within doc, so a doc's total
+    distinct-gram count is simply its posting count); gram postings
+    co-locate via a sharded groupby where a vectorized pass emits BOTH
+    partials per doc — rows seen in this shard (``_tot``) and rows
+    whose gram has ≥2 distinct docs (``_dup``) — and one uniform
+    groupby on doc_id sums the partials. A gram lives entirely in one
+    shard, so dup credits are exact; totals sum across shards to the
+    per-doc distinct-gram count. Strict n-gram windows (docs shorter
+    than ``n`` words emit nothing — mirrors the SQL oracle)."""
     from ray.data.aggregate import Sum
 
-    def explode(t: pa.Table):
+    def postings_batch(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        empty = pa.table(
-            {
-                "gram": pa.array([], type=pa.uint64()),
-                id_col: pa.array([], type=pa.int64()),
-            }
-        )
         if not texts:
-            return empty, np.empty(0, np.int64), np.empty(0, np.int64)
+            return pa.table(
+                {
+                    "gram": pa.array([], type=pa.uint64()),
+                    id_col: pa.array([], type=pa.int64()),
+                }
+            )
         flat, offsets = batch_shingle_hashes(texts, n)
         words = np.fromiter(
             (len(v.split()) if v is not None else 0 for v in texts),
@@ -1031,59 +1049,32 @@ def dup_span_fraction(
         doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
         mask = words[doc_idx] >= n
         d = ids[doc_idx[mask]]
-        postings = pa.table(
+        return pa.table(
             {
                 "gram": pa.array(flat[mask], type=pa.uint64()),
                 id_col: pa.array(d, type=pa.int64()),
             }
         )
-        keep_doc = words >= n
-        return postings, ids[keep_doc], lens[keep_doc]
-
-    def postings_batch(t: pa.Table) -> pa.Table:
-        p, _, _ = explode(t)
-        return p
-
-    def totals_batch(t: pa.Table) -> pa.Table:
-        _, doc_ids, counts = explode(t)
-        return pa.table(
-            {
-                id_col: pa.array(doc_ids, type=pa.int64()),
-                "_tot": pa.array(counts, type=pa.int64()),
-                "_dup": pa.nulls(len(doc_ids), pa.int64()),
-            }
-        )
 
     postings = docs.map_batches(postings_batch, batch_format="pyarrow")
-    totals = docs.map_batches(totals_batch, batch_format="pyarrow")
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        # distinct docs per gram; docs of multi-doc grams earn 1 each
-        gg = g.drop_duplicates()
-        nd = gg.groupby("gram")[id_col].transform("nunique")
-        hits = gg.loc[nd.to_numpy() > 1, [id_col]]
-        out = hits.groupby(id_col, as_index=False).size()
-        out = out.rename(columns={"size": "_dup"})
-        out["_tot"] = pd.array([pd.NA] * len(out), dtype="Int64")
-        return out.astype({id_col: "int64", "_dup": "int64"})
+        # postings are per-doc distinct, so per-doc row count here is a
+        # totals partial; docs of multi-doc grams earn one dup partial
+        nd = g.groupby("gram")[id_col].transform("nunique")
+        hits = g.loc[nd.to_numpy() > 1, [id_col]]
+        dup = hits.groupby(id_col, as_index=False).size()
+        dup = dup.rename(columns={"size": "_dup"})
+        tot = g.groupby(id_col, as_index=False).size()
+        tot = tot.rename(columns={"size": "_tot"})
+        out = tot.merge(dup, on=id_col, how="left")
+        out["_dup"] = out["_dup"].fillna(0)
+        return out.astype({id_col: "int64", "_tot": "int64", "_dup": "int64"})
 
     from ..functions.shard import sharded_group_map
 
-    dups = sharded_group_map(postings, ["gram"], per_shard, shards=shards)
-
-    def stable_schema(t: pa.Table) -> pa.Table:
-        # empty per-shard partials surface a null-typed _tot column —
-        # pin the union schema explicitly
-        return pa.table(
-            {
-                id_col: pc.cast(t[id_col], pa.int64()),
-                "_tot": pc.cast(t["_tot"], pa.int64()),
-                "_dup": pc.cast(t["_dup"], pa.int64()),
-            }
-        )
-
-    merged = totals.union(
-        dups.map_batches(stable_schema, batch_format="pyarrow")
+    merged = sharded_group_map(
+        postings, ["gram"], per_shard, shards=shards
     ).groupby(id_col).aggregate(
         Sum("_tot", alias_name="n_grams"), Sum("_dup", alias_name="n_dup")
     )
