@@ -2858,9 +2858,79 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     )
 
 
+def q_attributes_map(sf_dir: str):
+    """Open-ended map-typed attributes (pcommon.Map parity,
+    pdata/pcommon/map.go:76-160): build a map column from the JSON
+    ``props`` plus flat columns, run the PutStr / rename / RemoveIf
+    mutation surface, explode back to flat (event_id, key, value) rows
+    for the oracle."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.maps import (
+        MapAttributesStage,
+        map_explode,
+    )
+
+    stage = MapAttributesStage(
+        column="attrs",
+        from_json="props",
+        actions=[
+            {"action": "rename", "key": "k", "to": "props.k"},
+            {"action": "upsert", "key": "event.type", "value_column": "event_type"},
+            {"action": "upsert", "key": "bucket", "value_column": "_bucket"},
+            {"action": "delete_matching", "key": "bucket", "value": "0"},
+            {"action": "insert", "key": "source", "value": "events"},
+        ],
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        b = (uid % 10).astype("U")  # no pc.modulo in this pyarrow
+        return t.append_column("_bucket", pa.array(b.astype(object)))
+
+    def run(t: pa.Table) -> pa.Table:
+        out = stage(add_bucket(t))
+        return map_explode(out, "attrs", ["event_id"])
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "user_id", "props"],
+    ).map_batches(run, batch_format="pyarrow")
+
+
+def q_ottl_map_where(sf_dir: str):
+    """OTTL condition against MAP subscripts (``attrs['key']``): filter
+    on values living inside the open-ended map, not flat columns."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.maps import (
+        MapAttributesStage,
+    )
+    from opentelemetry_collector_ray.stages.ottl import ConditionFilter
+
+    stage = MapAttributesStage(
+        column="attrs",
+        from_json="props",
+        actions=[
+            {"action": "upsert", "key": "event.type", "value_column": "event_type"},
+        ],
+    )
+    cond = ConditionFilter("attrs['event.type'] == 'error' and attrs['k'] != '0'")
+
+    def run(t: pa.Table) -> pa.Table:
+        return cond(stage(t)).select(["event_id", "user_id"])
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "user_id", "props"],
+    ).map_batches(run, batch_format="pyarrow")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "attributes_map": q_attributes_map,
+    "ottl_map_where": q_ottl_map_where,
     "sliding_window": q_sliding_window,
     "topk_per_group": q_topk_per_group,
     "quantiles": q_quantiles,
@@ -3400,6 +3470,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, cast(trunc(value) AS bigint) AS value, "
             "cast(user_id AS varchar) AS user_id, "
             "substr(props, 1, 20) AS props FROM events"
+        ),
+        "attributes_map": (
+            "WITH base AS (SELECT event_id, "
+            "json_extract_string(props, '$.k') AS kval, event_type, "
+            "cast(user_id % 10 AS varchar) AS bucket FROM events), "
+            "entries AS ("
+            "SELECT event_id, 'props.k' AS key, kval AS value FROM base "
+            "UNION ALL SELECT event_id, 'event.type', event_type FROM base "
+            "UNION ALL SELECT event_id, 'bucket', bucket FROM base "
+            "WHERE bucket <> '0' "
+            "UNION ALL SELECT event_id, 'source', 'events' FROM base) "
+            "SELECT event_id, key, value FROM entries"
+        ),
+        "ottl_map_where": (
+            "SELECT event_id, user_id FROM events "
+            "WHERE event_type = 'error' "
+            "AND json_extract_string(props, '$.k') <> '0'"
         ),
         "json_parse": (
             "SELECT event_id, "

@@ -129,6 +129,22 @@ def _build_fingerprint(opts):
     return fingerprint_batch
 
 
+def _build_map_attributes(opts):
+    # pcommon.Map mutation surface over an open-ended map column:
+    # {type: map_attributes, column: attrs, from_json: props,
+    #  actions: [{action: upsert, key: k, value: v}, ...]}
+    from ..stages.maps import MapAttributesStage
+
+    return (
+        MapAttributesStage,
+        {
+            "column": opts.get("column", "attributes"),
+            "actions": opts.get("actions", []),
+            "from_json": opts.get("from_json"),
+        },
+    )
+
+
 def _build_condition_filter(opts):
     # OTTL-style string condition (transformprocessor parity):
     # {type: condition_filter, condition: "level == 'ERROR' and ..."}
@@ -148,6 +164,7 @@ STAGE_REGISTRY: dict[str, Callable] = {
     "quality": _build_quality,
     "fingerprint": _build_fingerprint,
     "condition_filter": _build_condition_filter,
+    "map_attributes": _build_map_attributes,
     "rebatch": None,  # handled structurally (dataset-level, not batch-level)
 }
 

@@ -14,9 +14,10 @@ Grammar::
     expr   := and_e ('or' and_e)*
     and_e  := not_e ('and' not_e)*
     not_e  := 'not' not_e | '(' expr ')' | cmp
-    cmp    := IDENT OP literal
-            | IDENT 'in' '(' literal (',' literal)* ')'
-            | IDENT 'matches' STRING
+    cmp    := colref OP literal
+            | colref 'in' '(' literal (',' literal)* ')'
+            | colref 'matches' STRING
+    colref := IDENT | IDENT '[' STRING ']'   -- map-column subscript
     OP     := '==' '!=' '>' '>=' '<' '<='
     literal:= 'single-quoted string' | int | float | true | false
 
@@ -32,9 +33,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .filters import _mask
+from .maps import map_get
 
 _TOKEN = re.compile(
     r"\s*(?:(?P<lparen>\()|(?P<rparen>\))|(?P<comma>,)"
+    r"|(?P<lbracket>\[)|(?P<rbracket>\])"
     r"|(?P<op>==|!=|>=|<=|>|<)"
     r"|(?P<str>'(?:[^'\\]|\\.)*')"
     r"|(?P<num>-?\d+(?:\.\d+)?)"
@@ -118,6 +121,15 @@ class _Parser:
         col = self.take("word")
         if col in _KEYWORDS:
             raise ValueError(f"expected column name, got keyword {col!r}")
+        # OTTL map subscript: attributes['key'] — the column ref becomes
+        # a (map-column, key) pair resolved via maps.map_get per batch
+        if self.peek()[0] == "lbracket":
+            self.take()
+            key = self.literal()
+            if not isinstance(key, str):
+                raise ValueError("map subscript needs a string key")
+            self.take("rbracket")
+            col = ("mapget", col, key)
         k, v = self.peek()
         if (k, v) == ("word", "in"):
             self.take()
@@ -154,7 +166,11 @@ def parse_condition(src: str):
 def _eval(node, batch: pa.Table):
     kind = node[0]
     if kind == "cmp":
-        return _mask(batch, node[1], node[2], node[3])
+        ref = node[1]
+        if isinstance(ref, tuple) and ref[0] == "mapget":
+            col = map_get(batch[ref[1]], ref[2])
+            return _mask(pa.table({"_v": col}), "_v", node[2], node[3])
+        return _mask(batch, ref, node[2], node[3])
     if kind == "and":
         return pc.and_kleene(_eval(node[1], batch), _eval(node[2], batch))
     if kind == "or":
