@@ -2858,6 +2858,27 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     )
 
 
+def q_otlp_json_flatten(sf_dir: str):
+    """Real OTLP/JSON interchange (pdata/plog/json.go:27-49): nest the
+    transcript table into ExportLogsServiceRequest NDJSON (resource →
+    scope → logRecords, proto3 JSON wire form, null fields omitted),
+    read it back with Arrow's JSON reader and flatten — resource/scope
+    context denormalized, record attributes extracted. The oracle
+    recomputes the same flat result from the transcripts CTE."""
+    import os
+    import shutil
+
+    from opentelemetry_collector_ray.sources.otlp_json import (
+        read_otlp_logs_json,
+        write_otlp_logs_json,
+    )
+
+    out = f"/tmp/otel_ray_otlp_json_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_otlp_logs_json(_transcripts(sf_dir), out)
+    return read_otlp_logs_json(out)
+
+
 def q_attributes_map(sf_dir: str):
     """Open-ended map-typed attributes (pcommon.Map parity,
     pdata/pcommon/map.go:76-160): build a map column from the JSON
@@ -2929,6 +2950,7 @@ def q_ottl_map_where(sf_dir: str):
 QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "otlp_json_flatten": q_otlp_json_flatten,
     "attributes_map": q_attributes_map,
     "ottl_map_where": q_ottl_map_where,
     "sliding_window": q_sliding_window,
@@ -3470,6 +3492,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, cast(trunc(value) AS bigint) AS value, "
             "cast(user_id AS varchar) AS user_id, "
             "substr(props, 1, 20) AS props FROM events"
+        ),
+        "otlp_json_flatten": o.TRANSCRIPTS_CTE + (
+            "SELECT "
+            "CASE tool WHEN 'bash' THEN 'infra' WHEN 'browser' THEN 'web' "
+            "WHEN 'python' THEN 'compute' WHEN 'sql' THEN 'data' "
+            "ELSE 'unknown' END AS service, "
+            "'otelray.' || role AS scope_name, "
+            "'1.0' AS scope_version, "
+            "cast(epoch_us(ts) AS bigint) * 1000 AS time_unix_nano, "
+            "cast(CASE regexp_extract(text, '^\\[([A-Z]+)\\]', 1) "
+            "WHEN 'DEBUG' THEN 5 WHEN 'INFO' THEN 9 WHEN 'WARN' THEN 13 "
+            "WHEN 'ERROR' THEN 17 END AS bigint) AS severity_number, "
+            "regexp_extract(text, '^\\[([A-Z]+)\\]', 1) AS severity_text, "
+            "text AS body, conv_id, turn_idx, tool "
+            "FROM transcripts"
         ),
         "attributes_map": (
             "WITH base AS (SELECT event_id, "

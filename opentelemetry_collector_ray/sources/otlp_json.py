@@ -1,0 +1,375 @@
+"""OTLP/JSON logs interchange — the real nested wire shape.
+
+The reference's JSON codec round-trips ``ExportLogsServiceRequest``:
+``resourceLogs[] > scopeLogs[] > logRecords[]`` with resource/scope
+attributes as ``[{key, value:{stringValue|intValue}}]`` entry lists and
+``timeUnixNano`` as a decimal STRING (proto3 JSON fixed64 —
+pdata/plog/json.go:27-49, pdata/plog/pb.go:24-44). This module is the
+flatten/unflatten pair between that tree and the engine's flat
+transcript table, so a user can point the engine at genuine OTel
+export NDJSON (one request per line) and write it back out.
+
+Both directions are vectorized:
+
+- **nest** sorts a batch by (service, scope), finds group boundaries
+  with numpy change-points, and assembles the tree bottom-up from
+  ``pa.ListArray.from_arrays`` offsets — one request row per batch
+  (the reference marshals one request per pdata batch).
+- **flatten** walks the tree top-down with ``pc.list_flatten`` +
+  ``pc.list_parent_indices``, denormalizing resource/scope context
+  onto each record and extracting attribute entries with first-match
+  masks — no per-row Python.
+
+Deterministic transcript mapping (the fixture contract, mirrored by
+the ``otlp_json_flatten`` oracle): resource identity =
+``service.name`` = DIM_TOOL_SERVICE[tool] (the enrich dimension);
+scope = ``otelray.<role>`` v1.0; severityText = the ``[LEVEL]`` text
+prefix, severityNumber per plog/severity_number.go; body = the raw
+turn text; record attributes carry conv.id / turn.index / tool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..schema import DIM_TOOL_SERVICE, SEVERITY_NUMBER
+
+_ANYVALUE = pa.struct(
+    [pa.field("stringValue", pa.string()), pa.field("intValue", pa.string())]
+)
+_KV = pa.struct([pa.field("key", pa.string()), pa.field("value", _ANYVALUE)])
+
+
+def _kv_list(
+    keys: np.ndarray,
+    str_vals: np.ndarray,
+    int_vals: np.ndarray,
+    offsets: np.ndarray,
+) -> pa.ListArray:
+    entries = pa.StructArray.from_arrays(
+        [
+            pa.array(keys, type=pa.string()),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(str_vals, type=pa.string()),
+                    pa.array(int_vals, type=pa.string()),
+                ],
+                names=["stringValue", "intValue"],
+            ),
+        ],
+        names=["key", "value"],
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), entries)
+
+
+def _str(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_string(col.type):
+        col = pc.cast(col, pa.string())
+    return np.asarray(col.to_numpy(zero_copy_only=False), dtype=object)
+
+
+def nest_otlp_batch(t: pa.Table) -> pa.Table:
+    """Transcript rows → ONE ExportLogsServiceRequest row (the marshal
+    half, plog/json.go MarshalLogs): records grouped into scopes by
+    role, scopes into resources by derived service.name."""
+    n = len(t)
+    df = pd.DataFrame(
+        {
+            "service": pd.Series(_str(t["tool"])).fillna("").map(
+                lambda x: DIM_TOOL_SERVICE.get(x, "unknown")
+            ),
+            "role": _str(t["role"]),
+            "conv_id": _str(t["conv_id"]),
+            "turn_idx": t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "tool": _str(t["tool"]),
+            "text": _str(t["text"]),
+            "ts_us": pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False),
+        }
+    )
+    df = df.sort_values(
+        ["service", "role", "conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    svc = df["service"].to_numpy(dtype=object)
+    rol = df["role"].to_numpy(dtype=object)
+
+    # ---- logRecords (one per row, in sorted order)
+    lvl = pc.extract_regex(
+        pa.array(df["text"].to_numpy(dtype=object), type=pa.string()),
+        r"^\[(?P<lvl>[A-Z]+)\]",
+    )
+    sev_text = lvl.field("lvl")
+    sev_num = pa.array(
+        pd.Series(sev_text.to_numpy(zero_copy_only=False)).map(SEVERITY_NUMBER),
+        type=pa.int64(),
+    )
+    time_ns = pa.array(
+        (df["ts_us"].to_numpy() * 1000).astype("U"), type=pa.string()
+    )
+    body = pa.StructArray.from_arrays(
+        [pa.array(df["text"].to_numpy(dtype=object), type=pa.string())],
+        names=["stringValue"],
+    )
+    # record attributes: conv.id / turn.index / tool — 3 entries per record
+    keys = np.empty(3 * n, dtype=object)
+    svals = np.empty(3 * n, dtype=object)
+    ivals = np.empty(3 * n, dtype=object)
+    keys[0::3], keys[1::3], keys[2::3] = "conv.id", "turn.index", "tool"
+    svals[0::3] = df["conv_id"].to_numpy(dtype=object)
+    svals[1::3] = None
+    svals[2::3] = df["tool"].to_numpy(dtype=object)
+    ivals[0::3] = None
+    ivals[1::3] = df["turn_idx"].to_numpy().astype("U").astype(object)
+    ivals[2::3] = None
+    rec_attrs = _kv_list(keys, svals, ivals, np.arange(0, 3 * n + 3, 3))
+    records = pa.StructArray.from_arrays(
+        [
+            time_ns,
+            sev_num,
+            pc.fill_null(sev_text, ""),
+            body,
+            rec_attrs,
+        ],
+        names=[
+            "timeUnixNano",
+            "severityNumber",
+            "severityText",
+            "body",
+            "attributes",
+        ],
+    )
+
+    # ---- scope groups: change points of (service, role)
+    if n:
+        sc_change = np.flatnonzero(
+            np.concatenate(
+                ([True], (svc[1:] != svc[:-1]) | (rol[1:] != rol[:-1]))
+            )
+        )
+    else:
+        sc_change = np.empty(0, np.int64)
+    sc_off = np.append(sc_change, n).astype(np.int32)
+    log_records = pa.ListArray.from_arrays(pa.array(sc_off, type=pa.int32()), records)
+    n_scope = len(sc_change)
+    scope = pa.StructArray.from_arrays(
+        [
+            pa.array(
+                np.char.add("otelray.", rol[sc_change].astype("U")),
+                type=pa.string(),
+            ),
+            pa.array(["1.0"] * n_scope, type=pa.string()),
+        ],
+        names=["name", "version"],
+    )
+    scopes = pa.StructArray.from_arrays(
+        [scope, log_records], names=["scope", "logRecords"]
+    )
+
+    # ---- resource groups: change points of service over scope groups
+    svc_per_scope = svc[sc_change]
+    if n_scope:
+        rs_change = np.flatnonzero(
+            np.concatenate(([True], svc_per_scope[1:] != svc_per_scope[:-1]))
+        )
+    else:
+        rs_change = np.empty(0, np.int64)
+    rs_off = np.append(rs_change, n_scope).astype(np.int32)
+    scope_logs = pa.ListArray.from_arrays(pa.array(rs_off, type=pa.int32()), scopes)
+    n_res = len(rs_change)
+    res_svc = svc_per_scope[rs_change] if n_scope else np.empty(0, object)
+    res_attrs = _kv_list(
+        np.full(n_res, "service.name", dtype=object),
+        np.asarray(res_svc, dtype=object),
+        np.full(n_res, None, dtype=object),
+        np.arange(n_res + 1),
+    )
+    resource = pa.StructArray.from_arrays([res_attrs], names=["attributes"])
+    res_entries = pa.StructArray.from_arrays(
+        [resource, scope_logs], names=["resource", "scopeLogs"]
+    )
+    resource_logs = pa.ListArray.from_arrays(
+        pa.array([0, n_res], type=pa.int32()), res_entries
+    )
+    return pa.table({"resourceLogs": resource_logs})
+
+
+def _attr_first(kvlist: pa.ListArray, n: int, key: str, field: str) -> np.ndarray:
+    """First-match attribute value per parent (vectorized Get over the
+    OTLP entry-list encoding)."""
+    parents = pc.list_parent_indices(kvlist).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(kvlist)
+    keys = np.asarray(
+        _opt_field(flat, "key", pa.string()).to_numpy(zero_copy_only=False),
+        dtype=object,
+    )
+    value_struct = _opt_field(flat, "value", _ANYVALUE)
+    vals = np.asarray(
+        _opt_field(value_struct, field, pa.string()).to_numpy(
+            zero_copy_only=False
+        ),
+        dtype=object,
+    )
+    out = np.full(n, None, dtype=object)
+    hit = keys == key
+    out[parents[hit][::-1]] = vals[hit][::-1]
+    return out
+
+
+def _opt_field(sa, name: str, typ: pa.DataType):
+    """Struct field, or typed nulls when the field never appeared in
+    the file (proto3 JSON omits unset fields, so Arrow's reader may
+    not even infer them)."""
+    if sa.type.get_field_index(name) < 0:
+        return pa.nulls(len(sa), typ)
+    return sa.field(name)
+
+
+def flatten_otlp_batch(t: pa.Table) -> pa.Table:
+    """ExportLogsServiceRequest rows → flat record table (the unmarshal
+    half, plog/json.go UnmarshalLogs): resource/scope context
+    denormalized onto every record."""
+    if "resourceLogs" not in t.column_names:
+        # empty reader blocks can arrive schema-less
+        return pa.table(
+            {
+                "service": pa.array([], type=pa.string()),
+                "scope_name": pa.array([], type=pa.string()),
+                "scope_version": pa.array([], type=pa.string()),
+                "time_unix_nano": pa.array([], type=pa.int64()),
+                "severity_number": pa.array([], type=pa.int64()),
+                "severity_text": pa.array([], type=pa.string()),
+                "body": pa.array([], type=pa.string()),
+                "conv_id": pa.array([], type=pa.string()),
+                "turn_idx": pa.array([], type=pa.int32()),
+                "tool": pa.array([], type=pa.string()),
+            }
+        )
+    rl = t["resourceLogs"]
+    if isinstance(rl, pa.ChunkedArray):
+        rl = rl.combine_chunks()
+    res = pc.list_flatten(rl)  # one row per resource entry
+    n_res = len(res)
+    resource = _opt_field(
+        res, "resource", pa.struct([("attributes", pa.list_(_KV))])
+    )
+    service = _attr_first(
+        _opt_field(resource, "attributes", pa.list_(_KV)),
+        n_res,
+        "service.name",
+        "stringValue",
+    )
+
+    sl = res.field("scopeLogs")
+    scope_parent = pc.list_parent_indices(sl).to_numpy(zero_copy_only=False)
+    scopes = pc.list_flatten(sl)
+    n_scope = len(scopes)
+    scope_struct = _opt_field(
+        scopes, "scope", pa.struct([("name", pa.string()), ("version", pa.string())])
+    )
+    scope_name = _opt_field(scope_struct, "name", pa.string())
+    scope_version = _opt_field(scope_struct, "version", pa.string())
+
+    lr = scopes.field("logRecords")
+    rec_parent = pc.list_parent_indices(lr).to_numpy(zero_copy_only=False)
+    recs = pc.list_flatten(lr)
+    n_rec = len(recs)
+
+    # context indices per record: scope idx → resource idx
+    res_idx = scope_parent[rec_parent] if n_rec else np.empty(0, np.int64)
+    take_scope = pa.array(rec_parent, type=pa.int64())
+
+    rec_attrs = _opt_field(recs, "attributes", pa.list_(_KV))
+    conv_id = _attr_first(rec_attrs, n_rec, "conv.id", "stringValue")
+    turn_raw = _attr_first(rec_attrs, n_rec, "turn.index", "intValue")
+    tool = _attr_first(rec_attrs, n_rec, "tool", "stringValue")
+    # proto3 JSON int64-as-string → int32 (bounded: a turn index)
+    turn_valid = pa.array(turn_raw, type=pa.string())
+    turn_idx = pc.cast(pc.cast(turn_valid, pa.int64()), pa.int32())
+    time_ns = pc.cast(
+        _opt_field(recs, "timeUnixNano", pa.string()), pa.int64()
+    )
+    body = _opt_field(recs, "body", pa.struct([("stringValue", pa.string())]))
+    body_str = _opt_field(body, "stringValue", pa.string())
+    sev_num = _opt_field(recs, "severityNumber", pa.int64())
+    sev_text = _opt_field(recs, "severityText", pa.string())
+
+    empty_str = pa.array([], type=pa.string())
+    return pa.table(
+        {
+            "service": pa.array(service, type=pa.string()).take(
+                pa.array(res_idx, type=pa.int64())
+            )
+            if n_rec
+            else empty_str,
+            "scope_name": scope_name.take(take_scope) if n_rec else empty_str,
+            "scope_version": scope_version.take(take_scope)
+            if n_rec
+            else empty_str,
+            "time_unix_nano": time_ns,
+            "severity_number": pc.cast(sev_num, pa.int64()),
+            "severity_text": sev_text,
+            "body": body_str,
+            "conv_id": pa.array(conv_id, type=pa.string()),
+            "turn_idx": turn_idx,
+            "tool": pa.array(tool, type=pa.string()),
+        }
+    )
+
+
+def _strip_nulls(o):
+    """proto3 JSON omits unset fields (a null oneof member is not
+    written); recursively drop None values before serializing."""
+    if isinstance(o, dict):
+        return {k: _strip_nulls(v) for k, v in o.items() if v is not None}
+    if isinstance(o, list):
+        return [_strip_nulls(x) for x in o]
+    return o
+
+
+class _NdjsonWriter:
+    """Render each request row to one canonical OTLP JSON line and land
+    one NDJSON file per task (the sink side of MarshalLogs). One
+    ``json.dumps`` per REQUEST (= per input batch), not per record."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import json
+        import os
+        import uuid
+
+        lines = [
+            json.dumps(_strip_nulls(row), separators=(",", ":"))
+            for row in t.to_pylist()
+        ]
+        path = os.path.join(self.out_dir, f"otlp-{uuid.uuid4().hex}.json")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return pa.table({"rows": pa.array([len(lines)], type=pa.int64())})
+
+
+def write_otlp_logs_json(ds: ray.data.Dataset, out_dir: str) -> int:
+    """Marshal: one ExportLogsServiceRequest JSON object per input
+    batch, written as NDJSON (null fields omitted — the proto3 JSON
+    wire form). Returns the number of requests written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    nested = ds.map_batches(nest_otlp_batch, batch_format="pyarrow")
+    written = nested.map_batches(
+        _NdjsonWriter(out_dir), batch_format="pyarrow"
+    ).sum("rows")
+    return int(written or 0)
+
+
+def read_otlp_logs_json(paths) -> ray.data.Dataset:
+    """Unmarshal: NDJSON of ExportLogsServiceRequest → flat records."""
+    return ray.data.read_json(paths).map_batches(
+        flatten_otlp_batch, batch_format="pyarrow"
+    )

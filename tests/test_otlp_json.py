@@ -1,0 +1,152 @@
+"""Nested OTLP/JSON codec: wire shape, roundtrip equality, tolerance
+of real files that omit unset proto3 fields."""
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import ray.data
+
+from opentelemetry_collector_ray.sources.otlp_json import (
+    flatten_otlp_batch,
+    nest_otlp_batch,
+    read_otlp_logs_json,
+    write_otlp_logs_json,
+)
+
+
+def _transcript_batch():
+    return pa.table(
+        {
+            "conv_id": ["c2", "c1", "c1", "c3"],
+            "turn_idx": pa.array([0, 0, 1, 0], type=pa.int32()),
+            "role": ["user", "assistant", "tool", "user"],
+            "text": [
+                "[INFO] action=x latency_ms=5 msg=a",
+                "[ERROR] action=y latency_ms=9 msg=b",
+                "freeform note",
+                "[WARN] action=z latency_ms=1 msg=c",
+            ],
+            "tool": ["", "sql", "bash", ""],
+            "ts": pa.array([1000, 2000, 3000, 4000], type=pa.timestamp("us")),
+        }
+    )
+
+
+def test_nest_structure_and_grouping():
+    nested = nest_otlp_batch(_transcript_batch())
+    assert nested.num_rows == 1  # one request per batch
+    req = nested.to_pylist()[0]
+    res = req["resourceLogs"]
+    # resources grouped by derived service.name, sorted
+    names = [
+        r["resource"]["attributes"][0]["value"]["stringValue"] for r in res
+    ]
+    assert names == ["data", "infra", "unknown"]
+    # scope carries the role; records carry conv/turn/tool attributes
+    scope = res[0]["scopeLogs"][0]
+    assert scope["scope"]["name"] == "otelray.assistant"
+    rec = scope["logRecords"][0]
+    assert rec["severityNumber"] == 17 and rec["severityText"] == "ERROR"
+    assert rec["timeUnixNano"] == "2000000"  # fixed64 as STRING
+    assert rec["body"]["stringValue"].startswith("[ERROR]")
+    kv = {a["key"]: a["value"] for a in rec["attributes"]}
+    assert kv["conv.id"]["stringValue"] == "c1"
+    assert kv["turn.index"]["intValue"] == "0"  # int64 as STRING
+
+
+def test_flatten_inverts_nest():
+    t = _transcript_batch()
+    flat = (
+        flatten_otlp_batch(nest_otlp_batch(t))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    src = t.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert list(flat["conv_id"]) == list(src["conv_id"])
+    assert list(flat["turn_idx"]) == list(src["turn_idx"])
+    assert list(flat["body"]) == list(src["text"])
+    assert list(flat["tool"]) == list(src["tool"])
+    assert [s.replace("otelray.", "") for s in flat["scope_name"]] == list(
+        src["role"]
+    )
+    assert list(flat["time_unix_nano"]) == [
+        v * 1000 for v in src["ts"].astype("int64") // 1
+    ]
+
+
+def test_wire_format_omits_nulls_and_uses_proto3_json(tmp_path):
+    out = str(tmp_path / "otlp")
+    write_otlp_logs_json(ray.data.from_arrow(_transcript_batch()), out)
+    files = glob.glob(out + "/*.json")
+    assert files
+    line = open(files[0]).readline()
+    obj = json.loads(line)
+    assert set(obj) == {"resourceLogs"}
+    s = line
+    assert '"intValue":null' not in s and '"stringValue":null' not in s
+    assert '"severityNumber":17' in s  # int, not 17.0
+    # the freeform row has no [LEVEL] prefix: number omitted, text empty
+    assert '"severityText":""' in s
+
+
+def test_read_real_otlp_with_omitted_fields(tmp_path):
+    d = tmp_path / "min"
+    d.mkdir()
+    minimal = {
+        "resourceLogs": [
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "service.name", "value": {"stringValue": "x"}}
+                    ]
+                },
+                "scopeLogs": [
+                    {
+                        "scope": {"name": "s"},
+                        "logRecords": [
+                            {
+                                "timeUnixNano": "123",
+                                "body": {"stringValue": "hello"},
+                            }
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    (d / "a.json").write_text(json.dumps(minimal) + "\n")
+    flat = read_otlp_logs_json(str(d)).to_pandas()
+    assert len(flat) == 1
+    row = flat.iloc[0]
+    assert row["service"] == "x" and row["body"] == "hello"
+    assert row["time_unix_nano"] == 123
+    import pandas as pd
+
+    assert pd.isna(row["scope_version"])  # omitted → null, not a crash
+    assert pd.isna(row["conv_id"]) and pd.isna(row["severity_number"])
+
+
+def test_file_roundtrip_multibatch(tmp_path):
+    out = str(tmp_path / "rt")
+    ds = ray.data.from_arrow(_transcript_batch()).repartition(3)
+    n = write_otlp_logs_json(ds, out)
+    assert n >= 1
+    flat = (
+        read_otlp_logs_json(out)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(flat) == 4
+    assert list(flat["conv_id"]) == ["c1", "c1", "c2", "c3"]
+
+
+def test_empty_input():
+    empty = _transcript_batch().slice(0, 0)
+    nested = nest_otlp_batch(empty)
+    assert nested.num_rows == 1
+    assert flatten_otlp_batch(nested).num_rows == 0
