@@ -2858,6 +2858,42 @@ def q_embedding_near_dup_lsh(sf_dir: str):
     )
 
 
+def q_push_ingest(sf_dir: str):
+    """Push-ingest bridge (receiver/otlpreceiver/otlp.go:93-172
+    semantics as a batch bridge): stream the transcript rows into a
+    spool-receiver actor batch-by-batch, land atomic micro-batch spool
+    files, process the spool through the checkpoint ledger (exactly-
+    once per partition), read the sinks back. Output must equal the
+    pushed input exactly — the end-to-end delivery-contract check."""
+    import glob
+    import os
+    import shutil
+    import zlib
+
+    import ray
+    import ray.data
+
+    from opentelemetry_collector_ray.state.checkpoint import run_partitioned
+    from opentelemetry_collector_ray.state.receiver import (
+        SpoolReceiverActor,
+        push_dataset,
+    )
+
+    tag = zlib.crc32(os.path.abspath(sf_dir).encode()) & 0xFFFFFFFF
+    base = f"/tmp/otel_ray_push_{os.getpid()}_{tag:08x}"
+    shutil.rmtree(base, ignore_errors=True)
+    spool, out = f"{base}/spool", f"{base}/out"
+    actor = SpoolReceiverActor.remote(spool, max_buffer_rows=4096)
+    push_dataset(_transcripts(sf_dir), actor, rows_per_push=2048)
+    ray.get(actor.flush.remote())
+    files = sorted(glob.glob(spool + "/*.parquet"))
+    run_partitioned(
+        files, out, lambda paths: ray.data.read_parquet(paths),
+        num_partitions=8,
+    )
+    return ray.data.read_parquet(glob.glob(out + "/part-*/*.parquet"))
+
+
 def q_otlp_json_flatten(sf_dir: str):
     """Real OTLP/JSON interchange (pdata/plog/json.go:27-49): nest the
     transcript table into ExportLogsServiceRequest NDJSON (resource →
@@ -2950,6 +2986,7 @@ def q_ottl_map_where(sf_dir: str):
 QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "push_ingest": q_push_ingest,
     "otlp_json_flatten": q_otlp_json_flatten,
     "attributes_map": q_attributes_map,
     "ottl_map_where": q_ottl_map_where,
@@ -3493,6 +3530,7 @@ def oracle_sql() -> dict[str, str]:
             "cast(user_id AS varchar) AS user_id, "
             "substr(props, 1, 20) AS props FROM events"
         ),
+        "push_ingest": o.TRANSCRIPTS_CTE + "SELECT * FROM transcripts",
         "otlp_json_flatten": o.TRANSCRIPTS_CTE + (
             "SELECT "
             "CASE tool WHEN 'bash' THEN 'infra' WHEN 'browser' THEN 'web' "
