@@ -244,6 +244,20 @@ def _load_yaml(spec: dict | str) -> dict:
 
         import yaml
 
+        if spec.startswith(("http://", "https://")):
+            # confmap/provider/httpprovider + httpsprovider parity:
+            # a config URI fetched over HTTP(S) and parsed as YAML.
+            # stdlib urllib — no extra deps; failures surface as
+            # ConfigError like every other unreadable source.
+            import urllib.error
+            import urllib.request
+
+            try:
+                with urllib.request.urlopen(spec, timeout=30) as resp:
+                    body = resp.read().decode("utf-8")
+            except (urllib.error.URLError, OSError, ValueError) as e:
+                raise ConfigError(f"cannot fetch config URI {spec!r}: {e}")
+            return yaml.safe_load(body)
         if os.path.exists(spec):
             with open(spec) as f:
                 return yaml.safe_load(f)

@@ -124,6 +124,42 @@ def brute_force_topk(
 # --------------------------------------------------------------- LSH
 
 
+def auto_lsh_bits(
+    n_rows: int,
+    dim: int,
+    *,
+    target_bucket_bytes: int = 64 << 20,
+    max_bits: int = 24,
+) -> int:
+    """Pick the LSH ``bits`` knob from corpus size: the per-bucket
+    group (~corpus/2^bits vectors × dim × 8 bytes) runs on ONE worker,
+    so bits grows until the expected bucket fits ``target_bucket_bytes``.
+    Floor 1 (bits=0 would be a single all-pairs bucket); ceiling bounds
+    the Hamming-probe fan-out."""
+    total = int(n_rows) * int(dim) * 8
+    bits = 1
+    while bits < max_bits and (total >> bits) > target_bucket_bytes:
+        bits += 1
+    return bits
+
+
+def auto_ivf_nlist(
+    n_rows: int,
+    dim: int,
+    *,
+    target_list_bytes: int = 64 << 20,
+    min_nlist: int = 16,
+) -> int:
+    """Pick the IVF ``nlist`` knob from corpus size: a posting list
+    (~corpus/nlist vectors) runs on one worker, so nlist grows with
+    total bytes / target. Floor ``min_nlist`` keeps nprobe/nlist
+    selectivity meaningful on small corpora; capped at n_rows (an empty
+    list is useless)."""
+    total = int(n_rows) * int(dim) * 8
+    nlist = max(min_nlist, -(-total // target_list_bytes))
+    return int(max(1, min(nlist, n_rows))) if n_rows else min_nlist
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((bits, dim))
@@ -195,7 +231,7 @@ def embedding_near_dup_lsh(
     ds: ray.data.Dataset,
     *,
     threshold: float = 0.4,
-    bits: int = 4,
+    bits: int | None = None,
     id_col: str = "vec_id",
 ) -> ray.data.Dataset:
     """LSH-bucketed embedding near-dup pairs — the scale path beyond
@@ -206,12 +242,16 @@ def embedding_near_dup_lsh(
     (BLAS matmul). A pair is found iff its buckets differ in ≤2 bits —
     approximate; recall is pinned against the exact oracle pair set in
     tests. ``bits`` is the partition knob (bucket ≈ corpus·(bits+1)/2^bits
-    rows must fit a worker); duplicates from multi-bucket meetings
+    rows must fit a worker); ``bits=None`` auto-derives it from corpus
+    rows × dim via ``auto_lsh_bits`` so the expected bucket fits a
+    worker budget at any scale. Duplicates from multi-bucket meetings
     collapse in a final sharded distinct."""
     from ..functions.shard import coalesce_for_shuffle, sharded_group_map
 
     first = ds.take(1)
     dim = len(np.asarray(first[0]["embedding"]))
+    if bits is None:
+        bits = auto_lsh_bits(ds.count(), dim)
     planes = _hyperplanes(dim, bits)
     weights = (1 << np.arange(bits)).astype(np.int64)
 
@@ -308,7 +348,7 @@ def lsh_topk(
     ds: ray.data.Dataset,
     queries: dict[int, np.ndarray],
     k: int = 10,
-    bits: int = 4,
+    bits: int | None = None,
     id_col: str = "vec_id",
 ) -> pd.DataFrame:
     """ANN via sign-LSH: search only buckets within Hamming distance 1
@@ -324,10 +364,14 @@ def lsh_topk(
     (queries × k × probed-buckets) leave workers; the driver does the
     final merge. At rest, a bucketed corpus would be a
     partition_cols=["bucket"] parquet sink so probing reads only the
-    matching partitions (partition pruning)."""
+    matching partitions (partition pruning). ``bits=None`` auto-derives
+    the knob from corpus rows × dim (``auto_lsh_bits``) so a bucket
+    fits a worker budget."""
     import pyarrow.compute as pc
 
     dim = len(next(iter(queries.values())))
+    if bits is None:
+        bits = auto_lsh_bits(ds.count(), dim)
     planes = _hyperplanes(dim, bits)
     bucketed = ds.map_batches(
         lambda b: lsh_bucket_batch(b, planes, id_col), batch_format="pyarrow"
@@ -394,7 +438,7 @@ def semdedup(
     ds: ray.data.Dataset,
     *,
     threshold: float = 0.7,
-    nlist: int = 16,
+    nlist: int | None = None,
     id_col: str = "vec_id",
     centroids: np.ndarray | None = None,
 ) -> ray.data.Dataset:
@@ -413,8 +457,15 @@ def semdedup(
     ``nlist`` is the partition knob (a cluster ≈ corpus/nlist rows must
     fit a worker; flops are O(cluster²) via blocked BLAS with memory
     bounded by block × cluster). Output: (vec_id, list_id, removed) —
-    one row per input vector, removed ∈ {0, 1}."""
+    one row per input vector, removed ∈ {0, 1}. ``nlist=None``
+    auto-derives the knob from corpus rows × dim (``auto_ivf_nlist``)
+    so a cluster fits a worker budget."""
 
+    if nlist is None:
+        first = ds.take(1)
+        nlist = auto_ivf_nlist(
+            ds.count(), len(np.asarray(first[0]["embedding"]))
+        )
     if centroids is None:
         centroids = train_ivf_centroids(ds, nlist=nlist, id_col=id_col)
 
@@ -511,7 +562,7 @@ def ivf_topk(
     queries: dict[int, np.ndarray],
     k: int = 10,
     *,
-    nlist: int = 16,
+    nlist: int | None = None,
     nprobe: int = 4,
     id_col: str = "vec_id",
     centroids: np.ndarray | None = None,
@@ -526,9 +577,12 @@ def ivf_topk(
     per-list ``groupby.map_groups`` (each group ≈ corpus/nlist rows —
     size nlist so a list fits a worker); only the tiny per-list partial
     top-k rows leave workers; driver does the final merge of
-    O(queries × k × nprobe) rows."""
+    O(queries × k × nprobe) rows. ``nlist=None`` auto-derives the knob
+    from corpus rows × dim (``auto_ivf_nlist``)."""
     import pyarrow.compute as pc
 
+    if nlist is None:
+        nlist = auto_ivf_nlist(ds.count(), len(next(iter(queries.values()))))
     if centroids is None:
         centroids = train_ivf_centroids(ds, nlist=nlist, id_col=id_col)
     qids = sorted(queries.keys())

@@ -256,6 +256,58 @@ def test_multi_source_merge(corpus, tmp_path):
     assert cfg2.sinks.out_dir == f"{tmp_path}/y"
 
 
+def test_http_config_provider(corpus, tmp_path):
+    """confmap http(s) provider parity: an http:// config URI is
+    fetched, parsed as YAML, and merges/env-expands like any other
+    source; unreachable URIs fail loudly as ConfigError."""
+    import http.server
+    import threading
+
+    import pytest
+
+    from opentelemetry_collector_ray.pipelines.config import ConfigError
+
+    body = (
+        "pipeline:\n"
+        "  sinks:\n"
+        "    out_dir: ${env:OUT_DIR:-" + str(tmp_path / "http_out") + "}\n"
+    )
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            data = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = {
+            "pipeline": {
+                "source": {"type": "parquet", "paths": [corpus]},
+                "stages": [{"type": "parse"}],
+                "sinks": {"mode": "route", "out_dir": "/tmp/overridden"},
+            }
+        }
+        url = f"http://127.0.0.1:{srv.server_port}/cfg.yaml"
+        cfg = load_config([base, url])
+        assert cfg.sinks.out_dir == str(tmp_path / "http_out")
+        assert cfg.sinks.mode == "route"  # sibling key survives the merge
+        # env expansion applies to http-sourced values too
+        cfg2 = load_config([base, url], env={"OUT_DIR": "/tmp/from_env"})
+        assert cfg2.sinks.out_dir == "/tmp/from_env"
+    finally:
+        srv.shutdown()
+    with pytest.raises(ConfigError, match="cannot fetch"):
+        load_config([base, "http://127.0.0.1:1/cfg.yaml"])
+
+
 def test_feature_gates(corpus):
     from opentelemetry_collector_ray.pipelines.config import (
         register_gate,

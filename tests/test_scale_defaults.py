@@ -75,6 +75,54 @@ def test_builder_default_concurrency_tracks_cluster():
     assert _stage_concurrency({}) == (lo, hi)
 
 
+def test_ann_auto_knobs_scale_with_corpus():
+    """bits/nlist auto-derive from corpus rows × dim so a per-bucket /
+    per-list group stays inside the worker budget at any scale."""
+    from opentelemetry_collector_ray.stages.similarity import (
+        auto_ivf_nlist,
+        auto_lsh_bits,
+    )
+
+    b_small = auto_lsh_bits(10_000, 64)
+    b_big = auto_lsh_bits(1_000_000_000, 768)
+    assert b_big > b_small
+    assert (1_000_000_000 * 768 * 8) >> b_big <= 64 << 20
+    n_small = auto_ivf_nlist(10_000, 64)
+    n_big = auto_ivf_nlist(1_000_000_000, 768)
+    assert n_big > n_small
+    assert 1_000_000_000 * 768 * 8 / n_big <= 64 << 20
+    assert auto_ivf_nlist(4, 8) <= 4  # never more lists than rows
+
+
+def test_lsh_topk_auto_bits_recall_at_two_corpus_sizes():
+    """Recall holds with the knob auto-derived (bits=None) at two
+    corpus sizes — the auto-sizing acceptance check."""
+    from opentelemetry_collector_ray.stages.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    for n in (200, 2000):
+        vecs = rng.standard_normal((n, 32))
+        t = pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        queries = {int(i): vecs[i] for i in range(0, n, n // 4)}
+        brute = brute_force_topk(ds, queries, k=5)
+        approx = lsh_topk(ds, queries, k=5, bits=None)
+        recalls = []
+        for qid in brute["query_id"].unique():
+            b = set(brute[brute["query_id"] == qid]["vec_id"])
+            a = set(approx[approx["query_id"] == qid]["vec_id"])
+            recalls.append(len(a & b) / len(b))
+        assert np.mean(recalls) >= 0.5, f"n={n}: {np.mean(recalls)}"
+
+
 def test_content_key_vectorized_hash_matches_md5_grouping():
     """The 128-bit siphash content key groups texts exactly like a
     cryptographic hash would: equal texts collide, distinct texts
