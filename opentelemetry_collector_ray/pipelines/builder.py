@@ -255,6 +255,14 @@ def _run_one(cfg: PipelineConfig, source: ray.data.Dataset) -> dict:
         if cfg.sinks.min_rows_per_file
         else {}
     )
+    if cfg.sinks.compression:
+        # forwarded to pyarrow's ParquetWriter via write_parquet —
+        # "none" means store uncompressed (arrow spells it "NONE")
+        sizing["compression"] = (
+            "NONE"
+            if cfg.sinks.compression == "none"
+            else cfg.sinks.compression
+        )
     # the exporter helper chain on the config path: obsreport counts
     # (per-sink report) ← retry sender ← timeout sender; the queue is
     # the streaming executor's backpressure. Per-attempt deadline =

@@ -194,6 +194,10 @@ class SinkConfig:
     # partition write time — a fixed default would kill legitimate
     # large writes. Effective only while engine.timeoutSender is on.
     write_timeout: float | None = None
+    # parquet codec (the configgrpc compressor-matrix analogue,
+    # config/configgrpc/configgrpc_benchmark_test.go:39): one of
+    # snappy | zstd | gzip | lz4 | brotli | none (None = arrow default)
+    compression: str | None = None
 
 
 @dataclass
@@ -326,9 +330,17 @@ def load_config(
         out_dir=sk.get("out_dir"),
         min_rows_per_file=sk.get("min_rows_per_file"),
         write_timeout=sk.get("write_timeout"),
+        compression=sk.get("compression"),
     )
     if sinks.mode not in {"route", "single"}:
         raise ConfigError(f"unknown sink mode: {sinks.mode!r}")
+    if sinks.compression is not None and sinks.compression not in {
+        "snappy", "zstd", "gzip", "lz4", "brotli", "none",
+    }:
+        raise ConfigError(
+            f"unknown sink compression: {sinks.compression!r} "
+            "(want snappy|zstd|gzip|lz4|brotli|none)"
+        )
     if not sinks.out_dir:
         raise ConfigError("sinks need out_dir")
 

@@ -628,7 +628,11 @@ def pack_sequences(
     shuffle-free deterministic operator. ``shards`` is the partition
     knob: one shard's (doc_id, n_tokens) pairs must fit a worker
     (~16 B/doc ⇒ ~10M docs ≈ 160 MB per shard) — raise it with corpus
-    size. Output: one row per pack —
+    size. Deliberately NOT auto-scaled (unlike ``sharded_group_map``'s
+    default): the shard count is part of the pack-id definition, so an
+    auto value would make pack assignment vary with cluster/estimate
+    drift and break the determinism/resume contract — callers pick it
+    per corpus and keep it fixed. Output: one row per pack —
     (pack_id, n_docs, n_tokens, doc_ids list)."""
     def per_shard(g: _pd.DataFrame) -> _pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")

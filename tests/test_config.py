@@ -256,6 +256,34 @@ def test_multi_source_merge(corpus, tmp_path):
     assert cfg2.sinks.out_dir == f"{tmp_path}/y"
 
 
+def test_sink_compression_knob(corpus, tmp_path):
+    """configgrpc compressor-matrix analogue: sinks.compression picks
+    the parquet codec; bogus codecs fail validation loudly."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from opentelemetry_collector_ray.pipelines.config import ConfigError
+
+    out = str(tmp_path / "zstd_out")
+    spec = _spec(corpus, out)
+    spec["pipeline"]["sinks"]["compression"] = "zstd"
+    report = run_pipeline(spec)
+    assert report["per_sink"]
+    f = glob.glob(out + "/**/*.parquet", recursive=True)[0]
+    meta = pq.ParquetFile(f).metadata
+    codecs = {
+        meta.row_group(0).column(i).compression
+        for i in range(meta.num_columns)
+    }
+    assert codecs == {"ZSTD"}
+    bad = _spec(corpus, out)
+    bad["pipeline"]["sinks"]["compression"] = "deflate9"
+    with pytest.raises(ConfigError, match="compression"):
+        load_config(bad)
+
+
 def test_http_config_provider(corpus, tmp_path):
     """confmap http(s) provider parity: an http:// config URI is
     fetched, parsed as YAML, and merges/env-expands like any other
