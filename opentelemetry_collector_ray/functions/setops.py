@@ -42,11 +42,11 @@ def _set_op(
     shards: int | None,
 ) -> ray.data.Dataset:
     if shards is None:
-        try:
-            nbytes = (a.size_bytes() or 0) + (b.size_bytes() or 0)
-        except Exception:
-            nbytes = 0
-        shards = auto_shards(nbytes)
+        # size only when free (materialized inputs) — probing a lazy
+        # plan would execute it; see shard.cheap_size_bytes
+        from .shard import cheap_size_bytes
+
+        shards = auto_shards(cheap_size_bytes(a) + cheap_size_bytes(b))
     schema = a.schema()
     cols = list(schema.names)
     if list(b.schema().names) != cols:

@@ -102,29 +102,58 @@ def auto_shards(
     return int(max(2 * cpus, -(-int(size_bytes or 0) // target_shard_bytes)))
 
 
+def cheap_size_bytes(ds: ray.data.Dataset) -> int:
+    """``ds.size_bytes()`` ONLY when it is free — the plan has already
+    computed its output (materialized) — else 0. On a lazy transformed
+    dataset ``size_bytes()`` EXECUTES the whole plan, which would run
+    every upstream stage twice (measured: dup_spans 3.9 s → 25.8 s when
+    the auto-shard default probed a lazy explode). Callers that know
+    their input size pass ``size_hint_bytes`` instead."""
+    try:
+        if ds._plan.has_computed_output():  # metadata already in hand
+            return int(ds.size_bytes() or 0)
+    except Exception:
+        pass
+    return 0
+
+
 def sharded_group_map(
     ds: ray.data.Dataset,
     keys: list[str],
     shard_fn: Callable[[pd.DataFrame], pd.DataFrame],
     *,
     shards: int | None = None,
+    size_hint_bytes: int | None = None,
 ) -> ray.data.Dataset:
     """``groupby(keys).map_groups(fn)`` with group count bounded by
     ``shards``. One shuffle (on the hash shard), one vectorized
     ``shard_fn`` call per shard. ``shards=None`` (the default)
-    auto-scales with cluster CPUs and input bytes via ``auto_shards``
-    so per-shard memory stays bounded at any data size."""
+    auto-scales via ``auto_shards``: 2×cluster CPUs, raised by the
+    bytes term when the input size is known — from ``size_hint_bytes``
+    or, for already-materialized inputs, the plan's own metadata. The
+    size is NEVER probed from a lazy plan (that would execute it)."""
     if shards is None:
-        try:
-            nbytes = ds.size_bytes() or 0
-        except Exception:
-            nbytes = 0
+        nbytes = (
+            size_hint_bytes
+            if size_hint_bytes is not None
+            else cheap_size_bytes(ds)
+        )
         shards = auto_shards(nbytes)
     tagged = ds.map_batches(
         lambda t: shard_column(t, keys, shards), batch_format="pyarrow"
     )
+
+    def run_shard(g: pd.DataFrame):
+        out = shard_fn(g.drop(columns=["_shard"]))
+        # emit ARROW blocks: a downstream groupby/aggregate over
+        # pandas-format blocks is ~8× slower in Ray's sort shuffle
+        # (measured 16 s vs 2 s on identical 162k-row partials)
+        if isinstance(out, pd.DataFrame):
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return out
+
     return tagged.groupby("_shard").map_groups(
-        lambda g: shard_fn(g.drop(columns=["_shard"])), batch_format="pandas"
+        run_shard, batch_format="pandas"
     )
 
 
