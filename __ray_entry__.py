@@ -2915,6 +2915,27 @@ def q_otlp_json_flatten(sf_dir: str):
     return read_otlp_logs_json(out)
 
 
+def q_otlp_pb_roundtrip(sf_dir: str):
+    """OTLP binary-protobuf interchange (pdata/plog/pb.go:24-44): nest
+    the transcript table into ExportLogsServiceRequest, serialize each
+    request to real protobuf wire bytes (schema declared from the
+    public opentelemetry-proto definitions at runtime), read the
+    .binpb files back and flatten. Same oracle as the JSON wire — the
+    two codecs share one tree and must flatten identically."""
+    import os
+    import shutil
+
+    from opentelemetry_collector_ray.sources.otlp_pb import (
+        read_otlp_logs_pb,
+        write_otlp_logs_pb,
+    )
+
+    out = f"/tmp/otel_ray_otlp_pb_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_otlp_logs_pb(_transcripts(sf_dir), out)
+    return read_otlp_logs_pb(out)
+
+
 def q_attributes_map(sf_dir: str):
     """Open-ended map-typed attributes (pcommon.Map parity,
     pdata/pcommon/map.go:76-160): build a map column from the JSON
@@ -2988,6 +3009,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "push_ingest": q_push_ingest,
     "otlp_json_flatten": q_otlp_json_flatten,
+    "otlp_pb_roundtrip": q_otlp_pb_roundtrip,
     "attributes_map": q_attributes_map,
     "ottl_map_where": q_ottl_map_where,
     "sliding_window": q_sliding_window,
@@ -3163,7 +3185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from opentelemetry_collector_ray import oracle as o
 
-    return {
+    out = {
         "transcripts": o.TRANSCRIPTS_CTE + "SELECT * FROM transcripts",
         "parse": o.PARSED_CTE + "SELECT * FROM parsed2",
         "enrich": o.ENRICHED_CTE + "SELECT * FROM enriched",
@@ -3542,7 +3564,8 @@ def oracle_sql() -> dict[str, str]:
             "cast(CASE regexp_extract(text, '^\\[([A-Z]+)\\]', 1) "
             "WHEN 'DEBUG' THEN 5 WHEN 'INFO' THEN 9 WHEN 'WARN' THEN 13 "
             "WHEN 'ERROR' THEN 17 END AS bigint) AS severity_number, "
-            "regexp_extract(text, '^\\[([A-Z]+)\\]', 1) AS severity_text, "
+            "NULLIF(regexp_extract(text, '^\\[([A-Z]+)\\]', 1), '') "
+            "AS severity_text, "
             "text AS body, conv_id, turn_idx, tool "
             "FROM transcripts"
         ),
@@ -4199,3 +4222,7 @@ def oracle_sql() -> dict[str, str]:
         # omitted: probabilistic / model-style / synthetic-input
         # operators → rows-only gate.
     }
+    # Both OTLP wires (NDJSON and binary protobuf) share one
+    # nest/flatten tree, so the binary codec reuses the JSON oracle.
+    out["otlp_pb_roundtrip"] = out["otlp_json_flatten"]
+    return out

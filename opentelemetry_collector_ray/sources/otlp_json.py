@@ -103,7 +103,12 @@ def nest_otlp_batch(t: pa.Table) -> pa.Table:
         pa.array(df["text"].to_numpy(dtype=object), type=pa.string()),
         r"^\[(?P<lvl>[A-Z]+)\]",
     )
-    sev_text = lvl.field("lvl")
+    # .field() ignores the parent struct's null mask (a non-matching
+    # extract_regex row surfaces as "" in the child) — re-mask so
+    # unparsed rows are NULL and both wire codecs omit the field.
+    sev_text = pc.if_else(
+        pc.is_valid(lvl), lvl.field("lvl"), pa.scalar(None, pa.string())
+    )
     sev_num = pa.array(
         pd.Series(sev_text.to_numpy(zero_copy_only=False)).map(SEVERITY_NUMBER),
         type=pa.int64(),
@@ -131,7 +136,10 @@ def nest_otlp_batch(t: pa.Table) -> pa.Table:
         [
             time_ns,
             sev_num,
-            pc.fill_null(sev_text, ""),
+            # left NULL when the text has no [LEVEL] prefix: proto3
+            # omits unset fields, and the binary wire (otlp_pb) cannot
+            # distinguish "" from unset — both codecs omit it.
+            sev_text,
             body,
             rec_attrs,
         ],

@@ -89,8 +89,10 @@ def test_wire_format_omits_nulls_and_uses_proto3_json(tmp_path):
     s = line
     assert '"intValue":null' not in s and '"stringValue":null' not in s
     assert '"severityNumber":17' in s  # int, not 17.0
-    # the freeform row has no [LEVEL] prefix: number omitted, text empty
-    assert '"severityText":""' in s
+    # the freeform row has no [LEVEL] prefix: number AND text omitted
+    # (proto3 wire form — the binary codec cannot carry "" vs unset)
+    assert '"severityText":""' not in s
+    assert s.count('"severityText"') == 3  # only the 3 parsed rows
 
 
 def test_read_real_otlp_with_omitted_fields(tmp_path):
