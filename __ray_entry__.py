@@ -2936,6 +2936,45 @@ def q_otlp_pb_roundtrip(sf_dir: str):
     return read_otlp_logs_pb(out)
 
 
+def q_otlp_traces_flatten(sf_dir: str):
+    """OTLP/JSON traces interchange (pdata/ptrace/json.go:27-49): nest
+    transcripts into ExportTraceServiceRequest (md5-derived hex IDs,
+    parent links, SpanKind ints, error Status), write NDJSON, read back
+    and flatten. The oracle recomputes the whole span projection in SQL
+    — DuckDB shares md5, so IDs hash-match exactly."""
+    import os
+    import shutil
+
+    from opentelemetry_collector_ray.sources.otlp_traces import (
+        read_otlp_traces_json,
+        write_otlp_traces_json,
+    )
+
+    out = f"/tmp/otel_ray_otlp_traces_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_otlp_traces_json(_transcripts(sf_dir), out)
+    return read_otlp_traces_json(out)
+
+
+def q_otlp_traces_pb_roundtrip(sf_dir: str):
+    """OTLP binary-protobuf traces interchange (pdata/ptrace/pb.go:
+    24-44): same tree as the JSON wire but serialized to real protobuf
+    bytes with raw-byte span IDs (hex↔bytes conversion mirroring the
+    Go codec's custom ID marshaling). Shares the JSON wire's oracle."""
+    import os
+    import shutil
+
+    from opentelemetry_collector_ray.sources.otlp_pb import (
+        read_otlp_traces_pb,
+        write_otlp_traces_pb,
+    )
+
+    out = f"/tmp/otel_ray_otlp_traces_pb_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_otlp_traces_pb(_transcripts(sf_dir), out)
+    return read_otlp_traces_pb(out)
+
+
 def q_attributes_map(sf_dir: str):
     """Open-ended map-typed attributes (pcommon.Map parity,
     pdata/pcommon/map.go:76-160): build a map column from the JSON
@@ -3010,6 +3049,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "push_ingest": q_push_ingest,
     "otlp_json_flatten": q_otlp_json_flatten,
     "otlp_pb_roundtrip": q_otlp_pb_roundtrip,
+    "otlp_traces_flatten": q_otlp_traces_flatten,
+    "otlp_traces_pb_roundtrip": q_otlp_traces_pb_roundtrip,
     "attributes_map": q_attributes_map,
     "ottl_map_where": q_ottl_map_where,
     "sliding_window": q_sliding_window,
@@ -3568,6 +3609,30 @@ def oracle_sql() -> dict[str, str]:
             "AS severity_text, "
             "text AS body, conv_id, turn_idx, tool "
             "FROM transcripts"
+        ),
+        "otlp_traces_flatten": o.PARSED_CTE + (
+            "SELECT "
+            "CASE tool WHEN 'bash' THEN 'infra' WHEN 'browser' THEN 'web' "
+            "WHEN 'python' THEN 'compute' WHEN 'sql' THEN 'data' "
+            "ELSE 'unknown' END AS service, "
+            "'otelray.' || role AS scope_name, "
+            "'1.0' AS scope_version, "
+            "md5(conv_id) AS trace_id, "
+            "substr(md5(conv_id || ':' || cast(turn_idx AS varchar)), 1, 16)"
+            " AS span_id, "
+            "CASE WHEN turn_idx > 0 THEN "
+            "substr(md5(conv_id || ':' || cast(turn_idx - 1 AS varchar)), "
+            "1, 16) END AS parent_span_id, "
+            "coalesce(action, 'unparsed') AS name, "
+            "cast(CASE role WHEN 'user' THEN 3 WHEN 'assistant' THEN 2 "
+            "ELSE 1 END AS bigint) AS kind, "
+            "cast(epoch_us(ts) AS bigint) * 1000 AS start_unix_nano, "
+            "(cast(epoch_us(ts) AS bigint) + coalesce(latency_ms, 0) * 1000)"
+            " * 1000 AS end_unix_nano, "
+            "cast(CASE WHEN level = 'ERROR' THEN 2 ELSE 0 END AS bigint) "
+            "AS status_code, "
+            "conv_id, turn_idx, tool "
+            "FROM parsed2"
         ),
         "attributes_map": (
             "WITH base AS (SELECT event_id, "
@@ -4223,6 +4288,7 @@ def oracle_sql() -> dict[str, str]:
         # operators → rows-only gate.
     }
     # Both OTLP wires (NDJSON and binary protobuf) share one
-    # nest/flatten tree, so the binary codec reuses the JSON oracle.
+    # nest/flatten tree, so each binary codec reuses its JSON oracle.
     out["otlp_pb_roundtrip"] = out["otlp_json_flatten"]
+    out["otlp_traces_pb_roundtrip"] = out["otlp_traces_flatten"]
     return out

@@ -30,6 +30,11 @@ import pyarrow as pa
 import ray.data
 
 from .otlp_json import _KV, _strip_nulls, flatten_otlp_batch, nest_otlp_batch
+from .otlp_traces import (
+    _STATUS,
+    flatten_otlp_traces_batch,
+    nest_otlp_traces_batch,
+)
 
 # Arrow type for the decoded request tree — the same shape Arrow's JSON
 # reader infers from the NDJSON wire, so flatten_otlp_batch serves both
@@ -65,6 +70,49 @@ _RESOURCE_LOGS = pa.list_(
                                 ),
                             ),
                             pa.field("logRecords", pa.list_(_LOG_RECORD)),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+)
+
+_SPAN = pa.struct(
+    [
+        pa.field("traceId", pa.string()),
+        pa.field("spanId", pa.string()),
+        pa.field("parentSpanId", pa.string()),
+        pa.field("name", pa.string()),
+        pa.field("kind", pa.int64()),
+        pa.field("startTimeUnixNano", pa.string()),
+        pa.field("endTimeUnixNano", pa.string()),
+        pa.field("attributes", pa.list_(_KV)),
+        pa.field("status", _STATUS),
+    ]
+)
+_RESOURCE_SPANS = pa.list_(
+    pa.struct(
+        [
+            pa.field(
+                "resource",
+                pa.struct([pa.field("attributes", pa.list_(_KV))]),
+            ),
+            pa.field(
+                "scopeSpans",
+                pa.list_(
+                    pa.struct(
+                        [
+                            pa.field(
+                                "scope",
+                                pa.struct(
+                                    [
+                                        pa.field("name", pa.string()),
+                                        pa.field("version", pa.string()),
+                                    ]
+                                ),
+                            ),
+                            pa.field("spans", pa.list_(_SPAN)),
                         ]
                     )
                 ),
@@ -215,6 +263,64 @@ def _classes() -> dict:
            type_name=lpfx + "ResourceLogs")
     pool.Add(coll)
 
+    # ---- opentelemetry/proto/trace/v1/trace.proto
+    trc = dp.FileDescriptorProto()
+    trc.name = "opentelemetry/proto/trace/v1/trace.proto"
+    trc.package = "opentelemetry.proto.trace.v1"
+    trc.syntax = "proto3"
+    trc.dependency.append(common.name)
+    trc.dependency.append(res.name)
+    tpfx = ".opentelemetry.proto.trace.v1."
+    rsp = trc.message_type.add()
+    rsp.name = "ResourceSpans"
+    _field(rsp, "resource", 1, T.TYPE_MESSAGE,
+           type_name=".opentelemetry.proto.resource.v1.Resource")
+    _field(rsp, "scope_spans", 2, T.TYPE_MESSAGE, repeated=True,
+           type_name=tpfx + "ScopeSpans")
+    _field(rsp, "schema_url", 3, T.TYPE_STRING)
+    ssp = trc.message_type.add()
+    ssp.name = "ScopeSpans"
+    _field(ssp, "scope", 1, T.TYPE_MESSAGE,
+           type_name=pfx + "InstrumentationScope")
+    _field(ssp, "spans", 2, T.TYPE_MESSAGE, repeated=True,
+           type_name=tpfx + "Span")
+    _field(ssp, "schema_url", 3, T.TYPE_STRING)
+    sp = trc.message_type.add()
+    sp.name = "Span"
+    _field(sp, "trace_id", 1, T.TYPE_BYTES)
+    _field(sp, "span_id", 2, T.TYPE_BYTES)
+    _field(sp, "trace_state", 3, T.TYPE_STRING)
+    _field(sp, "parent_span_id", 4, T.TYPE_BYTES)
+    _field(sp, "name", 5, T.TYPE_STRING)
+    # int32 stand-in for the SpanKind enum (identical varint wire form)
+    _field(sp, "kind", 6, T.TYPE_INT32)
+    _field(sp, "start_time_unix_nano", 7, T.TYPE_FIXED64)
+    _field(sp, "end_time_unix_nano", 8, T.TYPE_FIXED64)
+    _field(sp, "attributes", 9, T.TYPE_MESSAGE, repeated=True,
+           type_name=pfx + "KeyValue")
+    _field(sp, "dropped_attributes_count", 10, T.TYPE_UINT32)
+    _field(sp, "dropped_events_count", 12, T.TYPE_UINT32)
+    _field(sp, "dropped_links_count", 14, T.TYPE_UINT32)
+    _field(sp, "status", 15, T.TYPE_MESSAGE, type_name=tpfx + "Status")
+    st = trc.message_type.add()
+    st.name = "Status"
+    # field 1 is reserved in the published schema (deprecated_code)
+    _field(st, "message", 2, T.TYPE_STRING)
+    _field(st, "code", 3, T.TYPE_INT32)  # StatusCode enum stand-in
+    pool.Add(trc)
+
+    # ---- opentelemetry/proto/collector/trace/v1/trace_service.proto
+    tcoll = dp.FileDescriptorProto()
+    tcoll.name = "opentelemetry/proto/collector/trace/v1/trace_service.proto"
+    tcoll.package = "opentelemetry.proto.collector.trace.v1"
+    tcoll.syntax = "proto3"
+    tcoll.dependency.append(trc.name)
+    treq = tcoll.message_type.add()
+    treq.name = "ExportTraceServiceRequest"
+    _field(treq, "resource_spans", 1, T.TYPE_MESSAGE, repeated=True,
+           type_name=tpfx + "ResourceSpans")
+    pool.Add(tcoll)
+
     def cls(full_name: str):
         return message_factory.GetMessageClass(
             pool.FindMessageTypeByName(full_name)
@@ -225,6 +331,10 @@ def _classes() -> dict:
             "opentelemetry.proto.collector.logs.v1.ExportLogsServiceRequest"
         ),
         "log_record": cls("opentelemetry.proto.logs.v1.LogRecord"),
+        "trace_request": cls(
+            "opentelemetry.proto.collector.trace.v1.ExportTraceServiceRequest"
+        ),
+        "span": cls("opentelemetry.proto.trace.v1.Span"),
     }
 
 
@@ -311,4 +421,126 @@ def read_otlp_logs_pb(paths) -> ray.data.Dataset:
     records (same schema as ``read_otlp_logs_json``)."""
     return ray.data.read_binary_files(paths).map_batches(
         _decode_batch, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------- traces
+
+_ID_FIELDS = ("traceId", "spanId", "parentSpanId")
+
+
+def _ids_hex_to_b64(tree: list) -> list:
+    """OTLP JSON carries trace/span IDs as HEX; standard proto3 JSON
+    (what json_format implements) expects base64 for bytes. The Go
+    codec has custom ID marshaling (pdata/pcommon/trace_id.go) — this
+    is its Python analogue at the codec boundary."""
+    import base64
+
+    for rs in tree:
+        for ss in rs.get("scopeSpans", []):
+            for span in ss.get("spans", []):
+                for f in _ID_FIELDS:
+                    v = span.get(f)
+                    if v is not None:
+                        span[f] = base64.b64encode(bytes.fromhex(v)).decode()
+    return tree
+
+
+def _ids_b64_to_hex(tree: list) -> list:
+    import base64
+
+    for rs in tree:
+        for ss in rs.get("scopeSpans", []):
+            for span in ss.get("spans", []):
+                for f in _ID_FIELDS:
+                    v = span.get(f)
+                    if v is not None:
+                        span[f] = base64.b64decode(v).hex()
+    return tree
+
+
+def encode_traces_request(request_row: dict, request_cls=None) -> bytes:
+    """One nested request row (``nest_otlp_traces_batch`` output,
+    pylist form, IDs in hex) → OTLP/pb bytes (IDs as raw bytes)."""
+    from google.protobuf import json_format
+
+    if request_cls is None:
+        request_cls = _classes()["trace_request"]
+    # _strip_nulls rebuilds every dict/list, so the in-place ID
+    # conversion below never touches the caller's tree
+    row = _strip_nulls(request_row)
+    row["resourceSpans"] = _ids_hex_to_b64(row.get("resourceSpans", []))
+    msg = request_cls()
+    json_format.ParseDict(row, msg)
+    return msg.SerializeToString()
+
+
+def decode_traces_request(buf: bytes, request_cls=None) -> dict:
+    """OTLP/pb bytes → proto3-JSON dict with the OTLP hex-ID form —
+    the exact tree the NDJSON reader would produce."""
+    from google.protobuf import json_format
+
+    if request_cls is None:
+        request_cls = _classes()["trace_request"]
+    msg = request_cls()
+    msg.ParseFromString(bytes(buf))
+    tree = json_format.MessageToDict(msg)
+    tree["resourceSpans"] = _ids_b64_to_hex(tree.get("resourceSpans", []))
+    return tree
+
+
+class _TracePbWriter:
+    """One ExportTraceServiceRequest per input batch, one .binpb file
+    per request (the gRPC Export() payload landed on disk)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import os
+        import uuid
+
+        req_cls = _classes()["trace_request"]  # once per batch, per worker
+        n = 0
+        for row in t.to_pylist():
+            path = os.path.join(
+                self.out_dir, f"otlp-traces-{uuid.uuid4().hex}.binpb"
+            )
+            with open(path, "wb") as f:
+                f.write(encode_traces_request(row, req_cls))
+            n += 1
+        return pa.table({"requests": pa.array([n], type=pa.int64())})
+
+
+def write_otlp_traces_pb(ds: ray.data.Dataset, out_dir: str) -> int:
+    """Marshal: transcript rows → nested trace request trees → binary
+    OTLP protobuf files. Returns the number of requests written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    nested = ds.map_batches(nest_otlp_traces_batch, batch_format="pyarrow")
+    written = nested.map_batches(
+        _TracePbWriter(out_dir), batch_format="pyarrow"
+    ).sum("requests")
+    return int(written or 0)
+
+
+def _decode_traces_batch(t: pa.Table) -> pa.Table:
+    blobs = t["bytes"].to_pylist()
+    req_cls = _classes()["trace_request"]  # once per batch, per worker
+    trees = [
+        decode_traces_request(b, req_cls).get("resourceSpans", [])
+        for b in blobs
+    ]
+    nested = pa.table(
+        {"resourceSpans": pa.array(trees, type=_RESOURCE_SPANS)}
+    )
+    return flatten_otlp_traces_batch(nested)
+
+
+def read_otlp_traces_pb(paths) -> ray.data.Dataset:
+    """Unmarshal: .binpb files of ExportTraceServiceRequest → flat
+    spans (same schema as ``read_otlp_traces_json``)."""
+    return ray.data.read_binary_files(paths).map_batches(
+        _decode_traces_batch, batch_format="pyarrow"
     )
