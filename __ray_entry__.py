@@ -2975,6 +2975,44 @@ def q_otlp_traces_pb_roundtrip(sf_dir: str):
     return read_otlp_traces_pb(out)
 
 
+def q_otlp_metrics_flatten(sf_dir: str):
+    """OTLP/JSON metrics interchange (pdata/pmetric/json.go:27-49):
+    nest transcripts into ExportMetricsServiceRequest — per scope a
+    Gauge metric (parsed-turn latencies) and a DELTA monotonic Sum
+    (turn counts), the Metric oneof — write NDJSON, read back and
+    flatten one row per NumberDataPoint."""
+    import os
+    import shutil
+
+    from opentelemetry_collector_ray.sources.otlp_metrics import (
+        read_otlp_metrics_json,
+        write_otlp_metrics_json,
+    )
+
+    out = f"/tmp/otel_ray_otlp_metrics_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_otlp_metrics_json(_transcripts(sf_dir), out)
+    return read_otlp_metrics_json(out)
+
+
+def q_otlp_metrics_pb_roundtrip(sf_dir: str):
+    """OTLP binary-protobuf metrics interchange (pdata/pmetric/pb.go:
+    24-44): same tree serialized to wire bytes (NumberDataPoint as_int
+    is SFIXED64 on the binary wire). Shares the JSON wire's oracle."""
+    import os
+    import shutil
+
+    from opentelemetry_collector_ray.sources.otlp_pb import (
+        read_otlp_metrics_pb,
+        write_otlp_metrics_pb,
+    )
+
+    out = f"/tmp/otel_ray_otlp_metrics_pb_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_otlp_metrics_pb(_transcripts(sf_dir), out)
+    return read_otlp_metrics_pb(out)
+
+
 def q_attributes_map(sf_dir: str):
     """Open-ended map-typed attributes (pcommon.Map parity,
     pdata/pcommon/map.go:76-160): build a map column from the JSON
@@ -3051,6 +3089,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "otlp_pb_roundtrip": q_otlp_pb_roundtrip,
     "otlp_traces_flatten": q_otlp_traces_flatten,
     "otlp_traces_pb_roundtrip": q_otlp_traces_pb_roundtrip,
+    "otlp_metrics_flatten": q_otlp_metrics_flatten,
+    "otlp_metrics_pb_roundtrip": q_otlp_metrics_pb_roundtrip,
     "attributes_map": q_attributes_map,
     "ottl_map_where": q_ottl_map_where,
     "sliding_window": q_sliding_window,
@@ -3633,6 +3673,25 @@ def oracle_sql() -> dict[str, str]:
             "AS status_code, "
             "conv_id, turn_idx, tool "
             "FROM parsed2"
+        ),
+        "otlp_metrics_flatten": o.PARSED_CTE + (
+            ", svc AS (SELECT *, "
+            "CASE tool WHEN 'bash' THEN 'infra' WHEN 'browser' THEN 'web' "
+            "WHEN 'python' THEN 'compute' WHEN 'sql' THEN 'data' "
+            "ELSE 'unknown' END AS service, "
+            "'otelray.' || role AS scope_name, '1.0' AS scope_version, "
+            "cast(epoch_us(ts) AS bigint) * 1000 AS time_unix_nano "
+            "FROM parsed2) "
+            "SELECT service, scope_name, scope_version, "
+            "'turn.latency_ms' AS metric_name, "
+            "cast(0 AS bigint) AS temporality, false AS is_monotonic, "
+            "time_unix_nano, latency_ms AS value, conv_id, turn_idx, tool "
+            "FROM svc WHERE latency_ms IS NOT NULL "
+            "UNION ALL "
+            "SELECT service, scope_name, scope_version, "
+            "'turn.count', cast(1 AS bigint), true, "
+            "time_unix_nano, cast(1 AS bigint), conv_id, turn_idx, tool "
+            "FROM svc"
         ),
         "attributes_map": (
             "WITH base AS (SELECT event_id, "
@@ -4291,4 +4350,5 @@ def oracle_sql() -> dict[str, str]:
     # nest/flatten tree, so each binary codec reuses its JSON oracle.
     out["otlp_pb_roundtrip"] = out["otlp_json_flatten"]
     out["otlp_traces_pb_roundtrip"] = out["otlp_traces_flatten"]
+    out["otlp_metrics_pb_roundtrip"] = out["otlp_metrics_flatten"]
     return out

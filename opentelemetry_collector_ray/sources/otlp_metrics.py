@@ -1,0 +1,457 @@
+"""OTLP/JSON metrics interchange — ``ExportMetricsServiceRequest``.
+
+The reference's metrics codec round-trips ``resourceMetrics[] >
+scopeMetrics[] > metrics[] > {gauge|sum|...}.dataPoints[]``
+(pdata/pmetric/json.go:27-49, pdata/pmetric/pb.go:24-44) — one level
+deeper than logs/traces because Metric carries a oneof ``data``. This
+module covers the two NumberDataPoint shapes (Gauge and monotonic
+DELTA Sum); the histogram/summary table forms already exist as
+first-class operators (signals.py latency_histogram / summary_metrics).
+
+Deterministic transcript mapping (mirrored by the
+``otlp_metrics_flatten`` oracle):
+
+- metric ``turn.latency_ms`` — Gauge, one datapoint per PARSED turn,
+  asInt = latency_ms (parse misses have no latency, so no point —
+  the pdata rule that a datapoint always has a value).
+- metric ``turn.count`` — Sum (DELTA, monotonic), one datapoint per
+  turn, asInt = 1.
+- datapoint attributes carry conv.id / turn.index / tool; resource =
+  service.name from the tool dimension; scope = otelray.<role>.
+
+Flattening reads an absent temporality back as 0 (UNSPECIFIED — the
+pdata default for Gauge, which has no temporality field) and an absent
+isMonotonic as false.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..schema import DIM_TOOL_SERVICE
+from ..stages.parse import GROK_PATTERN
+from .otlp_json import _KV, _NdjsonWriter, _attr_first, _kv_list, _opt_field, _str
+
+_DP = pa.struct(
+    [
+        pa.field("attributes", pa.list_(_KV)),
+        pa.field("timeUnixNano", pa.string()),
+        pa.field("asInt", pa.string()),
+    ]
+)
+_GAUGE = pa.struct([pa.field("dataPoints", pa.list_(_DP))])
+_SUM = pa.struct(
+    [
+        pa.field("dataPoints", pa.list_(_DP)),
+        pa.field("aggregationTemporality", pa.int64()),
+        pa.field("isMonotonic", pa.bool_()),
+    ]
+)
+_METRIC = pa.struct(
+    [
+        pa.field("name", pa.string()),
+        pa.field("gauge", _GAUGE),
+        pa.field("sum", _SUM),
+    ]
+)
+
+_RESOURCE_METRICS = pa.list_(
+    pa.struct(
+        [
+            pa.field(
+                "resource",
+                pa.struct([pa.field("attributes", pa.list_(_KV))]),
+            ),
+            pa.field(
+                "scopeMetrics",
+                pa.list_(
+                    pa.struct(
+                        [
+                            pa.field(
+                                "scope",
+                                pa.struct(
+                                    [
+                                        pa.field("name", pa.string()),
+                                        pa.field("version", pa.string()),
+                                    ]
+                                ),
+                            ),
+                            pa.field("metrics", pa.list_(_METRIC)),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+)
+
+AGG_TEMPORALITY_DELTA = 1  # metrics.proto AggregationTemporality
+
+
+def _dp_struct(
+    conv: np.ndarray, turn_str: np.ndarray, tool: np.ndarray,
+    time_ns: np.ndarray, as_int: np.ndarray,
+) -> pa.StructArray:
+    n = len(conv)
+    keys = np.empty(3 * n, dtype=object)
+    svals = np.empty(3 * n, dtype=object)
+    ivals = np.empty(3 * n, dtype=object)
+    keys[0::3], keys[1::3], keys[2::3] = "conv.id", "turn.index", "tool"
+    svals[0::3] = conv
+    svals[1::3] = None
+    svals[2::3] = tool
+    ivals[0::3] = None
+    ivals[1::3] = turn_str
+    ivals[2::3] = None
+    attrs = _kv_list(keys, svals, ivals, np.arange(0, 3 * n + 3, 3))
+    return pa.StructArray.from_arrays(
+        [
+            attrs,
+            pa.array(time_ns, type=pa.string()),
+            pa.array(as_int, type=pa.string()),
+        ],
+        names=["attributes", "timeUnixNano", "asInt"],
+    ).cast(_DP)
+
+
+def nest_otlp_metrics_batch(t: pa.Table) -> pa.Table:
+    """Transcript rows → ONE ExportMetricsServiceRequest row (the
+    marshal half, pmetric/json.go MarshalMetrics): per scope group a
+    Gauge metric (parsed-turn latencies) and a Sum metric (turn
+    counts)."""
+    n = len(t)
+    df = pd.DataFrame(
+        {
+            "service": pd.Series(_str(t["tool"])).fillna("").map(
+                lambda x: DIM_TOOL_SERVICE.get(x, "unknown")
+            ),
+            "role": _str(t["role"]),
+            "conv_id": _str(t["conv_id"]),
+            "turn_idx": t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "tool": _str(t["tool"]),
+            "text": _str(t["text"]),
+            "ts_us": pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False),
+        }
+    )
+    df = df.sort_values(
+        ["service", "role", "conv_id", "turn_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    svc = df["service"].to_numpy(dtype=object)
+    rol = df["role"].to_numpy(dtype=object)
+    conv = df["conv_id"].to_numpy(dtype=object)
+    turn_str = df["turn_idx"].to_numpy().astype("U").astype(object)
+    tool = df["tool"].to_numpy(dtype=object)
+    time_ns = (df["ts_us"].to_numpy() * 1000).astype("U").astype(object)
+
+    text_arr = pa.array(df["text"].to_numpy(dtype=object), type=pa.string())
+    extracted = pc.extract_regex(text_arr, GROK_PATTERN)
+    ok = extracted.is_valid()
+    ok_np = np.asarray(ok.to_numpy(zero_copy_only=False), dtype=bool)
+    latency_str = np.asarray(
+        pc.if_else(ok, extracted.field("latency_ms"), pa.scalar(None, pa.string()))
+        .to_numpy(zero_copy_only=False),
+        dtype=object,
+    )
+
+    # ---- scope groups: change points of (service, role)
+    if n:
+        change = np.concatenate(
+            ([True], (svc[1:] != svc[:-1]) | (rol[1:] != rol[:-1]))
+        )
+        sc_change = np.flatnonzero(change)
+        scope_ids = np.cumsum(change) - 1
+    else:
+        sc_change = np.empty(0, np.int64)
+        scope_ids = np.empty(0, np.int64)
+    n_scope = len(sc_change)
+    bounds = np.arange(n_scope + 1)
+
+    # gauge datapoints: parsed rows only, grouped into their scope
+    g_rows = np.flatnonzero(ok_np)
+    gauge_dp = _dp_struct(
+        conv[g_rows], turn_str[g_rows], tool[g_rows],
+        time_ns[g_rows], latency_str[g_rows],
+    )
+    g_off = np.searchsorted(scope_ids[g_rows], bounds).astype(np.int32)
+    gauge_dps = pa.ListArray.from_arrays(pa.array(g_off, type=pa.int32()), gauge_dp)
+
+    # sum datapoints: every row, asInt = 1
+    sum_dp = _dp_struct(
+        conv, turn_str, tool, time_ns, np.full(n, "1", dtype=object)
+    )
+    s_off = np.append(sc_change, n).astype(np.int32)
+    sum_dps = pa.ListArray.from_arrays(pa.array(s_off, type=pa.int32()), sum_dp)
+
+    gauge_struct = pa.StructArray.from_arrays(
+        [gauge_dps], names=["dataPoints"]
+    ).cast(_GAUGE)
+    sum_struct = pa.StructArray.from_arrays(
+        [
+            sum_dps,
+            pa.array(
+                np.full(n_scope, AGG_TEMPORALITY_DELTA, dtype=np.int64),
+                type=pa.int64(),
+            ),
+            pa.array(np.ones(n_scope, dtype=bool)),
+        ],
+        names=["dataPoints", "aggregationTemporality", "isMonotonic"],
+    ).cast(_SUM)
+
+    m_gauge = pa.StructArray.from_arrays(
+        [
+            pa.array(np.full(n_scope, "turn.latency_ms", object), type=pa.string()),
+            gauge_struct,
+            pa.nulls(n_scope, _SUM),
+        ],
+        names=["name", "gauge", "sum"],
+    )
+    m_sum = pa.StructArray.from_arrays(
+        [
+            pa.array(np.full(n_scope, "turn.count", object), type=pa.string()),
+            pa.nulls(n_scope, _GAUGE),
+            sum_struct,
+        ],
+        names=["name", "gauge", "sum"],
+    )
+    # interleave [gauge_i, sum_i] per scope
+    idx = np.empty(2 * n_scope, dtype=np.int64)
+    idx[0::2] = np.arange(n_scope)
+    idx[1::2] = np.arange(n_scope) + n_scope
+    metrics = pa.concat_arrays([m_gauge.cast(_METRIC), m_sum.cast(_METRIC)]).take(
+        pa.array(idx, type=pa.int64())
+    )
+    metrics_list = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, 2 * n_scope + 2, 2, dtype=np.int32), type=pa.int32()),
+        metrics,
+    )
+
+    scope = pa.StructArray.from_arrays(
+        [
+            pa.array(
+                np.char.add("otelray.", rol[sc_change].astype("U")),
+                type=pa.string(),
+            ),
+            pa.array(["1.0"] * n_scope, type=pa.string()),
+        ],
+        names=["name", "version"],
+    )
+    scopes = pa.StructArray.from_arrays(
+        [scope, metrics_list], names=["scope", "metrics"]
+    )
+
+    # ---- resource groups: change points of service over scope groups
+    svc_per_scope = svc[sc_change]
+    if n_scope:
+        rs_change = np.flatnonzero(
+            np.concatenate(([True], svc_per_scope[1:] != svc_per_scope[:-1]))
+        )
+    else:
+        rs_change = np.empty(0, np.int64)
+    rs_off = np.append(rs_change, n_scope).astype(np.int32)
+    scope_metrics = pa.ListArray.from_arrays(
+        pa.array(rs_off, type=pa.int32()), scopes
+    )
+    n_res = len(rs_change)
+    res_svc = svc_per_scope[rs_change] if n_scope else np.empty(0, object)
+    res_attrs = _kv_list(
+        np.full(n_res, "service.name", dtype=object),
+        np.asarray(res_svc, dtype=object),
+        np.full(n_res, None, dtype=object),
+        np.arange(n_res + 1),
+    )
+    resource = pa.StructArray.from_arrays([res_attrs], names=["attributes"])
+    res_entries = pa.StructArray.from_arrays(
+        [resource, scope_metrics], names=["resource", "scopeMetrics"]
+    )
+    resource_metrics = pa.ListArray.from_arrays(
+        pa.array([0, n_res], type=pa.int32()), res_entries
+    )
+    return pa.table({"resourceMetrics": resource_metrics})
+
+
+_EMPTY_FLAT = {
+    "service": pa.string(),
+    "scope_name": pa.string(),
+    "scope_version": pa.string(),
+    "metric_name": pa.string(),
+    "temporality": pa.int64(),
+    "is_monotonic": pa.bool_(),
+    "time_unix_nano": pa.int64(),
+    "value": pa.int64(),
+    "conv_id": pa.string(),
+    "turn_idx": pa.int32(),
+    "tool": pa.string(),
+}
+
+
+def _masked_dp_lists(metrics: pa.StructArray, branch: str, branch_type):
+    """dataPoints lists of one oneof branch, with lists NULLED where
+    the branch struct is null — .field() ignores the parent mask, and
+    list_flatten over a stale child would leak the OTHER metric's
+    points."""
+    b = _opt_field(metrics, branch, branch_type)
+    dps = _opt_field(b, "dataPoints", pa.list_(_DP))
+    valid = np.asarray(
+        pc.is_valid(b).to_numpy(zero_copy_only=False), dtype=bool
+    )
+    idx = np.arange(len(metrics), dtype=object)
+    idx[~valid] = None
+    return b, dps.take(pa.array(idx, type=pa.int64()))
+
+
+def _flat_branch(
+    metrics: pa.StructArray,
+    metric_parent: np.ndarray,
+    scope_parent: np.ndarray,
+    branch: str,
+) -> dict:
+    """One oneof branch → flat per-datapoint columns + context
+    indices."""
+    b, dps_list = _masked_dp_lists(
+        metrics, branch, _GAUGE if branch == "gauge" else _SUM
+    )
+    dp_parent = pc.list_parent_indices(dps_list).to_numpy(zero_copy_only=False)
+    dps = pc.list_flatten(dps_list)
+    n_dp = len(dps)
+    midx = dp_parent  # metric index per datapoint
+    sidx = metric_parent[midx] if n_dp else np.empty(0, np.int64)
+    ridx = scope_parent[sidx] if n_dp else np.empty(0, np.int64)
+
+    name = _opt_field(metrics, "name", pa.string())
+    take_m = pa.array(midx, type=pa.int64())
+    if branch == "sum":
+        tempo_m = pc.fill_null(
+            pc.cast(_opt_field(b, "aggregationTemporality", pa.int64()), pa.int64()),
+            0,
+        )
+        mono_m = pc.fill_null(_opt_field(b, "isMonotonic", pa.bool_()), False)
+        tempo = tempo_m.take(take_m) if n_dp else pa.array([], type=pa.int64())
+        mono = mono_m.take(take_m) if n_dp else pa.array([], type=pa.bool_())
+    else:
+        tempo = pa.array(np.zeros(n_dp, dtype=np.int64), type=pa.int64())
+        mono = pa.array(np.zeros(n_dp, dtype=bool))
+
+    attrs = _opt_field(dps, "attributes", pa.list_(_KV))
+    return {
+        "metric_name": name.take(take_m)
+        if n_dp
+        else pa.array([], type=pa.string()),
+        "temporality": tempo,
+        "is_monotonic": mono,
+        "time_unix_nano": pc.cast(
+            _opt_field(dps, "timeUnixNano", pa.string()), pa.int64()
+        ),
+        "value": pc.cast(_opt_field(dps, "asInt", pa.string()), pa.int64()),
+        "conv_id": pa.array(
+            _attr_first(attrs, n_dp, "conv.id", "stringValue"), type=pa.string()
+        ),
+        "turn_idx": pc.cast(
+            pc.cast(
+                pa.array(
+                    _attr_first(attrs, n_dp, "turn.index", "intValue"),
+                    type=pa.string(),
+                ),
+                pa.int64(),
+            ),
+            pa.int32(),
+        ),
+        "tool": pa.array(
+            _attr_first(attrs, n_dp, "tool", "stringValue"), type=pa.string()
+        ),
+        "_sidx": sidx,
+        "_ridx": ridx,
+    }
+
+
+def flatten_otlp_metrics_batch(t: pa.Table) -> pa.Table:
+    """ExportMetricsServiceRequest rows → flat datapoint table (the
+    unmarshal half): resource/scope/metric context denormalized onto
+    every NumberDataPoint of the gauge and sum branches."""
+    if "resourceMetrics" not in t.column_names:
+        return pa.table(
+            {k: pa.array([], type=v) for k, v in _EMPTY_FLAT.items()}
+        )
+    rm = t["resourceMetrics"]
+    if isinstance(rm, pa.ChunkedArray):
+        rm = rm.combine_chunks()
+    res = pc.list_flatten(rm)
+    n_res = len(res)
+    resource = _opt_field(
+        res, "resource", pa.struct([("attributes", pa.list_(_KV))])
+    )
+    service = pa.array(
+        _attr_first(
+            _opt_field(resource, "attributes", pa.list_(_KV)),
+            n_res,
+            "service.name",
+            "stringValue",
+        ),
+        type=pa.string(),
+    )
+
+    sl = res.field("scopeMetrics")
+    scope_parent = pc.list_parent_indices(sl).to_numpy(zero_copy_only=False)
+    scopes = pc.list_flatten(sl)
+    scope_struct = _opt_field(
+        scopes, "scope", pa.struct([("name", pa.string()), ("version", pa.string())])
+    )
+    scope_name = _opt_field(scope_struct, "name", pa.string())
+    scope_version = _opt_field(scope_struct, "version", pa.string())
+
+    ml = scopes.field("metrics")
+    metric_parent = pc.list_parent_indices(ml).to_numpy(zero_copy_only=False)
+    metrics = pc.list_flatten(ml)
+
+    parts = []
+    for branch in ("gauge", "sum"):
+        cols = _flat_branch(metrics, metric_parent, scope_parent, branch)
+        sidx, ridx = cols.pop("_sidx"), cols.pop("_ridx")
+        n_dp = len(cols["metric_name"])
+        empty_str = pa.array([], type=pa.string())
+        parts.append(
+            pa.table(
+                {
+                    "service": service.take(pa.array(ridx, type=pa.int64()))
+                    if n_dp
+                    else empty_str,
+                    "scope_name": scope_name.take(
+                        pa.array(sidx, type=pa.int64())
+                    )
+                    if n_dp
+                    else empty_str,
+                    "scope_version": scope_version.take(
+                        pa.array(sidx, type=pa.int64())
+                    )
+                    if n_dp
+                    else empty_str,
+                    **cols,
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def write_otlp_metrics_json(ds: ray.data.Dataset, out_dir: str) -> int:
+    """Marshal: one ExportMetricsServiceRequest JSON object per input
+    batch, written as NDJSON (null fields omitted — the proto3 JSON
+    wire form). Returns the number of requests written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    nested = ds.map_batches(nest_otlp_metrics_batch, batch_format="pyarrow")
+    written = nested.map_batches(
+        _NdjsonWriter(out_dir), batch_format="pyarrow"
+    ).sum("rows")
+    return int(written or 0)
+
+
+def read_otlp_metrics_json(paths) -> ray.data.Dataset:
+    """Unmarshal: NDJSON of ExportMetricsServiceRequest → flat
+    datapoints."""
+    return ray.data.read_json(paths).map_batches(
+        flatten_otlp_metrics_batch, batch_format="pyarrow"
+    )

@@ -30,6 +30,11 @@ import pyarrow as pa
 import ray.data
 
 from .otlp_json import _KV, _strip_nulls, flatten_otlp_batch, nest_otlp_batch
+from .otlp_metrics import (
+    _RESOURCE_METRICS,
+    flatten_otlp_metrics_batch,
+    nest_otlp_metrics_batch,
+)
 from .otlp_traces import (
     _STATUS,
     flatten_otlp_traces_batch,
@@ -309,6 +314,73 @@ def _classes() -> dict:
     _field(st, "code", 3, T.TYPE_INT32)  # StatusCode enum stand-in
     pool.Add(trc)
 
+    # ---- opentelemetry/proto/metrics/v1/metrics.proto
+    met = dp.FileDescriptorProto()
+    met.name = "opentelemetry/proto/metrics/v1/metrics.proto"
+    met.package = "opentelemetry.proto.metrics.v1"
+    met.syntax = "proto3"
+    met.dependency.append(common.name)
+    met.dependency.append(res.name)
+    mpfx = ".opentelemetry.proto.metrics.v1."
+    rm = met.message_type.add()
+    rm.name = "ResourceMetrics"
+    _field(rm, "resource", 1, T.TYPE_MESSAGE,
+           type_name=".opentelemetry.proto.resource.v1.Resource")
+    _field(rm, "scope_metrics", 2, T.TYPE_MESSAGE, repeated=True,
+           type_name=mpfx + "ScopeMetrics")
+    _field(rm, "schema_url", 3, T.TYPE_STRING)
+    sm = met.message_type.add()
+    sm.name = "ScopeMetrics"
+    _field(sm, "scope", 1, T.TYPE_MESSAGE,
+           type_name=pfx + "InstrumentationScope")
+    _field(sm, "metrics", 2, T.TYPE_MESSAGE, repeated=True,
+           type_name=mpfx + "Metric")
+    _field(sm, "schema_url", 3, T.TYPE_STRING)
+    m = met.message_type.add()
+    m.name = "Metric"
+    m.oneof_decl.add().name = "data"
+    _field(m, "name", 1, T.TYPE_STRING)
+    _field(m, "description", 2, T.TYPE_STRING)
+    _field(m, "unit", 3, T.TYPE_STRING)
+    _field(m, "gauge", 5, T.TYPE_MESSAGE, type_name=mpfx + "Gauge", oneof=0)
+    _field(m, "sum", 7, T.TYPE_MESSAGE, type_name=mpfx + "Sum", oneof=0)
+    g = met.message_type.add()
+    g.name = "Gauge"
+    _field(g, "data_points", 1, T.TYPE_MESSAGE, repeated=True,
+           type_name=mpfx + "NumberDataPoint")
+    s = met.message_type.add()
+    s.name = "Sum"
+    _field(s, "data_points", 1, T.TYPE_MESSAGE, repeated=True,
+           type_name=mpfx + "NumberDataPoint")
+    # int32 stand-in for the AggregationTemporality enum
+    _field(s, "aggregation_temporality", 2, T.TYPE_INT32)
+    _field(s, "is_monotonic", 3, T.TYPE_BOOL)
+    ndp = met.message_type.add()
+    ndp.name = "NumberDataPoint"
+    ndp.oneof_decl.add().name = "value"
+    _field(ndp, "start_time_unix_nano", 2, T.TYPE_FIXED64)
+    _field(ndp, "time_unix_nano", 3, T.TYPE_FIXED64)
+    _field(ndp, "as_double", 4, T.TYPE_DOUBLE, oneof=0)
+    _field(ndp, "as_int", 6, T.TYPE_SFIXED64, oneof=0)
+    _field(ndp, "attributes", 7, T.TYPE_MESSAGE, repeated=True,
+           type_name=pfx + "KeyValue")
+    _field(ndp, "flags", 8, T.TYPE_UINT32)
+    pool.Add(met)
+
+    # ---- opentelemetry/proto/collector/metrics/v1/metrics_service.proto
+    mcoll = dp.FileDescriptorProto()
+    mcoll.name = (
+        "opentelemetry/proto/collector/metrics/v1/metrics_service.proto"
+    )
+    mcoll.package = "opentelemetry.proto.collector.metrics.v1"
+    mcoll.syntax = "proto3"
+    mcoll.dependency.append(met.name)
+    mreq = mcoll.message_type.add()
+    mreq.name = "ExportMetricsServiceRequest"
+    _field(mreq, "resource_metrics", 1, T.TYPE_MESSAGE, repeated=True,
+           type_name=mpfx + "ResourceMetrics")
+    pool.Add(mcoll)
+
     # ---- opentelemetry/proto/collector/trace/v1/trace_service.proto
     tcoll = dp.FileDescriptorProto()
     tcoll.name = "opentelemetry/proto/collector/trace/v1/trace_service.proto"
@@ -335,6 +407,10 @@ def _classes() -> dict:
             "opentelemetry.proto.collector.trace.v1.ExportTraceServiceRequest"
         ),
         "span": cls("opentelemetry.proto.trace.v1.Span"),
+        "metrics_request": cls(
+            "opentelemetry.proto.collector.metrics.v1."
+            "ExportMetricsServiceRequest"
+        ),
     }
 
 
@@ -543,4 +619,87 @@ def read_otlp_traces_pb(paths) -> ray.data.Dataset:
     spans (same schema as ``read_otlp_traces_json``)."""
     return ray.data.read_binary_files(paths).map_batches(
         _decode_traces_batch, batch_format="pyarrow"
+    )
+
+
+# -------------------------------------------------------------- metrics
+
+
+def encode_metrics_request(request_row: dict, request_cls=None) -> bytes:
+    """One nested request row (``nest_otlp_metrics_batch`` output,
+    pylist form) → OTLP/pb bytes. No ID fields to convert — the plain
+    proto3-JSON mapping applies throughout."""
+    from google.protobuf import json_format
+
+    if request_cls is None:
+        request_cls = _classes()["metrics_request"]
+    msg = request_cls()
+    json_format.ParseDict(_strip_nulls(request_row), msg)
+    return msg.SerializeToString()
+
+
+def decode_metrics_request(buf: bytes, request_cls=None) -> dict:
+    from google.protobuf import json_format
+
+    if request_cls is None:
+        request_cls = _classes()["metrics_request"]
+    msg = request_cls()
+    msg.ParseFromString(bytes(buf))
+    return json_format.MessageToDict(msg)
+
+
+class _MetricsPbWriter:
+    """One ExportMetricsServiceRequest per input batch, one .binpb
+    file per request."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import os
+        import uuid
+
+        req_cls = _classes()["metrics_request"]
+        n = 0
+        for row in t.to_pylist():
+            path = os.path.join(
+                self.out_dir, f"otlp-metrics-{uuid.uuid4().hex}.binpb"
+            )
+            with open(path, "wb") as f:
+                f.write(encode_metrics_request(row, req_cls))
+            n += 1
+        return pa.table({"requests": pa.array([n], type=pa.int64())})
+
+
+def write_otlp_metrics_pb(ds: ray.data.Dataset, out_dir: str) -> int:
+    """Marshal: transcript rows → nested metrics request trees →
+    binary OTLP protobuf files. Returns the request count."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    nested = ds.map_batches(nest_otlp_metrics_batch, batch_format="pyarrow")
+    written = nested.map_batches(
+        _MetricsPbWriter(out_dir), batch_format="pyarrow"
+    ).sum("requests")
+    return int(written or 0)
+
+
+def _decode_metrics_batch(t: pa.Table) -> pa.Table:
+    blobs = t["bytes"].to_pylist()
+    req_cls = _classes()["metrics_request"]
+    trees = [
+        decode_metrics_request(b, req_cls).get("resourceMetrics", [])
+        for b in blobs
+    ]
+    nested = pa.table(
+        {"resourceMetrics": pa.array(trees, type=_RESOURCE_METRICS)}
+    )
+    return flatten_otlp_metrics_batch(nested)
+
+
+def read_otlp_metrics_pb(paths) -> ray.data.Dataset:
+    """Unmarshal: .binpb files of ExportMetricsServiceRequest → flat
+    datapoints (same schema as ``read_otlp_metrics_json``)."""
+    return ray.data.read_binary_files(paths).map_batches(
+        _decode_metrics_batch, batch_format="pyarrow"
     )

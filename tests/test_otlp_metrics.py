@@ -1,0 +1,138 @@
+"""OTLP metrics codecs: Metric oneof (Gauge vs Sum), NumberDataPoint
+asInt wire form, hand-decoded protobuf tags, and cross-codec parity."""
+
+import glob
+
+import pyarrow as pa
+import ray.data
+
+from opentelemetry_collector_ray.sources.otlp_metrics import (
+    flatten_otlp_metrics_batch,
+    nest_otlp_metrics_batch,
+    read_otlp_metrics_json,
+    write_otlp_metrics_json,
+)
+from opentelemetry_collector_ray.sources.otlp_pb import (
+    decode_metrics_request,
+    encode_metrics_request,
+    read_otlp_metrics_pb,
+    write_otlp_metrics_pb,
+)
+from tests.test_otlp_pb import _fields
+
+
+def _transcript_batch():
+    return pa.table(
+        {
+            "conv_id": ["c2", "c1", "c1", "c3"],
+            "turn_idx": pa.array([0, 0, 1, 0], type=pa.int32()),
+            "role": ["user", "assistant", "tool", "user"],
+            "text": [
+                "[INFO] action=search latency_ms=5 msg=a",
+                "[ERROR] action=fetch latency_ms=9 msg=b",
+                "freeform note",
+                "[WARN] action=plan latency_ms=1 msg=c",
+            ],
+            "tool": ["", "sql", "bash", ""],
+            "ts": pa.array([1000, 2000, 3000, 4000], type=pa.timestamp("us")),
+        }
+    )
+
+
+def test_nest_flatten_semantics():
+    flat = flatten_otlp_metrics_batch(
+        nest_otlp_metrics_batch(_transcript_batch())
+    ).to_pandas()
+    gauge = flat[flat["metric_name"] == "turn.latency_ms"]
+    cnt = flat[flat["metric_name"] == "turn.count"]
+    # gauge: one point per PARSED turn (the freeform row has none)
+    assert len(gauge) == 3 and len(cnt) == 4
+    assert sorted(gauge["value"].tolist()) == [1, 5, 9]
+    assert gauge["temporality"].unique().tolist() == [0]
+    assert not gauge["is_monotonic"].any()
+    # sum: DELTA monotonic, one unit per turn
+    assert cnt["temporality"].unique().tolist() == [1]
+    assert cnt["is_monotonic"].all()
+    assert cnt["value"].unique().tolist() == [1]
+
+
+def test_json_wire_form(ray_session, tmp_path):
+    out = str(tmp_path / "metrics_json")
+    assert write_otlp_metrics_json(
+        ray.data.from_arrow(_transcript_batch()), out
+    ) >= 1
+    line = open(glob.glob(out + "/*.json")[0]).read().splitlines()[0]
+    assert ":null" not in line
+    # the Metric oneof: gauge metrics never carry "sum" and vice versa
+    assert '"gauge":{"dataPoints"' in line
+    assert '"sum":{"dataPoints"' in line
+    # proto3 JSON: 64-bit ints as strings, temporality as int
+    assert '"asInt":"9"' in line
+    assert '"aggregationTemporality":1' in line
+    assert '"isMonotonic":true' in line
+
+
+def test_pb_wire_bytes_are_real_protobuf():
+    """Field numbers / wire types must match the published
+    opentelemetry-proto metrics schema."""
+    req = nest_otlp_metrics_batch(_transcript_batch()).to_pylist()[0]
+    buf = encode_metrics_request(req)
+    top = _fields(buf)
+    # ExportMetricsServiceRequest.resource_metrics = 1
+    assert top and all(num == 1 and wt == 2 for num, wt, _ in top)
+    rm = _fields(top[0][2])
+    assert rm[0][:2] == (1, 2)  # resource
+    sm = _fields([p for n, w, p in rm if n == 2][0])
+    metrics = [p for n, w, p in sm if n == 2]
+    assert len(metrics) == 2  # gauge + sum per scope
+    m0 = dict((n, (w, p)) for n, w, p in _fields(metrics[0]))
+    assert m0[1][1] == b"turn.latency_ms"
+    assert 5 in m0 and 7 not in m0  # gauge=5 set, sum=7 not
+    dp = _fields(_fields(m0[5][1])[0][2])
+    d = dict((n, (w, p)) for n, w, p in dp)
+    # NumberDataPoint: time_unix_nano=3 fixed64, as_int=6 SFIXED64
+    assert d[3][0] == 1
+    assert d[6][0] == 1 and int.from_bytes(d[6][1], "little", signed=True) == 9
+    m1 = dict((n, (w, p)) for n, w, p in _fields(metrics[1]))
+    assert m1[1][1] == b"turn.count"
+    assert 7 in m1 and 5 not in m1  # sum=7 set
+    sumf = _fields(m1[7][1])
+    assert (2, 0, 1) in sumf  # aggregation_temporality DELTA
+    assert (3, 0, 1) in sumf  # is_monotonic true
+
+
+def test_decode_inverts_encode():
+    req = nest_otlp_metrics_batch(_transcript_batch()).to_pylist()[0]
+    tree = decode_metrics_request(encode_metrics_request(req))
+    metric = tree["resourceMetrics"][0]["scopeMetrics"][0]["metrics"][0]
+    assert metric["name"] == "turn.latency_ms"
+    assert metric["gauge"]["dataPoints"][0]["asInt"] == "9"
+    assert "sum" not in metric
+
+
+def test_pb_roundtrip_matches_json_roundtrip(ray_session, tmp_path):
+    t = _transcript_batch()
+    pb_dir, js_dir = str(tmp_path / "pb"), str(tmp_path / "js")
+    assert write_otlp_metrics_pb(ray.data.from_arrow(t), pb_dir) >= 1
+    assert write_otlp_metrics_json(ray.data.from_arrow(t), js_dir) >= 1
+
+    key = ["metric_name", "conv_id", "turn_idx"]
+    via_pb = read_otlp_metrics_pb(pb_dir).to_pandas().sort_values(key)
+    via_js = read_otlp_metrics_json(js_dir).to_pandas().sort_values(key)
+    via_pb = via_pb.reset_index(drop=True)
+    via_js = via_js.reset_index(drop=True)
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(via_pb[sorted(via_pb.columns)],
+                           via_js[sorted(via_js.columns)])
+
+
+def test_empty_dataset_roundtrip(ray_session, tmp_path):
+    empty = _transcript_batch().slice(0, 0)
+    out = str(tmp_path / "empty_m")
+    n = write_otlp_metrics_pb(ray.data.from_arrow(empty), out)
+    files = glob.glob(out + "/*.binpb")
+    if files:
+        assert read_otlp_metrics_pb(out).count() == 0
+    else:
+        assert n == 0
