@@ -339,13 +339,51 @@ def _strip_nulls(o):
     return o
 
 
+# Wire compression (configgrpc compressor matrix parity — the
+# reference's gRPC/HTTP clients gzip/zstd their Export payloads,
+# config/configgrpc/configgrpc.go). Files carry the compressor as an
+# extension suffix; readers sniff it back off the path.
+_COMPRESS_EXT = {"gzip": ".gz", "zstd": ".zst"}
+
+
+def compress_payload(data: bytes, compression: str | None) -> bytes:
+    if compression is None or compression == "none":
+        return data
+    if compression == "gzip":
+        import gzip
+
+        # fixed mtime keeps the payload deterministic across runs
+        return gzip.compress(data, mtime=0)
+    if compression == "zstd":
+        sink = pa.BufferOutputStream()
+        with pa.CompressedOutputStream(sink, "zstd") as s:
+            s.write(data)
+        return sink.getvalue().to_pybytes()
+    raise ValueError(f"unsupported wire compression: {compression!r}")
+
+
+def decompress_payload(data: bytes, path: str = "") -> bytes:
+    """Sniffs the MAGIC BYTES, not the path: Ray's read_binary_files
+    already auto-decompresses paths with known codec extensions, so an
+    extension-based rule would double-decompress those blobs."""
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.decompress(data)
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        return pa.input_stream(pa.BufferReader(data), compression="zstd").read()
+    return data
+
+
 class _NdjsonWriter:
     """Render each request row to one canonical OTLP JSON line and land
     one NDJSON file per task (the sink side of MarshalLogs). One
     ``json.dumps`` per REQUEST (= per input batch), not per record."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, compression: str | None = None):
         self.out_dir = out_dir
+        self.compression = compression
+        self.ext = ".json" + _COMPRESS_EXT.get(compression or "", "")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import json
@@ -356,28 +394,67 @@ class _NdjsonWriter:
             json.dumps(_strip_nulls(row), separators=(",", ":"))
             for row in t.to_pylist()
         ]
-        path = os.path.join(self.out_dir, f"otlp-{uuid.uuid4().hex}.json")
-        with open(path, "w") as f:
-            f.write("\n".join(lines) + "\n")
+        path = os.path.join(self.out_dir, f"otlp-{uuid.uuid4().hex}{self.ext}")
+        payload = compress_payload(
+            ("\n".join(lines) + "\n").encode(), self.compression
+        )
+        with open(path, "wb") as f:
+            f.write(payload)
         return pa.table({"rows": pa.array([len(lines)], type=pa.int64())})
 
 
-def write_otlp_logs_json(ds: ray.data.Dataset, out_dir: str) -> int:
+def write_otlp_logs_json(
+    ds: ray.data.Dataset, out_dir: str, compression: str | None = None
+) -> int:
     """Marshal: one ExportLogsServiceRequest JSON object per input
     batch, written as NDJSON (null fields omitted — the proto3 JSON
-    wire form). Returns the number of requests written."""
+    wire form), optionally wire-compressed (gzip/zstd). Returns the
+    number of requests written."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     nested = ds.map_batches(nest_otlp_batch, batch_format="pyarrow")
     written = nested.map_batches(
-        _NdjsonWriter(out_dir), batch_format="pyarrow"
+        _NdjsonWriter(out_dir, compression), batch_format="pyarrow"
     ).sum("rows")
     return int(written or 0)
 
 
+class _NdjsonDecode:
+    """Compressed-NDJSON blocks → request trees (one Arrow JSON parse
+    per FILE, decompressed by path suffix)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.json as pj
+
+        tables = []
+        for data, path in zip(
+            t["bytes"].to_pylist(), t["path"].to_pylist()
+        ):
+            raw = decompress_payload(data, path)
+            tables.append(pj.read_json(pa.BufferReader(raw)))
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables, promote_options="permissive")
+
+
+def _ndjson_requests(paths) -> ray.data.Dataset:
+    """Dataset of request trees from NDJSON files, transparently
+    handling wire compression (sniffed off the file extension)."""
+    import os
+
+    compressed = isinstance(paths, str) and os.path.isdir(paths) and any(
+        p.endswith((".gz", ".zst")) for p in os.listdir(paths)
+    )
+    if not compressed:
+        return ray.data.read_json(paths)
+    return ray.data.read_binary_files(paths, include_paths=True).map_batches(
+        _NdjsonDecode(), batch_format="pyarrow"
+    )
+
+
 def read_otlp_logs_json(paths) -> ray.data.Dataset:
     """Unmarshal: NDJSON of ExportLogsServiceRequest → flat records."""
-    return ray.data.read_json(paths).map_batches(
+    return _ndjson_requests(paths).map_batches(
         flatten_otlp_batch, batch_format="pyarrow"
     )

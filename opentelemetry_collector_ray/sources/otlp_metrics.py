@@ -34,7 +34,15 @@ import ray.data
 
 from ..schema import DIM_TOOL_SERVICE
 from ..stages.parse import GROK_PATTERN
-from .otlp_json import _KV, _NdjsonWriter, _attr_first, _kv_list, _opt_field, _str
+from .otlp_json import (
+    _KV,
+    _NdjsonWriter,
+    _attr_first,
+    _kv_list,
+    _ndjson_requests,
+    _opt_field,
+    _str,
+)
 
 _DP = pa.struct(
     [
@@ -435,16 +443,19 @@ def flatten_otlp_metrics_batch(t: pa.Table) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def write_otlp_metrics_json(ds: ray.data.Dataset, out_dir: str) -> int:
+def write_otlp_metrics_json(
+    ds: ray.data.Dataset, out_dir: str, compression: str | None = None
+) -> int:
     """Marshal: one ExportMetricsServiceRequest JSON object per input
     batch, written as NDJSON (null fields omitted — the proto3 JSON
-    wire form). Returns the number of requests written."""
+    wire form), optionally wire-compressed. Returns the number of
+    requests written."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     nested = ds.map_batches(nest_otlp_metrics_batch, batch_format="pyarrow")
     written = nested.map_batches(
-        _NdjsonWriter(out_dir), batch_format="pyarrow"
+        _NdjsonWriter(out_dir, compression), batch_format="pyarrow"
     ).sum("rows")
     return int(written or 0)
 
@@ -452,6 +463,6 @@ def write_otlp_metrics_json(ds: ray.data.Dataset, out_dir: str) -> int:
 def read_otlp_metrics_json(paths) -> ray.data.Dataset:
     """Unmarshal: NDJSON of ExportMetricsServiceRequest → flat
     datapoints."""
-    return ray.data.read_json(paths).map_batches(
+    return _ndjson_requests(paths).map_batches(
         flatten_otlp_metrics_batch, batch_format="pyarrow"
     )

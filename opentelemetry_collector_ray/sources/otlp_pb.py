@@ -29,7 +29,15 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
-from .otlp_json import _KV, _strip_nulls, flatten_otlp_batch, nest_otlp_batch
+from .otlp_json import (
+    _COMPRESS_EXT,
+    _KV,
+    _strip_nulls,
+    compress_payload,
+    decompress_payload,
+    flatten_otlp_batch,
+    nest_otlp_batch,
+)
 from .otlp_metrics import (
     _RESOURCE_METRICS,
     flatten_otlp_metrics_batch,
@@ -443,10 +451,13 @@ def decode_logs_request(buf: bytes, request_cls=None) -> dict:
 
 class _PbWriter:
     """One ExportLogsServiceRequest per input batch, one .binpb file
-    per request (the gRPC Export() payload landed on disk)."""
+    per request (the gRPC Export() payload landed on disk), optionally
+    wire-compressed (the configgrpc compressor matrix)."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, compression: str | None = None):
         self.out_dir = out_dir
+        self.compression = compression
+        self.ext = ".binpb" + _COMPRESS_EXT.get(compression or "", "")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import os
@@ -457,15 +468,21 @@ class _PbWriter:
         n = 0
         for row in rows:
             path = os.path.join(
-                self.out_dir, f"otlp-{uuid.uuid4().hex}.binpb"
+                self.out_dir, f"otlp-{uuid.uuid4().hex}{self.ext}"
             )
             with open(path, "wb") as f:
-                f.write(encode_logs_request(row, req_cls))
+                f.write(
+                    compress_payload(
+                        encode_logs_request(row, req_cls), self.compression
+                    )
+                )
             n += 1
         return pa.table({"requests": pa.array([n], type=pa.int64())})
 
 
-def write_otlp_logs_pb(ds: ray.data.Dataset, out_dir: str) -> int:
+def write_otlp_logs_pb(
+    ds: ray.data.Dataset, out_dir: str, compression: str | None = None
+) -> int:
     """Marshal: transcript rows → nested request trees → binary OTLP
     protobuf files. Returns the number of requests written."""
     import os
@@ -473,20 +490,24 @@ def write_otlp_logs_pb(ds: ray.data.Dataset, out_dir: str) -> int:
     os.makedirs(out_dir, exist_ok=True)
     nested = ds.map_batches(nest_otlp_batch, batch_format="pyarrow")
     written = nested.map_batches(
-        _PbWriter(out_dir), batch_format="pyarrow"
+        _PbWriter(out_dir, compression), batch_format="pyarrow"
     ).sum("requests")
     return int(written or 0)
 
 
 def _decode_batch(t: pa.Table) -> pa.Table:
     """read_binary_files block → flat records. Each row is one request
-    blob; decode all, type the trees explicitly (proto3 omits unset
-    fields, so inference can't be trusted), flatten once."""
+    blob; decompress by path suffix, decode all, type the trees
+    explicitly (proto3 omits unset fields, so inference can't be
+    trusted), flatten once."""
     blobs = t["bytes"].to_pylist()
+    paths = t["path"].to_pylist()
     req_cls = _classes()["request"]  # once per batch, per worker
     trees = [
-        decode_logs_request(b, req_cls).get("resourceLogs", [])
-        for b in blobs
+        decode_logs_request(decompress_payload(b, p), req_cls).get(
+            "resourceLogs", []
+        )
+        for b, p in zip(blobs, paths)
     ]
     nested = pa.table({"resourceLogs": pa.array(trees, type=_RESOURCE_LOGS)})
     return flatten_otlp_batch(nested)
@@ -495,7 +516,7 @@ def _decode_batch(t: pa.Table) -> pa.Table:
 def read_otlp_logs_pb(paths) -> ray.data.Dataset:
     """Unmarshal: .binpb files of ExportLogsServiceRequest → flat
     records (same schema as ``read_otlp_logs_json``)."""
-    return ray.data.read_binary_files(paths).map_batches(
+    return ray.data.read_binary_files(paths, include_paths=True).map_batches(
         _decode_batch, batch_format="pyarrow"
     )
 
@@ -569,8 +590,10 @@ class _TracePbWriter:
     """One ExportTraceServiceRequest per input batch, one .binpb file
     per request (the gRPC Export() payload landed on disk)."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, compression: str | None = None):
         self.out_dir = out_dir
+        self.compression = compression
+        self.ext = ".binpb" + _COMPRESS_EXT.get(compression or "", "")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import os
@@ -580,15 +603,21 @@ class _TracePbWriter:
         n = 0
         for row in t.to_pylist():
             path = os.path.join(
-                self.out_dir, f"otlp-traces-{uuid.uuid4().hex}.binpb"
+                self.out_dir, f"otlp-traces-{uuid.uuid4().hex}{self.ext}"
             )
             with open(path, "wb") as f:
-                f.write(encode_traces_request(row, req_cls))
+                f.write(
+                    compress_payload(
+                        encode_traces_request(row, req_cls), self.compression
+                    )
+                )
             n += 1
         return pa.table({"requests": pa.array([n], type=pa.int64())})
 
 
-def write_otlp_traces_pb(ds: ray.data.Dataset, out_dir: str) -> int:
+def write_otlp_traces_pb(
+    ds: ray.data.Dataset, out_dir: str, compression: str | None = None
+) -> int:
     """Marshal: transcript rows → nested trace request trees → binary
     OTLP protobuf files. Returns the number of requests written."""
     import os
@@ -596,17 +625,20 @@ def write_otlp_traces_pb(ds: ray.data.Dataset, out_dir: str) -> int:
     os.makedirs(out_dir, exist_ok=True)
     nested = ds.map_batches(nest_otlp_traces_batch, batch_format="pyarrow")
     written = nested.map_batches(
-        _TracePbWriter(out_dir), batch_format="pyarrow"
+        _TracePbWriter(out_dir, compression), batch_format="pyarrow"
     ).sum("requests")
     return int(written or 0)
 
 
 def _decode_traces_batch(t: pa.Table) -> pa.Table:
     blobs = t["bytes"].to_pylist()
+    paths = t["path"].to_pylist()
     req_cls = _classes()["trace_request"]  # once per batch, per worker
     trees = [
-        decode_traces_request(b, req_cls).get("resourceSpans", [])
-        for b in blobs
+        decode_traces_request(decompress_payload(b, p), req_cls).get(
+            "resourceSpans", []
+        )
+        for b, p in zip(blobs, paths)
     ]
     nested = pa.table(
         {"resourceSpans": pa.array(trees, type=_RESOURCE_SPANS)}
@@ -617,7 +649,7 @@ def _decode_traces_batch(t: pa.Table) -> pa.Table:
 def read_otlp_traces_pb(paths) -> ray.data.Dataset:
     """Unmarshal: .binpb files of ExportTraceServiceRequest → flat
     spans (same schema as ``read_otlp_traces_json``)."""
-    return ray.data.read_binary_files(paths).map_batches(
+    return ray.data.read_binary_files(paths, include_paths=True).map_batches(
         _decode_traces_batch, batch_format="pyarrow"
     )
 
@@ -652,8 +684,10 @@ class _MetricsPbWriter:
     """One ExportMetricsServiceRequest per input batch, one .binpb
     file per request."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, compression: str | None = None):
         self.out_dir = out_dir
+        self.compression = compression
+        self.ext = ".binpb" + _COMPRESS_EXT.get(compression or "", "")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import os
@@ -663,15 +697,22 @@ class _MetricsPbWriter:
         n = 0
         for row in t.to_pylist():
             path = os.path.join(
-                self.out_dir, f"otlp-metrics-{uuid.uuid4().hex}.binpb"
+                self.out_dir, f"otlp-metrics-{uuid.uuid4().hex}{self.ext}"
             )
             with open(path, "wb") as f:
-                f.write(encode_metrics_request(row, req_cls))
+                f.write(
+                    compress_payload(
+                        encode_metrics_request(row, req_cls),
+                        self.compression,
+                    )
+                )
             n += 1
         return pa.table({"requests": pa.array([n], type=pa.int64())})
 
 
-def write_otlp_metrics_pb(ds: ray.data.Dataset, out_dir: str) -> int:
+def write_otlp_metrics_pb(
+    ds: ray.data.Dataset, out_dir: str, compression: str | None = None
+) -> int:
     """Marshal: transcript rows → nested metrics request trees →
     binary OTLP protobuf files. Returns the request count."""
     import os
@@ -679,17 +720,20 @@ def write_otlp_metrics_pb(ds: ray.data.Dataset, out_dir: str) -> int:
     os.makedirs(out_dir, exist_ok=True)
     nested = ds.map_batches(nest_otlp_metrics_batch, batch_format="pyarrow")
     written = nested.map_batches(
-        _MetricsPbWriter(out_dir), batch_format="pyarrow"
+        _MetricsPbWriter(out_dir, compression), batch_format="pyarrow"
     ).sum("requests")
     return int(written or 0)
 
 
 def _decode_metrics_batch(t: pa.Table) -> pa.Table:
     blobs = t["bytes"].to_pylist()
+    paths = t["path"].to_pylist()
     req_cls = _classes()["metrics_request"]
     trees = [
-        decode_metrics_request(b, req_cls).get("resourceMetrics", [])
-        for b in blobs
+        decode_metrics_request(decompress_payload(b, p), req_cls).get(
+            "resourceMetrics", []
+        )
+        for b, p in zip(blobs, paths)
     ]
     nested = pa.table(
         {"resourceMetrics": pa.array(trees, type=_RESOURCE_METRICS)}
@@ -700,6 +744,6 @@ def _decode_metrics_batch(t: pa.Table) -> pa.Table:
 def read_otlp_metrics_pb(paths) -> ray.data.Dataset:
     """Unmarshal: .binpb files of ExportMetricsServiceRequest → flat
     datapoints (same schema as ``read_otlp_metrics_json``)."""
-    return ray.data.read_binary_files(paths).map_batches(
+    return ray.data.read_binary_files(paths, include_paths=True).map_batches(
         _decode_metrics_batch, batch_format="pyarrow"
     )

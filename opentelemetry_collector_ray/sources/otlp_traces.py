@@ -43,7 +43,15 @@ import ray.data
 
 from ..schema import DIM_TOOL_SERVICE
 from ..stages.parse import GROK_PATTERN
-from .otlp_json import _KV, _NdjsonWriter, _attr_first, _kv_list, _opt_field, _str
+from .otlp_json import (
+    _KV,
+    _NdjsonWriter,
+    _attr_first,
+    _kv_list,
+    _ndjson_requests,
+    _opt_field,
+    _str,
+)
 
 # role → SpanKind integer (trace.proto SpanKind enum)
 KIND_INT = {"user": 3, "assistant": 2, "tool": 1, "system": 1}
@@ -338,22 +346,25 @@ def flatten_otlp_traces_batch(t: pa.Table) -> pa.Table:
     )
 
 
-def write_otlp_traces_json(ds: ray.data.Dataset, out_dir: str) -> int:
+def write_otlp_traces_json(
+    ds: ray.data.Dataset, out_dir: str, compression: str | None = None
+) -> int:
     """Marshal: one ExportTraceServiceRequest JSON object per input
     batch, written as NDJSON (null fields omitted — the proto3 JSON
-    wire form, IDs in hex). Returns the number of requests written."""
+    wire form, IDs in hex), optionally wire-compressed. Returns the
+    number of requests written."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     nested = ds.map_batches(nest_otlp_traces_batch, batch_format="pyarrow")
     written = nested.map_batches(
-        _NdjsonWriter(out_dir), batch_format="pyarrow"
+        _NdjsonWriter(out_dir, compression), batch_format="pyarrow"
     ).sum("rows")
     return int(written or 0)
 
 
 def read_otlp_traces_json(paths) -> ray.data.Dataset:
     """Unmarshal: NDJSON of ExportTraceServiceRequest → flat spans."""
-    return ray.data.read_json(paths).map_batches(
+    return _ndjson_requests(paths).map_batches(
         flatten_otlp_traces_batch, batch_format="pyarrow"
     )
