@@ -3081,7 +3081,63 @@ def q_ottl_map_where(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow")
 
 
+def q_ottl_transform(sf_dir: str):
+    """OTTL STATEMENT execution (transformprocessor parity,
+    docs/processing.md:100-148): ``set(...) where ...`` /
+    ``replace_pattern`` / converter calls parsed once per actor and
+    applied as Arrow kernels per batch."""
+    from opentelemetry_collector_ray.stages.ottl_statements import (
+        TransformStage,
+    )
+
+    stage = TransformStage(
+        [
+            "set(flag, 'slow') where latency_ms > 50",
+            "set(flag, 'fast') where latency_ms <= 50",
+            "replace_pattern(msg, '[0-9]+', '#')",
+            "set(service_upper, Uppercase(service))",
+        ]
+    )
+
+    def run(t: pa.Table) -> pa.Table:
+        return stage(t).select(
+            ["conv_id", "turn_idx", "flag", "msg", "service_upper"]
+        )
+
+    return _enriched(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+def q_ottl_map_transform(sf_dir: str):
+    """OTTL statements over a MAP column (the pcommon.Map mutation
+    surface driven from statement strings): subscript set with where,
+    rename_key, truncate_all — exploded to entry rows for the SQL
+    mirror."""
+    from opentelemetry_collector_ray.stages.maps import (
+        map_explode,
+        map_from_columns,
+    )
+    from opentelemetry_collector_ray.stages.ottl_statements import (
+        TransformStage,
+    )
+
+    stage = TransformStage(
+        [
+            "set(attrs['svc'], service) where level == 'ERROR'",
+            "rename_key(attrs, 'level', 'lvl')",
+            "truncate_all(attrs, 4)",
+        ]
+    )
+
+    def run(t: pa.Table) -> pa.Table:
+        t = t.append_column("attrs", map_from_columns(t, ["level", "tool"]))
+        return map_explode(stage(t), "attrs", ["conv_id", "turn_idx"])
+
+    return _enriched(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "ottl_transform": q_ottl_transform,
+    "ottl_map_transform": q_ottl_map_transform,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "push_ingest": q_push_ingest,
@@ -3673,6 +3729,22 @@ def oracle_sql() -> dict[str, str]:
             "AS status_code, "
             "conv_id, turn_idx, tool "
             "FROM parsed2"
+        ),
+        "ottl_transform": o.ENRICHED_CTE + (
+            "SELECT conv_id, turn_idx, "
+            "CASE WHEN latency_ms > 50 THEN 'slow' "
+            "WHEN latency_ms <= 50 THEN 'fast' END AS flag, "
+            "regexp_replace(msg, '[0-9]+', '#', 'g') AS msg, "
+            "upper(service) AS service_upper "
+            "FROM enriched"
+        ),
+        "ottl_map_transform": o.ENRICHED_CTE + (
+            "SELECT conv_id, turn_idx, 'lvl' AS key, "
+            "substr(level, 1, 4) AS value FROM enriched "
+            "UNION ALL SELECT conv_id, turn_idx, 'tool', "
+            "substr(tool, 1, 4) FROM enriched "
+            "UNION ALL SELECT conv_id, turn_idx, 'svc', "
+            "substr(service, 1, 4) FROM enriched WHERE level = 'ERROR'"
         ),
         "otlp_metrics_flatten": o.PARSED_CTE + (
             ", svc AS (SELECT *, "

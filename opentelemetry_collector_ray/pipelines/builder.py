@@ -153,6 +153,14 @@ def _build_condition_filter(opts):
     return ConditionFilter(opts["condition"])
 
 
+def _build_transform(opts):
+    # OTTL statement list (transformprocessor parity):
+    # {type: transform, statements: ["set(x, 'v') where c", ...]}
+    from ..stages.ottl_statements import TransformStage
+
+    return TransformStage(list(opts["statements"]))
+
+
 STAGE_REGISTRY: dict[str, Callable] = {
     "parse": _build_parse,
     "enrich": _build_enrich,
@@ -164,6 +172,7 @@ STAGE_REGISTRY: dict[str, Callable] = {
     "quality": _build_quality,
     "fingerprint": _build_fingerprint,
     "condition_filter": _build_condition_filter,
+    "transform": _build_transform,
     "map_attributes": _build_map_attributes,
     "rebatch": None,  # handled structurally (dataset-level, not batch-level)
 }
