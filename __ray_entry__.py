@@ -908,8 +908,10 @@ def q_q1_lineitem(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        # count_all, not count: SQL count(*) includes NULL l_quantity
+        # rows (count-valid diverged on the null-parity gate)
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_quantity", "count")]
+            [("l_quantity", "sum"), ([], "count_all")]
         )
         return g.rename_columns(
             ["l_returnflag", "l_linestatus", "psum", "pcount"]
@@ -3628,7 +3630,7 @@ def oracle_sql() -> dict[str, str]:
         "variance": (
             "WITH q AS (SELECT event_type, "
             "cast(floor(value * 1000) AS bigint) AS vm FROM events), "
-            "a AS (SELECT event_type, cast(count(*) AS bigint) AS n, "
+            "a AS (SELECT event_type, cast(count(vm) AS bigint) AS n, "
             "cast(sum(vm) AS bigint) AS sum_vm, "
             "cast(sum(vm * vm) AS bigint) AS sumsq_vm "
             "FROM q GROUP BY event_type) "
@@ -3650,7 +3652,8 @@ def oracle_sql() -> dict[str, str]:
         "corr": (
             "WITH q AS (SELECT event_type, "
             "cast(floor(value * 1000) AS bigint) AS x, "
-            "cast(length(props) AS bigint) AS y FROM events), "
+            "cast(length(props) AS bigint) AS y FROM events "
+            "WHERE value IS NOT NULL AND props IS NOT NULL), "
             "a AS (SELECT event_type, cast(count(*) AS bigint) AS n, "
             "cast(sum(x) AS bigint) AS sum_x, "
             "cast(sum(y) AS bigint) AS sum_y, "
@@ -3670,7 +3673,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_outliers": (
             "WITH q AS (SELECT event_type, "
             "cast(floor(value * 1000) AS bigint) AS vm FROM events), "
-            "a AS (SELECT event_type, cast(count(*) AS bigint) AS n, "
+            "a AS (SELECT event_type, cast(count(vm) AS bigint) AS n, "
             "cast(sum(vm) AS bigint) AS s, "
             "cast(sum(vm * vm) AS bigint) AS sq "
             "FROM q GROUP BY event_type), "
@@ -3770,7 +3773,10 @@ def oracle_sql() -> dict[str, str]:
             "json_extract_string(props, '$.k') AS kval, event_type, "
             "cast(user_id % 10 AS varchar) AS bucket FROM events), "
             "entries AS ("
+            # NULL/malformed props parse to an EMPTY map on the engine
+            # side (map_from_json contract) — no props.k entry
             "SELECT event_id, 'props.k' AS key, kval AS value FROM base "
+            "WHERE kval IS NOT NULL "
             "UNION ALL SELECT event_id, 'event.type', event_type FROM base "
             "UNION ALL SELECT event_id, 'bucket', bucket FROM base "
             "WHERE bucket <> '0' "

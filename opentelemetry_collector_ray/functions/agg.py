@@ -224,6 +224,11 @@ def grouped_corr(
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
+        # pairwise-complete: drop rows where either operand is null so
+        # every moment (incl. n) covers the same row set — mixing
+        # per-column null-skipping gives an incoherent correlation
+        # (found by the null-parity gate)
+        t = t.filter(pc.and_(pc.is_valid(t[x]), pc.is_valid(t[y])))
         cols = {k: t[k] for k in keys}
         cols["_x"] = t[x]
         cols["_y"] = t[y]

@@ -126,10 +126,23 @@ def bucketed_hash_join(
     all_cols = lcols + [c for c in rcols if c != on]
     all_types = {**ltypes, **rtypes}
 
+    # SQL join semantics: a NULL key matches nothing. pandas merge
+    # instead matches NaN==NaN (found by the null-parity gate), so
+    # null-key rows are dropped from any side whose rows cannot appear
+    # unmatched in the output; sides whose unmatched rows ARE retained
+    # (left side of a left join) keep them — the other side is then
+    # null-free, so no NaN-NaN match can happen.
+    drop_null_keys = {
+        0: how in ("inner", "right"),
+        1: how in ("inner", "left"),
+    }
+
     def prep(side: int, have: list[str]):
         missing = [c for c in all_cols if c not in have]
 
         def fn(batch: pa.Table) -> pa.Table:
+            if drop_null_keys[side]:
+                batch = batch.filter(pc.is_valid(batch[on]))
             b = _hash_bucket(batch[on], buckets)
             for c in missing:
                 batch = batch.append_column(c, pa.nulls(len(batch), type=all_types[c]))
@@ -461,21 +474,21 @@ def salted_join(
     side — the standard trade for large×small-but-hot joins. Integer
     join keys only (the composite sub-key is ``key·salt + s``)."""
 
-    def _check_keys(col):
-        if col.null_count:
-            raise ValueError(
-                "salted_join: null join keys unsupported (a NaN cast "
-                "would wrap into a real sub-key); filter them first"
-            )
+    def _drop_null_keys(t: pa.Table) -> pa.Table:
+        # SQL inner-join semantics: NULL keys match nothing — drop them
+        # (a NaN cast would otherwise wrap into a real sub-key)
+        if t[on].null_count:
+            t = t.filter(pc.is_valid(t[on]))
+        return t
 
     def salt_left(t: pa.Table) -> pa.Table:
-        _check_keys(t[on])
+        t = _drop_null_keys(t)
         k = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
         s = np.arange(len(t), dtype=np.int64) % salt
         return t.append_column("_sk", pa.array(k * salt + s, pa.int64()))
 
     def replicate_right(t: pa.Table) -> pa.Table:
-        _check_keys(t[on])
+        t = _drop_null_keys(t)
         k = t[on].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(t)
         idx = np.repeat(np.arange(n), salt)

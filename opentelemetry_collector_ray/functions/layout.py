@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # spread a 16-bit int so its bits occupy even positions (0,2,4,...)
 _SPREAD = (
@@ -53,8 +54,18 @@ def zorder_batch(
     """Append the Z-order key of columns ``x`` and ``y`` — stateless,
     zero shuffle; feed the result into ``Dataset.sort(out)`` ahead of a
     partitioned sink write to cluster row groups in both dimensions."""
-    xa = batch[x].to_numpy(zero_copy_only=False).astype(np.int64)
-    ya = batch[y].to_numpy(zero_copy_only=False).astype(np.int64)
+    xc, yc = batch[x], batch[y]
+    if isinstance(xc, pa.ChunkedArray):
+        xc = xc.combine_chunks()
+    if isinstance(yc, pa.ChunkedArray):
+        yc = yc.combine_chunks()
+    # null-safe: a blind astype(int64) turns NaN into INT64_MIN and
+    # bit-spreads garbage (the CLAUDE.md trap; found by the
+    # null-parity gate) — fill for the arithmetic, mask the output
+    valid = pc.and_(pc.is_valid(xc), pc.is_valid(yc))
+    vnp = np.asarray(valid.to_numpy(zero_copy_only=False), dtype=bool)
+    xa = pc.fill_null(pc.cast(xc, pa.int64()), 0).to_numpy()
+    ya = pc.fill_null(pc.cast(yc, pa.int64()), 0).to_numpy()
     return batch.append_column(
-        out, pa.array(zorder_key(xa, ya), type=pa.int64())
+        out, pa.array(zorder_key(xa, ya), type=pa.int64(), mask=~vnp)
     )

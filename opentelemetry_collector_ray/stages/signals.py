@@ -261,9 +261,14 @@ def delta_to_cumulative(
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, ts, order_tiebreak], kind="mergesort")
-        return g.assign(
-            cumulative=g.groupby(key, sort=False)[value].cumsum()
-        )
+        # SQL window-SUM null semantics (the oracle's form): a NULL
+        # delta leaves the running total unchanged on its own row;
+        # rows before the first non-null delta are NULL. Plain pandas
+        # cumsum would instead emit NaN on the null row itself.
+        vals = g[value]
+        cs = vals.fillna(0).groupby(g[key], sort=False).cumsum()
+        seen = vals.notna().groupby(g[key], sort=False).cumsum()
+        return g.assign(cumulative=cs.where(seen > 0))
 
     return sharded_group_map(series, [key], per_shard)
 
@@ -309,7 +314,12 @@ def cumulative_to_delta(
         delta = v.copy()
         delta[1:] = v[1:] - v[:-1]
         firsts = np.r_[True, k[1:] != k[:-1]]
-        delta[firsts] = v[firsts]
+        # a NULL previous point also restarts the series (SQL `lag IS
+        # NULL → value`, the oracle's form; a NULL current point keeps
+        # a NULL delta) — found by the null-parity gate
+        prev_na = np.r_[True, pd.isna(v[:-1])]
+        restart = firsts | prev_na
+        delta[restart] = v[restart]
         if handle_resets:
             delta = np.where(delta < 0, v, delta)
         return g.assign(delta=delta)
@@ -456,9 +466,12 @@ def delta_to_rate(
         dt[np.r_[True, k[1:] != k[:-1]]] = 0  # series firsts: no interval
         keep = dt > 0
         v = g[value].to_numpy().astype(np.float64)[keep]
-        rate = np.floor(v * 1e9 / dt[keep]).astype(np.int64)
+        # null-safe: a NULL delta keeps its row with a NULL rate (SQL
+        # floor(NULL/x) is NULL) — the old astype(int64) of NaN minted
+        # INT64_MIN (found by the null-parity gate)
+        rate = np.floor(v * 1e9 / dt[keep])
         out = g.loc[keep, [order_tiebreak, key, ts]].copy()
-        out["rate_milli"] = rate
+        out["rate_milli"] = pd.array(rate, dtype="Int64")
         return out
 
     return sharded_group_map(series, [key], per_shard)

@@ -209,15 +209,25 @@ def rolling_sum(
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key] + order, kind="mergesort")
-        v = g[value].to_numpy().astype(np.int64)
+        vals = g[value]
+        # null-safe SQL window-SUM: NULL terms are skipped (fill 0 for
+        # the prefix sums), an all-NULL window is NULL — a blind
+        # astype(int64) minted INT64_MIN (found by the null-parity gate)
+        na = vals.isna().to_numpy()
+        v = vals.fillna(0).to_numpy().astype(np.int64)
         k = g[key].to_numpy()
         starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
         seg_start = np.repeat(starts, np.diff(np.r_[starts, len(k)]))
         cs = np.cumsum(v)
+        nn = np.cumsum(~na)
         idx = np.arange(len(k), dtype=np.int64)
         j = np.maximum(seg_start, idx - window + 1)  # window start row
         prev = np.where(j > 0, cs[np.maximum(j - 1, 0)], 0)
-        return g.assign(**{out: cs - prev})
+        prev_nn = np.where(j > 0, nn[np.maximum(j - 1, 0)], 0)
+        roll = pd.Series(cs - prev, index=g.index)
+        return g.assign(
+            **{out: roll.where(nn - prev_nn > 0).astype("Int64")}
+        )
 
     return sharded_group_map(ds, [key], per_shard)
 

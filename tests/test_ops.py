@@ -1927,19 +1927,21 @@ def test_sentence_split_keeps_nonspace_whitespace_like_sql_trim():
     assert out["sentence"].to_pylist() == ["A", "B\n"]
 
 
-def test_salted_join_rejects_null_keys():
+def test_salted_join_drops_null_keys():
+    """SQL inner-join semantics: NULL keys match nothing — dropped,
+    never wrapped into a real sub-key (null-parity gate regression)."""
     import pandas as pd
 
     from opentelemetry_collector_ray.functions.join import salted_join
 
-    left = pa.table({"k": pa.array([1, None], pa.int64()),
-                     "lv": pa.array([1, 2], pa.int64())})
+    left = pa.table({"k": pa.array([1, None, 0], pa.int64()),
+                     "lv": pa.array([1, 2, 3], pa.int64())})
     right = pd.DataFrame({"k": np.array([0], dtype=np.int64),
                           "rv": np.array([9], dtype=np.int64)})
-    with pytest.raises(Exception, match="null join keys"):
-        salted_join(
-            ray.data.from_arrow(left), ray.data.from_pandas(right), "k"
-        ).to_pandas()
+    out = salted_join(
+        ray.data.from_arrow(left), ray.data.from_pandas(right), "k"
+    ).to_pandas()
+    assert out[["k", "lv", "rv"]].values.tolist() == [[0, 3, 9]]
 
 
 def test_concentration_share_tie_split():
