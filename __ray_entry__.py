@@ -717,17 +717,27 @@ def q_corpus_stats(sf_dir: str):
         batch_format="pyarrow",
     )
 
+    from opentelemetry_collector_ray.functions.shard import (
+        fill_null_key,
+        restore_null_key,
+    )
+
     def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["lang"]).aggregate(
+        # SQL GROUP BY keeps a NULL lang group; Ray's sort shuffle
+        # can't order None beside str → sentinel, restored after
+        g = fill_null_key(t, "lang").group_by(["lang"]).aggregate(
             [([], "count_all"), ("n_tokens", "sum"), ("n_tokens", "max")]
         )
         return g.rename_columns(["lang", "_pc", "_ps", "_pm"])
 
     partials = sized.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("lang").aggregate(
+    merged = partials.groupby("lang").aggregate(
         Sum("_pc", alias_name="n_docs"),
         Sum("_ps", alias_name="total_tokens"),
         Max("_pm", alias_name="max_tokens"),
+    )
+    return merged.map_batches(
+        lambda t: restore_null_key(t, "lang"), batch_format="pyarrow"
     )
 
 

@@ -164,3 +164,44 @@ def mult_hash(ids: "np.ndarray") -> "np.ndarray":
     shared definition used by `stratified_take`, `budget_select` and
     `kmeans_fit` init (any change must update their oracle SQL too)."""
     return (ids.astype(np.int64) * 2654435761) % (1 << 32)
+
+
+# Ray Data's sort-based groupby cannot ORDER a string key column that
+# mixes None with str (numpy object sort raises "'<' not supported");
+# pandas groupby additionally DROPS NaN groups by default. SQL keeps a
+# NULL group. Stages whose group key can be null route it through this
+# sentinel around the shuffle and restore it on the way out. The value
+# contains control bytes, so no real-world key collides — but must NOT
+# end in NUL: numpy's fixed-width unicode strips trailing \x00 when a
+# stage round-trips strings through a U-dtype array.
+NULL_KEY = "\x00\x16<null-key>\x16"
+
+
+def fill_null_key(t: pa.Table, key: str) -> pa.Table:
+    """Arrow batch form: replace nulls in a string key column with the
+    sentinel (no-op for null-free or non-string columns)."""
+    col = t[key]
+    import pyarrow.compute as pc
+
+    if col.null_count and pa.types.is_string(
+        col.type if not isinstance(col, pa.ChunkedArray) else col.type
+    ):
+        idx = t.column_names.index(key)
+        t = t.set_column(idx, key, pc.fill_null(col, NULL_KEY))
+    return t
+
+
+def restore_null_key(t: pa.Table, key: str) -> pa.Table:
+    """Inverse of :func:`fill_null_key` (arrow batch form)."""
+    import pyarrow.compute as pc
+
+    col = t[key]
+    if not pa.types.is_string(
+        col.type if not isinstance(col, pa.ChunkedArray) else col.type
+    ):
+        return t
+    idx = t.column_names.index(key)
+    masked = pc.if_else(
+        pc.equal(col, NULL_KEY), pa.scalar(None, pa.string()), col
+    )
+    return t.set_column(idx, key, masked)

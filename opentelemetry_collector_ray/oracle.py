@@ -38,7 +38,7 @@ _GROK_SQL = r"'^\[([A-Z]+)\] action=(\w+) latency_ms=(\d+) msg=(.*)$'"
 PARSED_CTE = TRANSCRIPTS_CTE + f"""
 , parsed AS (
   SELECT *,
-    regexp_matches(text, {_GROK_SQL}) AS parse_ok
+    coalesce(regexp_matches(text, {_GROK_SQL}), false) AS parse_ok
   FROM transcripts
 ),
 parsed2 AS (

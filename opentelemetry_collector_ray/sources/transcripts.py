@@ -69,8 +69,22 @@ def _derive_shard(g: pd.DataFrame) -> pd.DataFrame:
     # vocabulary value in future testdata would silently diverge the
     # twins (null text/role on the Ray side vs defaulted SQL values).
     level = et.map(EVENT_LEVEL).fillna("DEBUG").to_numpy(dtype=object)
-    latency = np.floor(g["value"].to_numpy()).astype(np.int64)
+    # SQL `||` null semantics (the oracle CTE's form): any NULL operand
+    # nulls the whole text. The old astype(int64) of a NULL value
+    # minted latency_ms=INT64_MIN text instead (null-parity gate).
+    vals = g["value"]
+    props = g["props"]
+    null_text = (
+        vals.isna().to_numpy() | props.isna().to_numpy() | et.isna().to_numpy()
+    )
+    latency = np.floor(vals.fillna(0).to_numpy()).astype(np.int64)
     turn = g.groupby("user_id", sort=False).cumcount().to_numpy().astype(np.int32)
+    text = (
+        "[" + pd.Series(level, index=g.index).astype(str) + "] action="
+        + et.fillna("").astype(str)
+        + " latency_ms=" + pd.Series(latency, index=g.index).astype(str)
+        + " msg=" + props.fillna("").astype(str)
+    ).where(~null_text)
     out = pd.DataFrame(
         {
             "conv_id": np.char.add(
@@ -78,12 +92,7 @@ def _derive_shard(g: pd.DataFrame) -> pd.DataFrame:
             ),
             "turn_idx": turn,
             "role": et.map(EVENT_ROLE).fillna("user").to_numpy(dtype=object),
-            "text": (
-                "[" + pd.Series(level, index=g.index).astype(str) + "] action="
-                + et.astype(str)
-                + " latency_ms=" + pd.Series(latency, index=g.index).astype(str)
-                + " msg=" + g["props"].astype(str)
-            ),
+            "text": text,
             "tool": et.map(EVENT_TOOL).fillna("").to_numpy(dtype=object),
             "ts": g["ts"].to_numpy(),
         }

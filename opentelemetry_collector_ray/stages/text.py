@@ -820,9 +820,16 @@ def temperature_mix(docs, *, key_col: str = "source", id_col: str = "doc_id"):
     corpus itself."""
     from ray.data.aggregate import Sum
 
+    from ..functions.shard import NULL_KEY, fill_null_key
+
     def partial(t: pa.Table) -> pa.Table:
+        # null keys ride the sentinel through the Ray groupby (its
+        # sort can't mix None and str); the NULL group still counts
+        # toward n_min — SQL GROUP BY keeps it — but gets no rate
+        # entry, mirroring the oracle's `JOIN r USING (key)` which
+        # drops NULL-key rows
         g = (
-            pa.table({key_col: t[key_col]})
+            fill_null_key(pa.table({key_col: t[key_col]}), key_col)
             .group_by([key_col])
             .aggregate([([], "count_all")])
         )
@@ -838,6 +845,7 @@ def temperature_mix(docs, *, key_col: str = "source", id_col: str = "doc_id"):
     rates = {
         r[key_col]: int(np.floor(10000.0 * np.sqrt(n_min / float(r["n"]))))
         for _, r in counts.iterrows()
+        if r[key_col] != NULL_KEY
     }
 
     def keep(t: pa.Table) -> pa.Table:

@@ -64,7 +64,14 @@ def topk_per_group(
     a low-cardinality ``group`` (the common case for top-k) never puts
     a constant fraction of the corpus into one reducer."""
 
+    from ..functions.shard import NULL_KEY
+
     def partial(g: pd.DataFrame) -> pd.DataFrame:
+        # SQL PARTITION BY keeps a NULL partition; pandas groupby
+        # drops NaN groups and Ray's sort shuffle can't order None
+        # beside str — sentinel through, restored in `final`
+        if g[group].dtype == object:
+            g[group] = g[group].fillna(NULL_KEY)
         g = g.sort_values(
             [group, order_by, tiebreak],
             ascending=[True, False, True],
@@ -73,6 +80,10 @@ def topk_per_group(
         return g.groupby(group, sort=False).head(k)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
+        if g[group].dtype == object:
+            # .loc assignment, not .where — where() fills NaN, which
+            # later reprs as 'nan' instead of a true null
+            g.loc[g[group] == NULL_KEY, group] = None
         g = g.sort_values(
             [order_by, tiebreak], ascending=[False, True], kind="mergesort"
         ).head(k)

@@ -34,6 +34,8 @@ _NULL_RULES = [
     ("lineitem", "l_discount", "l_linenumber", 7, 4),
     ("lineitem", "l_orderkey", "l_linenumber", 11, 6),
     ("customer", "c_nationkey", "c_custkey", 9, 2),
+    ("documents", "text", "doc_id", 13, 7),
+    ("documents", "lang", "doc_id", 17, 3),
 ]
 
 QUERIES = [
@@ -69,6 +71,29 @@ QUERIES = [
     "join_bloom",
     "semi_join",
     "anti_join",
+    # text operators over a null-holed documents.text / lang
+    "quality",
+    "token_stats",
+    "tfidf",
+    "doc_freq",
+    "sentences",
+    "line_dedup",
+    "chunks",
+    "repetition",
+    "bpe_tokens",
+    "trending_terms",
+    "vocab_topk",
+    "redact",
+    "cooccurrence",
+    "corpus_stats",
+    "dedup_exact",
+    "dup_spans",
+    "contamination",
+    "curate",
+    "budget_select",
+    "mix_sample",
+    "temperature_mix",
+    "stratified_take",
 ]
 
 
