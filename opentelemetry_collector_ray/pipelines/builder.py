@@ -38,10 +38,14 @@ class _CountedStage:
     pipelines carry zero overhead."""
 
     def __init__(self, *, stage_name, run_id, fn=None, cls=None, kwargs=None):
+        import os
+
         self.inner = fn if fn is not None else cls(**(kwargs or {}))
         self.stage_name = stage_name
         self.run_id = run_id
-        self._actor = None
+        self._actors = None
+        # round-robin start varies per worker so shards load evenly
+        self._rr = os.getpid()
 
     # batch_send_size histogram bounds (processor/batchprocessor/
     # metrics.go:111-219 idiom: distribution of emitted batch sizes)
@@ -49,8 +53,12 @@ class _CountedStage:
 
     def __call__(self, batch):
         out = self.inner(batch)
-        if self._actor is None:
-            self._actor = _metrics.get_metrics_actor(self.run_id)
+        if self._actors is None:
+            # SHARDED counter actors (one per ~16 cluster CPUs): a
+            # single actor takes one RPC per block from every counted
+            # stage — a hotspot on a wide cluster. Counts merge by sum
+            # at snapshot time, so any add may land on any shard.
+            self._actors = _metrics.get_metrics_shards(self.run_id)
         updates = {
             _metrics.processor_accepted(self.stage_name): len(out)
         }
@@ -61,7 +69,8 @@ class _CountedStage:
             (str(b) for b in self.SIZE_BOUNDS if len(out) <= b), "inf"
         )
         updates[f"processor/{self.stage_name}/batch_send_size/le_{le}"] = 1
-        self._actor.add_many.remote(updates)
+        self._rr = (self._rr + 1) % len(self._actors)
+        self._actors[self._rr].add_many.remote(updates)
         return out
 
 
@@ -250,13 +259,13 @@ def _run_one(cfg: PipelineConfig, source: ray.data.Dataset) -> dict:
     if cfg.gates.get("engine.processorCounters"):
         import uuid
 
-        counters_run_id = uuid.uuid4().hex[:8]
-        # the DRIVER must own the named actor AND hold its handle for
-        # the whole run: a named (non-detached) actor is destroyed when
-        # its last handle drops, and worker get_if_exists handles are
-        # transient — without this reference every worker would talk to
-        # its own short-lived recreation
-        counters_actor = _metrics.get_metrics_actor(counters_run_id)
+        counters_run_id = _metrics.shard_run_id(uuid.uuid4().hex[:8])
+        # the DRIVER must own the named actors AND hold their handles
+        # for the whole run: a named (non-detached) actor is destroyed
+        # when its last handle drops, and worker get_if_exists handles
+        # are transient — without this reference every worker would
+        # talk to its own short-lived recreation
+        counters_actor = _metrics.get_metrics_shards(counters_run_id)
     ds = _apply_stages(source, cfg, counters_run_id=counters_run_id)
     out_dir = cfg.sinks.out_dir
     sizing = (

@@ -51,6 +51,33 @@ def get_metrics_actor(run_id: str = "default"):
     return MetricsActor.options(name=name, get_if_exists=True).remote()
 
 
+def counter_shard_count() -> int:
+    """Data-plane counter shards: ~one per 16 cluster CPUs, capped.
+    A single actor takes one fire-and-forget RPC per block from every
+    counted stage — fine on one node, a hotspot on a 256-node cluster."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(1, min(16, cpus // 16))
+
+
+def get_metrics_shards(run_id: str, n: int | None = None) -> list:
+    """Get-or-create the n named counter shards for a run. Counts are
+    merged (summed) at snapshot time — any add may land on any shard.
+    The shard count is encoded into the run id by ``shard_run_id`` so
+    the driver's decision reaches every worker verbatim (a worker
+    recomputing it from cluster resources could desync on a resize)."""
+    if n is None:
+        n = int(run_id.rsplit("x", 1)[1]) if "x" in run_id else 1
+    return [get_metrics_actor(f"{run_id}_s{i}") for i in range(n)]
+
+
+def shard_run_id(base: str) -> str:
+    """Append the driver-chosen shard count to the run id."""
+    return f"{base}x{counter_shard_count()}"
+
+
 def receiver_accepted(signal: str = "log_records") -> str:
     return f"receiver/accepted_{signal}"
 
@@ -76,20 +103,32 @@ def processor_refused(stage: str, signal: str = "log_records") -> str:
 
 
 def settle_snapshot(actor, *, attempts: int = 40, sleep_s: float = 0.05):
-    """Snapshot the counter actor once in-flight fire-and-forget adds
-    have drained: per-stage counts are submitted asynchronously from
-    map tasks (never awaited on the data plane), so a snapshot taken
-    the instant the pipeline returns can race the last adds. Poll until
-    two consecutive snapshots agree — each batch's add was submitted
-    before its task finished, so agreement means the queue drained."""
+    """Snapshot the counter actor(s) once in-flight fire-and-forget
+    adds have drained: per-stage counts are submitted asynchronously
+    from map tasks (never awaited on the data plane), so a snapshot
+    taken the instant the pipeline returns can race the last adds.
+    Poll until two consecutive snapshots agree — each batch's add was
+    submitted before its task finished, so agreement means the queue
+    drained. ``actor`` may be one actor or a list of counter shards;
+    shard snapshots merge by summing."""
     import time
 
+    actors = actor if isinstance(actor, (list, tuple)) else [actor]
+
+    def combined() -> dict:
+        parts = ray.get([a.snapshot.remote() for a in actors])
+        out: dict[str, int] = {}
+        for p in parts:
+            for k, v in p.items():
+                out[k] = out.get(k, 0) + v
+        return out
+
     time.sleep(2 * sleep_s)  # headroom for the final block's in-flight adds
-    prev = ray.get(actor.snapshot.remote())
+    prev = combined()
     stable = 0
     for _ in range(attempts):
         time.sleep(sleep_s)
-        cur = ray.get(actor.snapshot.remote())
+        cur = combined()
         if cur == prev:
             stable += 1
             if stable >= 2:  # two stable intervals, not one lucky poll

@@ -534,3 +534,20 @@ def test_condition_filter_stage_in_config_pipeline(tmp_path):
     kept = pq.read_table(out)
     assert kept.num_rows == 1
     assert kept["action"].to_pylist() == ["boom"]
+
+
+def test_counter_shards_merge(ray_session):
+    """Sharded data-plane counters: adds spread over shards, snapshot
+    merges by sum; the shard count rides the run id to workers."""
+    from opentelemetry_collector_ray.state import metrics as m
+
+    import ray
+
+    rid = m.shard_run_id("testshards")
+    assert rid.endswith(f"x{m.counter_shard_count()}")
+    shards = m.get_metrics_shards("testmergex3")
+    assert len(shards) == 3
+    for i, a in enumerate(shards):
+        ray.get(a.add_many.remote({"processor/p/accepted_log_records": i + 1}))
+    snap = m.settle_snapshot(shards, attempts=5)
+    assert snap["processor/p/accepted_log_records"] == 6
