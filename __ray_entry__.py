@@ -3752,6 +3752,9 @@ def oracle_sql() -> dict[str, str]:
             " * 1000 AS end_unix_nano, "
             "cast(CASE WHEN level = 'ERROR' THEN 2 ELSE 0 END AS bigint) "
             "AS status_code, "
+            "coalesce(action, 'unparsed') AS event_name, "
+            "CASE WHEN turn_idx > 0 THEN "
+            "substr(md5(conv_id || ':0'), 1, 16) END AS link_span_id, "
             "conv_id, turn_idx, tool "
             "FROM parsed2"
         ),

@@ -44,6 +44,8 @@ from .otlp_metrics import (
     nest_otlp_metrics_batch,
 )
 from .otlp_traces import (
+    _EVENT,
+    _LINK,
     _STATUS,
     flatten_otlp_traces_batch,
     nest_otlp_traces_batch,
@@ -101,6 +103,8 @@ _SPAN = pa.struct(
         pa.field("startTimeUnixNano", pa.string()),
         pa.field("endTimeUnixNano", pa.string()),
         pa.field("attributes", pa.list_(_KV)),
+        pa.field("events", pa.list_(_EVENT)),
+        pa.field("links", pa.list_(_LINK)),
         pa.field("status", _STATUS),
     ]
 )
@@ -312,7 +316,27 @@ def _classes() -> dict:
     _field(sp, "attributes", 9, T.TYPE_MESSAGE, repeated=True,
            type_name=pfx + "KeyValue")
     _field(sp, "dropped_attributes_count", 10, T.TYPE_UINT32)
+    # Event and Link are NESTED messages in the published schema
+    ev = sp.nested_type.add()
+    ev.name = "Event"
+    _field(ev, "time_unix_nano", 1, T.TYPE_FIXED64)
+    _field(ev, "name", 2, T.TYPE_STRING)
+    _field(ev, "attributes", 3, T.TYPE_MESSAGE, repeated=True,
+           type_name=pfx + "KeyValue")
+    _field(ev, "dropped_attributes_count", 4, T.TYPE_UINT32)
+    lk = sp.nested_type.add()
+    lk.name = "Link"
+    _field(lk, "trace_id", 1, T.TYPE_BYTES)
+    _field(lk, "span_id", 2, T.TYPE_BYTES)
+    _field(lk, "trace_state", 3, T.TYPE_STRING)
+    _field(lk, "attributes", 4, T.TYPE_MESSAGE, repeated=True,
+           type_name=pfx + "KeyValue")
+    _field(lk, "dropped_attributes_count", 5, T.TYPE_UINT32)
+    _field(sp, "events", 11, T.TYPE_MESSAGE, repeated=True,
+           type_name=tpfx + "Span.Event")
     _field(sp, "dropped_events_count", 12, T.TYPE_UINT32)
+    _field(sp, "links", 13, T.TYPE_MESSAGE, repeated=True,
+           type_name=tpfx + "Span.Link")
     _field(sp, "dropped_links_count", 14, T.TYPE_UINT32)
     _field(sp, "status", 15, T.TYPE_MESSAGE, type_name=tpfx + "Status")
     st = trc.message_type.add()
@@ -540,6 +564,13 @@ def _ids_hex_to_b64(tree: list) -> list:
                     v = span.get(f)
                     if v is not None:
                         span[f] = base64.b64encode(bytes.fromhex(v)).decode()
+                for link in span.get("links", []):
+                    for f in ("traceId", "spanId"):
+                        v = link.get(f)
+                        if v is not None:
+                            link[f] = base64.b64encode(
+                                bytes.fromhex(v)
+                            ).decode()
     return tree
 
 
@@ -553,6 +584,11 @@ def _ids_b64_to_hex(tree: list) -> list:
                     v = span.get(f)
                     if v is not None:
                         span[f] = base64.b64decode(v).hex()
+                for link in span.get("links", []):
+                    for f in ("traceId", "spanId"):
+                        v = link.get(f)
+                        if v is not None:
+                            link[f] = base64.b64decode(v).hex()
     return tree
 
 

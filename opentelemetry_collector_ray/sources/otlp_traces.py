@@ -58,6 +58,18 @@ KIND_INT = {"user": 3, "assistant": 2, "tool": 1, "system": 1}
 STATUS_CODE_ERROR = 2  # trace.proto StatusCode.STATUS_CODE_ERROR
 
 _STATUS = pa.struct([pa.field("code", pa.int64())])
+_EVENT = pa.struct(
+    [
+        pa.field("timeUnixNano", pa.string()),
+        pa.field("name", pa.string()),
+    ]
+)
+_LINK = pa.struct(
+    [
+        pa.field("traceId", pa.string()),
+        pa.field("spanId", pa.string()),
+    ]
+)
 
 
 def _md5_hex(keys: np.ndarray, width: int) -> np.ndarray:
@@ -145,6 +157,38 @@ def nest_otlp_traces_batch(t: pa.Table) -> pa.Table:
         [code_arr], names=["code"], mask=pa.array(~err_mask)
     )
 
+    # span events: ONE event per span (the parsed action fired at span
+    # start — generated_span.go:59-184 span-event surface); span links:
+    # non-root spans link to their trace's ROOT span (turn 0), the
+    # groupbytrace causal anchor. Both are repeated nested messages
+    # inside Span on the wire.
+    start_str = start_ns.astype("U").astype(object)
+    events = pa.ListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int32), type=pa.int32()),
+        pa.StructArray.from_arrays(
+            [
+                pa.array(start_str, type=pa.string()),
+                name,
+            ],
+            names=["timeUnixNano", "name"],
+        ),
+    )
+    root_keys = np.char.add(conv.astype("U"), ":0").astype(object)
+    root_hex = _md5_hex(root_keys, 16)
+    has_link = turn > 0
+    link_off = np.concatenate(([0], np.cumsum(has_link.astype(np.int32))))
+    link_rows = np.flatnonzero(has_link)
+    links = pa.ListArray.from_arrays(
+        pa.array(link_off, type=pa.int32()),
+        pa.StructArray.from_arrays(
+            [
+                pa.array(trace_hex[link_rows], type=pa.string()),
+                pa.array(root_hex[link_rows], type=pa.string()),
+            ],
+            names=["traceId", "spanId"],
+        ),
+    )
+
     # span attributes: conv.id / turn.index / tool — 3 entries per span
     keys = np.empty(3 * n, dtype=object)
     svals = np.empty(3 * n, dtype=object)
@@ -168,6 +212,8 @@ def nest_otlp_traces_batch(t: pa.Table) -> pa.Table:
             pa.array(start_ns.astype("U"), type=pa.string()),
             pa.array(end_ns.astype("U"), type=pa.string()),
             span_attrs,
+            events,
+            links,
             status,
         ],
         names=[
@@ -179,6 +225,8 @@ def nest_otlp_traces_batch(t: pa.Table) -> pa.Table:
             "startTimeUnixNano",
             "endTimeUnixNano",
             "attributes",
+            "events",
+            "links",
             "status",
         ],
     )
@@ -247,10 +295,26 @@ _EMPTY_FLAT = {
     "start_unix_nano": pa.int64(),
     "end_unix_nano": pa.int64(),
     "status_code": pa.int64(),
+    "event_name": pa.string(),
+    "link_span_id": pa.string(),
     "conv_id": pa.string(),
     "turn_idx": pa.int32(),
     "tool": pa.string(),
 }
+
+
+def _first_struct_field(lst, n: int, field: str, typ) -> np.ndarray:
+    """First list element's ``field`` per parent row (null when the
+    list is empty/null) — vectorized Get over a repeated message."""
+    parents = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lst)
+    vals = np.asarray(
+        _opt_field(flat, field, typ).to_numpy(zero_copy_only=False),
+        dtype=object,
+    )
+    out = np.full(n, None, dtype=object)
+    out[parents[::-1]] = vals[::-1]  # reversed → FIRST element wins
+    return out
 
 
 def flatten_otlp_traces_batch(t: pa.Table) -> pa.Table:
@@ -339,6 +403,24 @@ def flatten_otlp_traces_batch(t: pa.Table) -> pa.Table:
                 _opt_field(spans, "endTimeUnixNano", pa.string()), pa.int64()
             ),
             "status_code": status_code,
+            "event_name": pa.array(
+                _first_struct_field(
+                    _opt_field(spans, "events", pa.list_(_EVENT)),
+                    n_span,
+                    "name",
+                    pa.string(),
+                ),
+                type=pa.string(),
+            ),
+            "link_span_id": pa.array(
+                _first_struct_field(
+                    _opt_field(spans, "links", pa.list_(_LINK)),
+                    n_span,
+                    "spanId",
+                    pa.string(),
+                ),
+                type=pa.string(),
+            ),
             "conv_id": pa.array(conv_id, type=pa.string()),
             "turn_idx": turn_idx,
             "tool": pa.array(tool, type=pa.string()),

@@ -168,3 +168,40 @@ def test_empty_dataset_roundtrip(ray_session, tmp_path):
         assert read_otlp_traces_pb(out).count() == 0
     else:
         assert n == 0
+
+
+def test_span_events_and_links():
+    """Repeated nested Span.Event (field 11) / Span.Link (field 13)
+    survive both wires: one event per span, one link to the trace root
+    on non-root spans — raw-byte link IDs on the binary wire."""
+    import hashlib
+
+    flat = flatten_otlp_traces_batch(
+        nest_otlp_traces_batch(_transcript_batch())
+    ).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert flat["event_name"].tolist() == flat["name"].tolist()
+    assert flat["link_span_id"].iloc[0] is None  # root: no link
+    assert (
+        flat["link_span_id"].iloc[1]
+        == hashlib.md5(b"c1:0").hexdigest()[:16]
+    )
+
+    req = nest_otlp_traces_batch(_transcript_batch()).to_pylist()[0]
+    buf = encode_traces_request(req)
+    rs = _fields(_fields(buf)[0][2])
+    ss = _fields([p for n, w, p in rs if n == 2][0])
+    spans = [p for n, w, p in ss if n == 2]
+    span = _fields(spans[0])
+    events = [p for n, w, p in span if n == 11]
+    assert len(events) == 1
+    ev = dict((n, (w, p)) for n, w, p in _fields(events[0]))
+    assert ev[1][0] == 1  # time fixed64
+    assert ev[2][1] == b"fetch"
+    # decode side: link IDs come back as hex
+    tree = decode_traces_request(buf)
+    for rs_d in tree["resourceSpans"]:
+        for ss_d in rs_d["scopeSpans"]:
+            for sp_d in ss_d["spans"]:
+                for lk in sp_d.get("links", []):
+                    assert len(lk["spanId"]) == 16
+                    int(lk["spanId"], 16)  # valid hex
