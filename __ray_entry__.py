@@ -3728,7 +3728,11 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 'ERROR' THEN 17 END AS bigint) AS severity_number, "
             "NULLIF(regexp_extract(text, '^\\[([A-Z]+)\\]', 1), '') "
             "AS severity_text, "
-            "text AS body, conv_id, turn_idx, tool "
+            "text AS body, "
+            "md5(conv_id) AS trace_id, "
+            "substr(md5(conv_id || ':' || cast(turn_idx AS varchar)), 1, 16)"
+            " AS span_id, "
+            "conv_id, turn_idx, tool "
             "FROM transcripts"
         ),
         "otlp_traces_flatten": o.PARSED_CTE + (

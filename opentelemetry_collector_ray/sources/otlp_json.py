@@ -66,6 +66,18 @@ def _kv_list(
     return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), entries)
 
 
+def _md5_hex(keys: np.ndarray, width: int) -> np.ndarray:
+    """Deterministic hex IDs (DuckDB shares md5, so oracles mirror
+    them verbatim). Codec-boundary cost only — trace IDs hash once per
+    UNIQUE conv via factorize at the call sites."""
+    import hashlib
+
+    out = np.empty(len(keys), dtype=object)
+    for i, k in enumerate(keys):
+        out[i] = hashlib.md5(k.encode()).hexdigest()[:width]
+    return out
+
+
 def _str(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -116,6 +128,18 @@ def nest_otlp_batch(t: pa.Table) -> pa.Table:
     time_ns = pa.array(
         (df["ts_us"].to_numpy() * 1000).astype("U"), type=pa.string()
     )
+    # log-trace correlation (logs.proto LogRecord.trace_id=9/span_id=10;
+    # the logs data model's RequestContext section): every record points
+    # at the span of its own turn — the SAME md5 scheme as the traces
+    # codec, so a correlated trace lookup round-trips across signals.
+    # Hex on the JSON wire, raw bytes on the binary wire.
+    conv_codes, conv_uniq = pd.factorize(df["conv_id"])
+    trace_hex = _md5_hex(np.asarray(conv_uniq, dtype=object), 32)[conv_codes]
+    span_keys = np.char.add(
+        np.char.add(df["conv_id"].to_numpy(dtype=object).astype("U"), ":"),
+        df["turn_idx"].to_numpy().astype("U"),
+    ).astype(object)
+    span_hex = _md5_hex(span_keys, 16)
     body = pa.StructArray.from_arrays(
         [pa.array(df["text"].to_numpy(dtype=object), type=pa.string())],
         names=["stringValue"],
@@ -142,6 +166,8 @@ def nest_otlp_batch(t: pa.Table) -> pa.Table:
             sev_text,
             body,
             rec_attrs,
+            pa.array(trace_hex, type=pa.string()),
+            pa.array(span_hex, type=pa.string()),
         ],
         names=[
             "timeUnixNano",
@@ -149,6 +175,8 @@ def nest_otlp_batch(t: pa.Table) -> pa.Table:
             "severityText",
             "body",
             "attributes",
+            "traceId",
+            "spanId",
         ],
     )
 
@@ -252,6 +280,8 @@ def flatten_otlp_batch(t: pa.Table) -> pa.Table:
                 "severity_number": pa.array([], type=pa.int64()),
                 "severity_text": pa.array([], type=pa.string()),
                 "body": pa.array([], type=pa.string()),
+                "trace_id": pa.array([], type=pa.string()),
+                "span_id": pa.array([], type=pa.string()),
                 "conv_id": pa.array([], type=pa.string()),
                 "turn_idx": pa.array([], type=pa.int32()),
                 "tool": pa.array([], type=pa.string()),
@@ -322,6 +352,8 @@ def flatten_otlp_batch(t: pa.Table) -> pa.Table:
             "severity_number": pc.cast(sev_num, pa.int64()),
             "severity_text": sev_text,
             "body": body_str,
+            "trace_id": _opt_field(recs, "traceId", pa.string()),
+            "span_id": _opt_field(recs, "spanId", pa.string()),
             "conv_id": pa.array(conv_id, type=pa.string()),
             "turn_idx": turn_idx,
             "tool": pa.array(tool, type=pa.string()),

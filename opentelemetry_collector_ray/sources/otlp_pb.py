@@ -61,6 +61,8 @@ _LOG_RECORD = pa.struct(
         pa.field("severityText", pa.string()),
         pa.field("body", pa.struct([pa.field("stringValue", pa.string())])),
         pa.field("attributes", pa.list_(_KV)),
+        pa.field("traceId", pa.string()),
+        pa.field("spanId", pa.string()),
     ]
 )
 _RESOURCE_LOGS = pa.list_(
@@ -446,31 +448,65 @@ def _classes() -> dict:
     }
 
 
+def _log_ids_hex_to_b64(tree: list) -> list:
+    """LogRecord trace/span correlation IDs: hex on the OTLP JSON wire,
+    base64 for json_format (same deviation as the span IDs)."""
+    import base64
+
+    for rl in tree:
+        for sl in rl.get("scopeLogs", []):
+            for rec in sl.get("logRecords", []):
+                for f in ("traceId", "spanId"):
+                    v = rec.get(f)
+                    if v is not None:
+                        rec[f] = base64.b64encode(bytes.fromhex(v)).decode()
+    return tree
+
+
+def _log_ids_b64_to_hex(tree: list) -> list:
+    import base64
+
+    for rl in tree:
+        for sl in rl.get("scopeLogs", []):
+            for rec in sl.get("logRecords", []):
+                for f in ("traceId", "spanId"):
+                    v = rec.get(f)
+                    if v is not None:
+                        rec[f] = base64.b64decode(v).hex()
+    return tree
+
+
 def encode_logs_request(request_row: dict, request_cls=None) -> bytes:
     """One nested request row (``nest_otlp_batch`` output, pylist form)
     → OTLP/pb bytes. The proto3-JSON dict IS the interchange between
-    the two codecs: strip the nulls json would omit, let protobuf's
+    the two codecs: strip the nulls json would omit, convert hex
+    correlation IDs to the base64 json_format expects for bytes, let
     ParseDict apply the standard JSON mapping (camelCase names,
     int64-as-string), serialize."""
     from google.protobuf import json_format
 
     if request_cls is None:
         request_cls = _classes()["request"]
+    row = _strip_nulls(request_row)
+    row["resourceLogs"] = _log_ids_hex_to_b64(row.get("resourceLogs", []))
     msg = request_cls()
-    json_format.ParseDict(_strip_nulls(request_row), msg)
+    json_format.ParseDict(row, msg)
     return msg.SerializeToString()
 
 
 def decode_logs_request(buf: bytes, request_cls=None) -> dict:
-    """OTLP/pb bytes → proto3-JSON dict (camelCase, int64 as string) —
-    the exact tree the NDJSON reader would produce."""
+    """OTLP/pb bytes → proto3-JSON dict (camelCase, int64 as string,
+    correlation IDs back to hex) — the exact tree the NDJSON reader
+    would produce."""
     from google.protobuf import json_format
 
     if request_cls is None:
         request_cls = _classes()["request"]
     msg = request_cls()
     msg.ParseFromString(bytes(buf))
-    return json_format.MessageToDict(msg)
+    tree = json_format.MessageToDict(msg)
+    tree["resourceLogs"] = _log_ids_b64_to_hex(tree.get("resourceLogs", []))
+    return tree
 
 
 class _PbWriter:

@@ -33,8 +33,6 @@ UNIQUE conv_id via factorize.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -48,6 +46,7 @@ from .otlp_json import (
     _NdjsonWriter,
     _attr_first,
     _kv_list,
+    _md5_hex,
     _ndjson_requests,
     _opt_field,
     _str,
@@ -70,13 +69,6 @@ _LINK = pa.struct(
         pa.field("spanId", pa.string()),
     ]
 )
-
-
-def _md5_hex(keys: np.ndarray, width: int) -> np.ndarray:
-    out = np.empty(len(keys), dtype=object)
-    for i, k in enumerate(keys):
-        out[i] = hashlib.md5(k.encode()).hexdigest()[:width]
-    return out
 
 
 def nest_otlp_traces_batch(t: pa.Table) -> pa.Table:

@@ -152,3 +152,33 @@ def test_empty_input():
     nested = nest_otlp_batch(empty)
     assert nested.num_rows == 1
     assert flatten_otlp_batch(nested).num_rows == 0
+
+
+def test_log_trace_correlation_ids(ray_session, tmp_path):
+    """LogRecord traceId/spanId (logs.proto fields 9/10): every record
+    points at its own turn's span — the SAME md5 scheme as the traces
+    codec, so correlated lookups round-trip across signals and wires."""
+    import glob
+    import hashlib
+
+    from opentelemetry_collector_ray.sources.otlp_pb import (
+        read_otlp_logs_pb,
+        write_otlp_logs_pb,
+    )
+    from tests.test_otlp_pb import _transcript_batch
+
+    t = _transcript_batch()
+    js, pb = str(tmp_path / "js"), str(tmp_path / "pb")
+    assert write_otlp_logs_json(ray.data.from_arrow(t), js) >= 1
+    assert write_otlp_logs_pb(ray.data.from_arrow(t), pb) >= 1
+    line = open(glob.glob(js + "/*.json")[0]).read().splitlines()[0]
+    assert '"traceId":"' + hashlib.md5(b"c1").hexdigest() in line
+
+    key = ["conv_id", "turn_idx"]
+    a = read_otlp_logs_json(js).to_pandas().sort_values(key).reset_index(drop=True)
+    b = read_otlp_logs_pb(pb).to_pandas().sort_values(key).reset_index(drop=True)
+    assert a["trace_id"].iloc[0] == hashlib.md5(b"c1").hexdigest()
+    assert a["span_id"].iloc[1] == hashlib.md5(b"c1:1").hexdigest()[:16]
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
