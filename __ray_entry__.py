@@ -3037,6 +3037,41 @@ def q_otlp_metrics_pb_roundtrip(sf_dir: str):
     return read_otlp_metrics_pb(out)
 
 
+def q_otlp_metrics_histogram(sf_dir: str):
+    """OTLP Histogram metric branch (metrics.proto HistogramDataPoint:
+    fixed64 count/bucketCounts, optional-double sum, explicit bounds):
+    nest emits one per-(scope, conv) partial histogram per REQUEST;
+    reading back, partials merge by summing counts/buckets — the
+    mergeable-histogram property that makes the wire batch-independent
+    and the oracle a plain GROUP BY."""
+    import os
+    import shutil
+
+    from ray.data.aggregate import Sum
+
+    from opentelemetry_collector_ray.sources.otlp_metrics import (
+        read_otlp_metrics_hist_json,
+        write_otlp_metrics_json,
+    )
+
+    out = f"/tmp/otel_ray_otlp_hist_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_otlp_metrics_json(_transcripts(sf_dir), out)
+    dps = read_otlp_metrics_hist_json(out)
+
+    keys = ["service", "scope_name", "conv_id"]
+    vals = ["count", "sum_ms", "b0", "b1", "b2", "b3"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(v, "sum") for v in vals])
+        return g.rename_columns(keys + [f"_{v}" for v in vals])
+
+    merged = dps.map_batches(partial, batch_format="pyarrow")
+    return merged.groupby(keys).aggregate(
+        *[Sum(f"_{v}", alias_name=v) for v in vals]
+    )
+
+
 def q_attributes_map(sf_dir: str):
     """Open-ended map-typed attributes (pcommon.Map parity,
     pdata/pcommon/map.go:76-160): build a map column from the JSON
@@ -3171,6 +3206,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "otlp_traces_pb_roundtrip": q_otlp_traces_pb_roundtrip,
     "otlp_metrics_flatten": q_otlp_metrics_flatten,
     "otlp_metrics_pb_roundtrip": q_otlp_metrics_pb_roundtrip,
+    "otlp_metrics_histogram": q_otlp_metrics_histogram,
     "attributes_map": q_attributes_map,
     "ottl_map_where": q_ottl_map_where,
     "sliding_window": q_sliding_window,
@@ -3796,6 +3832,26 @@ def oracle_sql() -> dict[str, str]:
             "'turn.count', cast(1 AS bigint), true, "
             "time_unix_nano, cast(1 AS bigint), conv_id, turn_idx, tool "
             "FROM svc"
+        ),
+        "otlp_metrics_histogram": o.PARSED_CTE + (
+            ", svc AS (SELECT *, "
+            "CASE tool WHEN 'bash' THEN 'infra' WHEN 'browser' THEN 'web' "
+            "WHEN 'python' THEN 'compute' WHEN 'sql' THEN 'data' "
+            "ELSE 'unknown' END AS service, "
+            "'otelray.' || role AS scope_name "
+            "FROM parsed2 WHERE latency_ms IS NOT NULL) "
+            "SELECT service, scope_name, conv_id, "
+            'cast(count(*) AS bigint) AS "count", '
+            "cast(sum(latency_ms) AS bigint) AS sum_ms, "
+            "cast(sum(CASE WHEN latency_ms <= 10 THEN 1 ELSE 0 END) "
+            "AS bigint) AS b0, "
+            "cast(sum(CASE WHEN latency_ms > 10 AND latency_ms <= 50 "
+            "THEN 1 ELSE 0 END) AS bigint) AS b1, "
+            "cast(sum(CASE WHEN latency_ms > 50 AND latency_ms <= 100 "
+            "THEN 1 ELSE 0 END) AS bigint) AS b2, "
+            "cast(sum(CASE WHEN latency_ms > 100 THEN 1 ELSE 0 END) "
+            "AS bigint) AS b3 "
+            "FROM svc GROUP BY service, scope_name, conv_id"
         ),
         "attributes_map": (
             "WITH base AS (SELECT event_id, "

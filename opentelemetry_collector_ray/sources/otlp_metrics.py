@@ -59,11 +59,31 @@ _SUM = pa.struct(
         pa.field("isMonotonic", pa.bool_()),
     ]
 )
+# Histogram branch (metrics.proto HistogramDataPoint): fixed explicit
+# bounds; count/bucketCounts are fixed64 → STRINGS in proto3 JSON.
+HIST_BOUNDS = (10.0, 50.0, 100.0)
+_HDP = pa.struct(
+    [
+        pa.field("attributes", pa.list_(_KV)),
+        pa.field("timeUnixNano", pa.string()),
+        pa.field("count", pa.string()),
+        pa.field("sum", pa.float64()),
+        pa.field("bucketCounts", pa.list_(pa.string())),
+        pa.field("explicitBounds", pa.list_(pa.float64())),
+    ]
+)
+_HIST = pa.struct(
+    [
+        pa.field("dataPoints", pa.list_(_HDP)),
+        pa.field("aggregationTemporality", pa.int64()),
+    ]
+)
 _METRIC = pa.struct(
     [
         pa.field("name", pa.string()),
         pa.field("gauge", _GAUGE),
         pa.field("sum", _SUM),
+        pa.field("histogram", _HIST),
     ]
 )
 
@@ -209,31 +229,127 @@ def nest_otlp_metrics_batch(t: pa.Table) -> pa.Table:
         names=["dataPoints", "aggregationTemporality", "isMonotonic"],
     ).cast(_SUM)
 
+    # histogram datapoints: one per (scope, conversation) over PARSED
+    # rows — per-request partial histograms (DELTA) that merge by
+    # summing counts/buckets downstream, the mergeable-histogram
+    # property the batch boundary requires
+    p_scope = scope_ids[g_rows]
+    p_conv = conv[g_rows]
+    if len(g_rows):
+        lat_i = np.asarray(latency_str[g_rows], dtype="U").astype(np.int64)
+        h_start = np.flatnonzero(
+            np.concatenate(
+                (
+                    [True],
+                    (p_scope[1:] != p_scope[:-1]) | (p_conv[1:] != p_conv[:-1]),
+                )
+            )
+        )
+    else:
+        lat_i = np.empty(0, np.int64)
+        h_start = np.empty(0, np.int64)
+    n_h = len(h_start)
+    h_counts = np.diff(np.append(h_start, len(g_rows)))
+    h_sums = (
+        np.add.reduceat(lat_i, h_start) if n_h else np.empty(0, np.int64)
+    )
+    nb = len(HIST_BOUNDS) + 1
+    # OTLP bucket i counts values <= explicit_bounds[i] (last = +inf)
+    b_idx = np.searchsorted(np.asarray(HIST_BOUNDS), lat_i, side="left")
+    hg_ids = np.repeat(np.arange(n_h), h_counts)
+    bc = np.bincount(hg_ids * nb + b_idx, minlength=n_h * nb).reshape(
+        n_h, nb
+    )
+    bucket_counts = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, nb * n_h + nb, nb, dtype=np.int32), type=pa.int32()),
+        pa.array(bc.reshape(-1).astype("U"), type=pa.string()),
+    )
+    bounds = pa.ListArray.from_arrays(
+        pa.array(
+            np.arange(0, len(HIST_BOUNDS) * (n_h + 1), len(HIST_BOUNDS), dtype=np.int32),
+            type=pa.int32(),
+        ),
+        pa.array(np.tile(np.asarray(HIST_BOUNDS), n_h), type=pa.float64()),
+    )
+    h_attrs = _kv_list(
+        np.full(n_h, "conv.id", dtype=object),
+        np.asarray(p_conv[h_start], dtype=object),
+        np.full(n_h, None, dtype=object),
+        np.arange(n_h + 1),
+    )
+    hdp = pa.StructArray.from_arrays(
+        [
+            h_attrs,
+            pa.array(time_ns[g_rows][h_start], type=pa.string()),
+            pa.array(h_counts.astype("U"), type=pa.string()),
+            pa.array(h_sums.astype(np.float64), type=pa.float64()),
+            bucket_counts,
+            bounds,
+        ],
+        names=[
+            "attributes",
+            "timeUnixNano",
+            "count",
+            "sum",
+            "bucketCounts",
+            "explicitBounds",
+        ],
+    ).cast(_HDP)
+    h_off = np.searchsorted(
+        p_scope[h_start] if n_h else np.empty(0, np.int64),
+        np.arange(n_scope + 1),
+    ).astype(np.int32)
+    hist_dps = pa.ListArray.from_arrays(pa.array(h_off, type=pa.int32()), hdp)
+    hist_struct = pa.StructArray.from_arrays(
+        [
+            hist_dps,
+            pa.array(
+                np.full(n_scope, AGG_TEMPORALITY_DELTA, dtype=np.int64),
+                type=pa.int64(),
+            ),
+        ],
+        names=["dataPoints", "aggregationTemporality"],
+    ).cast(_HIST)
+
     m_gauge = pa.StructArray.from_arrays(
         [
             pa.array(np.full(n_scope, "turn.latency_ms", object), type=pa.string()),
             gauge_struct,
             pa.nulls(n_scope, _SUM),
+            pa.nulls(n_scope, _HIST),
         ],
-        names=["name", "gauge", "sum"],
+        names=["name", "gauge", "sum", "histogram"],
     )
     m_sum = pa.StructArray.from_arrays(
         [
             pa.array(np.full(n_scope, "turn.count", object), type=pa.string()),
             pa.nulls(n_scope, _GAUGE),
             sum_struct,
+            pa.nulls(n_scope, _HIST),
         ],
-        names=["name", "gauge", "sum"],
+        names=["name", "gauge", "sum", "histogram"],
     )
-    # interleave [gauge_i, sum_i] per scope
-    idx = np.empty(2 * n_scope, dtype=np.int64)
-    idx[0::2] = np.arange(n_scope)
-    idx[1::2] = np.arange(n_scope) + n_scope
-    metrics = pa.concat_arrays([m_gauge.cast(_METRIC), m_sum.cast(_METRIC)]).take(
-        pa.array(idx, type=pa.int64())
+    m_hist = pa.StructArray.from_arrays(
+        [
+            pa.array(
+                np.full(n_scope, "turn.latency.hist", object), type=pa.string()
+            ),
+            pa.nulls(n_scope, _GAUGE),
+            pa.nulls(n_scope, _SUM),
+            hist_struct,
+        ],
+        names=["name", "gauge", "sum", "histogram"],
     )
+    # interleave [gauge_i, sum_i, hist_i] per scope
+    idx = np.empty(3 * n_scope, dtype=np.int64)
+    idx[0::3] = np.arange(n_scope)
+    idx[1::3] = np.arange(n_scope) + n_scope
+    idx[2::3] = np.arange(n_scope) + 2 * n_scope
+    metrics = pa.concat_arrays(
+        [m_gauge.cast(_METRIC), m_sum.cast(_METRIC), m_hist.cast(_METRIC)]
+    ).take(pa.array(idx, type=pa.int64()))
     metrics_list = pa.ListArray.from_arrays(
-        pa.array(np.arange(0, 2 * n_scope + 2, 2, dtype=np.int32), type=pa.int32()),
+        pa.array(np.arange(0, 3 * n_scope + 3, 3, dtype=np.int32), type=pa.int32()),
         metrics,
     )
 
@@ -443,6 +559,104 @@ def flatten_otlp_metrics_batch(t: pa.Table) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+def flatten_otlp_metrics_hist_batch(t: pa.Table) -> pa.Table:
+    """Histogram branch → one row per HistogramDataPoint: (service,
+    scope, conv.id, count, sum_ms, b0..b3). Datapoints are per-REQUEST
+    partials (DELTA) — consumers sum rows per (scope, conv) to get the
+    batch-independent totals (the mergeable-histogram property)."""
+    if "resourceMetrics" not in t.column_names:
+        cols = {
+            "service": pa.array([], type=pa.string()),
+            "scope_name": pa.array([], type=pa.string()),
+            "conv_id": pa.array([], type=pa.string()),
+            "count": pa.array([], type=pa.int64()),
+            "sum_ms": pa.array([], type=pa.int64()),
+        }
+        for i in range(len(HIST_BOUNDS) + 1):
+            cols[f"b{i}"] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+    rm = t["resourceMetrics"]
+    if isinstance(rm, pa.ChunkedArray):
+        rm = rm.combine_chunks()
+    res = pc.list_flatten(rm)
+    n_res = len(res)
+    resource = _opt_field(
+        res, "resource", pa.struct([("attributes", pa.list_(_KV))])
+    )
+    service = pa.array(
+        _attr_first(
+            _opt_field(resource, "attributes", pa.list_(_KV)),
+            n_res,
+            "service.name",
+            "stringValue",
+        ),
+        type=pa.string(),
+    )
+    sl = res.field("scopeMetrics")
+    scope_parent = pc.list_parent_indices(sl).to_numpy(zero_copy_only=False)
+    scopes = pc.list_flatten(sl)
+    scope_struct = _opt_field(
+        scopes, "scope", pa.struct([("name", pa.string()), ("version", pa.string())])
+    )
+    scope_name = _opt_field(scope_struct, "name", pa.string())
+    ml = scopes.field("metrics")
+    metric_parent = pc.list_parent_indices(ml).to_numpy(zero_copy_only=False)
+    metrics = pc.list_flatten(ml)
+
+    _, dps_list = _masked_dp_lists_typed(metrics, "histogram", _HIST, _HDP)
+    dp_parent = pc.list_parent_indices(dps_list).to_numpy(zero_copy_only=False)
+    dps = pc.list_flatten(dps_list)
+    n_dp = len(dps)
+    sidx = metric_parent[dp_parent] if n_dp else np.empty(0, np.int64)
+    ridx = scope_parent[sidx] if n_dp else np.empty(0, np.int64)
+
+    attrs = _opt_field(dps, "attributes", pa.list_(_KV))
+    conv_id = _attr_first(attrs, n_dp, "conv.id", "stringValue")
+    count = pc.cast(
+        pc.cast(_opt_field(dps, "count", pa.string()), pa.int64()), pa.int64()
+    )
+    # sum is `optional double` — 0.0 is omitted on the wire, read back 0
+    sum_ms = pc.cast(
+        pc.fill_null(_opt_field(dps, "sum", pa.float64()), 0.0), pa.int64()
+    )
+    buckets = _opt_field(dps, "bucketCounts", pa.list_(pa.string()))
+    nb = len(HIST_BOUNDS) + 1
+    flat_b = pc.cast(pc.cast(pc.list_flatten(buckets), pa.int64()), pa.int64())
+    b_np = (
+        flat_b.to_numpy(zero_copy_only=False).reshape(n_dp, nb)
+        if n_dp
+        else np.empty((0, nb), np.int64)
+    )
+    empty_str = pa.array([], type=pa.string())
+    cols = {
+        "service": service.take(pa.array(ridx, type=pa.int64()))
+        if n_dp
+        else empty_str,
+        "scope_name": scope_name.take(pa.array(sidx, type=pa.int64()))
+        if n_dp
+        else empty_str,
+        "conv_id": pa.array(conv_id, type=pa.string()),
+        "count": count,
+        "sum_ms": sum_ms,
+    }
+    for i in range(nb):
+        cols[f"b{i}"] = pa.array(b_np[:, i], type=pa.int64())
+    return pa.table(cols)
+
+
+def _masked_dp_lists_typed(metrics, branch, branch_type, dp_type):
+    """Like ``_masked_dp_lists`` with an explicit dataPoints element
+    type (the histogram datapoint differs from NumberDataPoint)."""
+    b = _opt_field(metrics, branch, branch_type)
+    dps = _opt_field(b, "dataPoints", pa.list_(dp_type))
+    valid = np.asarray(
+        pc.is_valid(b).to_numpy(zero_copy_only=False), dtype=bool
+    )
+    idx = np.arange(len(metrics), dtype=object)
+    idx[~valid] = None
+    return b, dps.take(pa.array(idx, type=pa.int64()))
+
+
 def write_otlp_metrics_json(
     ds: ray.data.Dataset, out_dir: str, compression: str | None = None
 ) -> int:
@@ -465,4 +679,12 @@ def read_otlp_metrics_json(paths) -> ray.data.Dataset:
     datapoints."""
     return _ndjson_requests(paths).map_batches(
         flatten_otlp_metrics_batch, batch_format="pyarrow"
+    )
+
+
+def read_otlp_metrics_hist_json(paths) -> ray.data.Dataset:
+    """Unmarshal the HISTOGRAM branch: NDJSON → per-datapoint partial
+    histograms (merge rows per (scope, conv) for totals)."""
+    return _ndjson_requests(paths).map_batches(
+        flatten_otlp_metrics_hist_batch, batch_format="pyarrow"
     )

@@ -378,6 +378,8 @@ def _classes() -> dict:
     _field(m, "unit", 3, T.TYPE_STRING)
     _field(m, "gauge", 5, T.TYPE_MESSAGE, type_name=mpfx + "Gauge", oneof=0)
     _field(m, "sum", 7, T.TYPE_MESSAGE, type_name=mpfx + "Sum", oneof=0)
+    _field(m, "histogram", 9, T.TYPE_MESSAGE,
+           type_name=mpfx + "Histogram", oneof=0)
     g = met.message_type.add()
     g.name = "Gauge"
     _field(g, "data_points", 1, T.TYPE_MESSAGE, repeated=True,
@@ -389,6 +391,25 @@ def _classes() -> dict:
     # int32 stand-in for the AggregationTemporality enum
     _field(s, "aggregation_temporality", 2, T.TYPE_INT32)
     _field(s, "is_monotonic", 3, T.TYPE_BOOL)
+    h = met.message_type.add()
+    h.name = "Histogram"
+    _field(h, "data_points", 1, T.TYPE_MESSAGE, repeated=True,
+           type_name=mpfx + "HistogramDataPoint")
+    _field(h, "aggregation_temporality", 2, T.TYPE_INT32)
+    hdp = met.message_type.add()
+    hdp.name = "HistogramDataPoint"
+    _field(hdp, "start_time_unix_nano", 2, T.TYPE_FIXED64)
+    _field(hdp, "time_unix_nano", 3, T.TYPE_FIXED64)
+    _field(hdp, "count", 4, T.TYPE_FIXED64)
+    # `optional double sum = 5` in the published schema — declare it in
+    # a synthetic oneof so 0.0 keeps explicit presence semantics
+    hdp.oneof_decl.add().name = "_sum"
+    _field(hdp, "sum", 5, T.TYPE_DOUBLE, oneof=0)
+    _field(hdp, "bucket_counts", 6, T.TYPE_FIXED64, repeated=True)
+    _field(hdp, "explicit_bounds", 7, T.TYPE_DOUBLE, repeated=True)
+    _field(hdp, "attributes", 9, T.TYPE_MESSAGE, repeated=True,
+           type_name=pfx + "KeyValue")
+    _field(hdp, "flags", 10, T.TYPE_UINT32)
     ndp = met.message_type.add()
     ndp.name = "NumberDataPoint"
     ndp.oneof_decl.add().name = "value"

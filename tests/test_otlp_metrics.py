@@ -84,7 +84,7 @@ def test_pb_wire_bytes_are_real_protobuf():
     assert rm[0][:2] == (1, 2)  # resource
     sm = _fields([p for n, w, p in rm if n == 2][0])
     metrics = [p for n, w, p in sm if n == 2]
-    assert len(metrics) == 2  # gauge + sum per scope
+    assert len(metrics) == 3  # gauge + sum + histogram per scope
     m0 = dict((n, (w, p)) for n, w, p in _fields(metrics[0]))
     assert m0[1][1] == b"turn.latency_ms"
     assert 5 in m0 and 7 not in m0  # gauge=5 set, sum=7 not
@@ -136,3 +136,55 @@ def test_empty_dataset_roundtrip(ray_session, tmp_path):
         assert read_otlp_metrics_pb(out).count() == 0
     else:
         assert n == 0
+
+
+def test_histogram_branch_wire_and_merge():
+    """Third oneof branch: HistogramDataPoint with fixed64 count (4),
+    optional-double sum (5), packed fixed64 bucket_counts (6), double
+    explicit_bounds (7); partial datapoints merge by summing."""
+    from opentelemetry_collector_ray.sources.otlp_metrics import (
+        HIST_BOUNDS,
+        flatten_otlp_metrics_hist_batch,
+    )
+
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c1"],
+            "turn_idx": pa.array([0, 1, 2], type=pa.int32()),
+            "role": ["assistant"] * 3,
+            "text": [
+                "[INFO] action=x latency_ms=5 msg=a",
+                "[INFO] action=x latency_ms=55 msg=b",
+                "[INFO] action=x latency_ms=500 msg=c",
+            ],
+            "tool": ["sql"] * 3,
+            "ts": pa.array([1000, 2000, 3000], type=pa.timestamp("us")),
+        }
+    )
+    nested = nest_otlp_metrics_batch(t)
+    hist = flatten_otlp_metrics_hist_batch(nested).to_pandas()
+    assert hist["count"].tolist() == [3]
+    assert hist["sum_ms"].tolist() == [560]
+    assert hist[["b0", "b1", "b2", "b3"]].values.tolist() == [[1, 0, 1, 1]]
+
+    buf = encode_metrics_request(nested.to_pylist()[0])
+    sm = _fields([p for n, w, p in _fields(_fields(buf)[0][2]) if n == 2][0])
+    metrics = [p for n, w, p in sm if n == 2]
+    assert len(metrics) == 3  # gauge + sum + histogram per scope
+    mh = dict((n, (w, p)) for n, w, p in _fields(metrics[2]))
+    assert mh[1][1] == b"turn.latency.hist"
+    assert 9 in mh and 5 not in mh and 7 not in mh  # histogram=9 only
+    hfields = _fields(mh[9][1])
+    assert (2, 0, 1) in hfields  # DELTA temporality
+    dp = dict((n, (w, p)) for n, w, p in _fields(hfields[0][2]))
+    assert dp[4][0] == 1  # count fixed64
+    assert int.from_bytes(dp[4][1], "little") == 3
+    assert dp[5][0] == 1  # sum double (fixed64 wire type)
+    assert dp[6][0] == 2  # packed fixed64 bucket_counts
+    assert len(dp[6][1]) == 8 * (len(HIST_BOUNDS) + 1)
+    # decode returns string fixed64s and the bounds
+    tree = decode_metrics_request(buf)
+    m = tree["resourceMetrics"][0]["scopeMetrics"][0]["metrics"][2]
+    d = m["histogram"]["dataPoints"][0]
+    assert d["count"] == "3" and d["bucketCounts"] == ["1", "0", "1", "1"]
+    assert d["explicitBounds"] == list(HIST_BOUNDS)
