@@ -3072,6 +3072,48 @@ def q_otlp_metrics_histogram(sf_dir: str):
     )
 
 
+def q_boilerplate_lines(sf_dir: str):
+    """Cross-document line dedup (the C4 policy-line rule generalized):
+    lines appearing in >= min_docs DISTINCT documents are boilerplate
+    and removed from every doc. The fixture corpus has no shared lines,
+    so a deterministic boilerplate footer is appended to even doc_ids
+    first (mirrored verbatim in the oracle) — the operator must find
+    and strip exactly that line while leaving unique lines alone."""
+    import numpy as np
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import (
+        cross_doc_line_dedup,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def aug(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        even = pa.array((ids % 2) == 0)
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        footer = pc.binary_join_element_wise(
+            text, "(c) corpus boilerplate", "\n"
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pc.if_else(even, footer, text)}
+        )
+
+    out = cross_doc_line_dedup(
+        docs.map_batches(aug, batch_format="pyarrow"), min_docs=3
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "text_clean", "n_boilerplate_lines"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_attributes_map(sf_dir: str):
     """Open-ended map-typed attributes (pcommon.Map parity,
     pdata/pcommon/map.go:76-160): build a map column from the JSON
@@ -3207,6 +3249,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "otlp_metrics_flatten": q_otlp_metrics_flatten,
     "otlp_metrics_pb_roundtrip": q_otlp_metrics_pb_roundtrip,
     "otlp_metrics_histogram": q_otlp_metrics_histogram,
+    "boilerplate_lines": q_boilerplate_lines,
     "attributes_map": q_attributes_map,
     "ottl_map_where": q_ottl_map_where,
     "sliding_window": q_sliding_window,
@@ -3852,6 +3895,25 @@ def oracle_sql() -> dict[str, str]:
             "cast(sum(CASE WHEN latency_ms > 100 THEN 1 ELSE 0 END) "
             "AS bigint) AS b3 "
             "FROM svc GROUP BY service, scope_name, conv_id"
+        ),
+        "boilerplate_lines": (
+            "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 "
+            "THEN text || chr(10) || '(c) corpus boilerplate' "
+            "ELSE text END AS text FROM documents), "
+            "s AS (SELECT doc_id, string_split(text, chr(10)) AS ls "
+            "FROM aug), "
+            "l AS (SELECT doc_id, unnest(ls) AS line, "
+            "generate_subscripts(ls, 1) AS pos FROM s), "
+            "d AS (SELECT line, count(DISTINCT doc_id) AS nd "
+            "FROM l GROUP BY line), "
+            "k AS (SELECT l.doc_id, l.line, l.pos, d.nd >= 3 AS is_bp "
+            "FROM l JOIN d USING (line)) "
+            "SELECT doc_id, "
+            "string_agg(CASE WHEN NOT is_bp THEN line END, chr(10) "
+            "ORDER BY pos) AS text_clean, "
+            "cast(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS bigint) "
+            "AS n_boilerplate_lines "
+            "FROM k GROUP BY doc_id"
         ),
         "attributes_map": (
             "WITH base AS (SELECT event_id, "

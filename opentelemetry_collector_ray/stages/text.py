@@ -1268,3 +1268,116 @@ def trending_terms(
     return topk_per_group(
         counts, group=group, order_by="n", tiebreak="token", k=k
     )
+
+
+def cross_doc_line_dedup(
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    col: str = "text",
+    min_docs: int = 3,
+) -> "ray.data.Dataset":
+    """Corpus-level boilerplate line removal — the C4 policy-line rule
+    generalized across documents: a line that appears in at least
+    ``min_docs`` DISTINCT documents is boilerplate (cookie banners,
+    license headers) and is removed from EVERY document, keeping the
+    surviving lines' order.
+
+    Shape (two streaming passes, no all-pairs step):
+    1. explode lines, per-batch distinct (line, doc) combiner, sharded
+       distinct + per-line doc count (the `distinct_users` two-phase
+       form — no reducer holds one line's full row set),
+    2. frequent lines (count >= min_docs) are a TINY set by
+       construction (boilerplate), broadcast once via ray.put; each
+       batch drops members with one C++ `is_in` and rebuilds docs with
+       one list-join kernel. Exact — counting groups by the full line
+       string, never a hash, so no collision can drop an innocent line.
+    Output adds ``text_clean`` and ``n_boilerplate_lines``.
+    """
+    import ray as _ray
+
+    from ..functions.agg import grouped_count
+    from ..functions.shard import sharded_group_map
+
+    def _lines(batch: pa.Table):
+        batch = batch.filter(pc.is_valid(batch[col]))
+        text = batch[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return batch, pc.split_pattern(text, "\n")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field(id_col).type
+        t, lines = _lines(t)
+        flat = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if len(flat) == 0:
+            # typed empty — an empty group_by block can surface
+            # schema-less and break the downstream shard hash
+            return pa.table(
+                {
+                    "line": pa.array([], type=pa.string()),
+                    id_col: pa.array([], type=id_type),
+                }
+            )
+        pairs = pa.table({"line": flat, id_col: ids.take(parents)})
+        return pairs.group_by(["line", id_col]).aggregate([])
+
+    pairs = docs.map_batches(pair_partial, batch_format="pyarrow")
+    distinct = sharded_group_map(
+        pairs, ["line"], lambda g: g.drop_duplicates(["line", id_col])
+    )
+    counts = grouped_count(distinct, ["line"], alias="n_docs")
+    frequent = counts.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["n_docs"], min_docs)
+        ).select(["line"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # a fully-filtered dataset can surface ZERO-block (to_pandas has no
+    # columns — the CLAUDE.md empty-aggregate trap); normalize here
+    freq_vals = (
+        frequent["line"] if "line" in frequent.columns else []
+    )
+    fref = _ray.put(pa.array(freq_vals, type=pa.string()))
+
+    def clean(t: pa.Table) -> pa.Table:
+        freq = _ray.get(fref)
+        t, lines = _lines(t)
+        n = len(t)
+        flat = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False
+        )
+        counts_per = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False
+        )
+        drop = np.asarray(
+            pc.is_in(flat, value_set=freq).to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        keep = ~drop
+        kept_counts = (
+            np.bincount(parents[keep], minlength=n)
+            if len(parents)
+            else np.zeros(n, dtype=np.int64)
+        )
+        offsets = np.r_[0, np.cumsum(kept_counts)].astype(np.int32)
+        flat_np = np.asarray(
+            flat.to_numpy(zero_copy_only=False), dtype=object
+        )
+        rebuilt = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat_np[keep], pa.string())
+            ),
+            "\n",
+        )
+        dropped = (counts_per - kept_counts).astype(np.int64)
+        return t.append_column(
+            "text_clean", pc.cast(rebuilt, pa.string())
+        ).append_column("n_boilerplate_lines", pa.array(dropped, pa.int64()))
+
+    return docs.map_batches(clean, batch_format="pyarrow")

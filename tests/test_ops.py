@@ -2153,3 +2153,45 @@ def test_merge_counts_equals_full_rescan():
         .to_pandas().sort_values("g").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(merged, whole)
+
+
+def test_cross_doc_line_dedup_partition_invariance():
+    """Boilerplate lines (>= min_docs distinct docs) are stripped from
+    every document regardless of how docs split across blocks; unique
+    lines and their order survive."""
+    from opentelemetry_collector_ray.stages.text import cross_doc_line_dedup
+
+    rows = []
+    for i in range(12):
+        body = f"unique line {i}\nkeep {i}"
+        if i % 2 == 0:
+            body = "follow us on example\n" + body
+        rows.append({"doc_id": i, "text": body})
+    t = pa.Table.from_pylist(rows)
+
+    def run(num_blocks):
+        ds = ray.data.from_arrow(t).repartition(num_blocks)
+        out = (
+            cross_doc_line_dedup(ds, min_docs=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return out
+
+    a, b = run(1), run(6)
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(a, b)
+    assert a["n_boilerplate_lines"].tolist() == [1, 0] * 6
+    assert a["text_clean"].iloc[0] == "unique line 0\nkeep 0"
+    # a line in only 2 docs is NOT boilerplate at min_docs=3
+    t2_rows = [
+        {"doc_id": 1, "text": "twice\nown 1"},
+        {"doc_id": 2, "text": "twice\nown 2"},
+        {"doc_id": 3, "text": "own 3"},
+    ]
+    out2 = cross_doc_line_dedup(
+        ray.data.from_arrow(pa.Table.from_pylist(t2_rows)), min_docs=3
+    ).to_pandas()
+    assert out2["n_boilerplate_lines"].sum() == 0
