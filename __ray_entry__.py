@@ -3114,6 +3114,29 @@ def q_boilerplate_lines(sf_dir: str):
     )
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (arXiv:2302.03169): score every document
+    by target-domain likeness under hashed unigram models — target =
+    the corpus's 'en' slice, raw = everything. Rows-only (log-prob
+    floats aren't bit-mirrorable in SQL); ranking and partition
+    invariance are pinned by test_ops."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import dsir_weights
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    target = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")).select(
+            ["doc_id", "text"]
+        ),
+        batch_format="pyarrow",
+    )
+    return dsir_weights(docs, target=target)
+
+
 def q_attributes_map(sf_dir: str):
     """Open-ended map-typed attributes (pcommon.Map parity,
     pdata/pcommon/map.go:76-160): build a map column from the JSON
@@ -3250,6 +3273,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "otlp_metrics_pb_roundtrip": q_otlp_metrics_pb_roundtrip,
     "otlp_metrics_histogram": q_otlp_metrics_histogram,
     "boilerplate_lines": q_boilerplate_lines,
+    "dsir_weights": q_dsir_weights,
     "attributes_map": q_attributes_map,
     "ottl_map_where": q_ottl_map_where,
     "sliding_window": q_sliding_window,

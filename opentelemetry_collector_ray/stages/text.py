@@ -1381,3 +1381,96 @@ def cross_doc_line_dedup(
         ).append_column("n_boilerplate_lines", pa.array(dropped, pa.int64()))
 
     return docs.map_batches(clean, batch_format="pyarrow")
+
+
+def dsir_weights(
+    docs: "ray.data.Dataset",
+    *,
+    target: "ray.data.Dataset",
+    col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1 << 14,
+) -> "ray.data.Dataset":
+    """DSIR-style importance weights (Data Selection with Importance
+    Resampling, arXiv:2302.03169): score every raw document by how
+    target-domain-like it is under hashed unigram bag-of-words models,
+
+        weight(doc) = mean over tokens of log p_target(h) − log p_raw(h)
+
+    with h = crc32(token) % buckets and add-one smoothing. Selection =
+    keep the top-weighted docs (or sample ∝ weight) downstream.
+
+    Scale shape: each feature model is ONE dense vector of ``buckets``
+    int64 counts — per-batch bincount partials merged by elementwise
+    sum (two tiny reductions, never a vocabulary shuffle); the
+    log-ratio table broadcasts once via ray.put and scoring is a
+    vectorized gather + segment-sum per batch. Weights are exact
+    per-document float sums (a doc's tokens never split across
+    batches), so results are independent of partitioning.
+    """
+    import ray as _ray
+
+    def _hash_tokens(text_col):
+        toks = pc.utf8_split_whitespace(pc.fill_null(text_col, ""))
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        words = np.asarray(
+            flat.to_numpy(zero_copy_only=False), dtype=object
+        )
+        # vectorized, process-stable string hash (fixed 16-byte key —
+        # never Python hash(), which is per-process randomized)
+        h = (
+            _pd.util.hash_array(words, hash_key="otelray_dsir_16b")
+            % np.uint64(buckets)
+        ).astype(np.int64)
+        return h, parents
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h, _ = _hash_tokens(text)
+        return pa.table(
+            {"counts": pa.array([np.bincount(h, minlength=buckets)])}
+        )
+
+    def model(ds) -> np.ndarray:
+        parts = ds.map_batches(
+            count_partial, batch_format="pyarrow"
+        ).to_pandas()["counts"]
+        total = np.zeros(buckets, dtype=np.int64)
+        for p in parts:
+            total += np.asarray(p, dtype=np.int64)
+        return total
+
+    c_t = model(target)
+    c_r = model(docs)
+    # add-one smoothing; log probs in float64 (IEEE, deterministic)
+    log_ratio = np.log((c_t + 1) / (c_t.sum() + buckets)) - np.log(
+        (c_r + 1) / (c_r.sum() + buckets)
+    )
+    lref = _ray.put(log_ratio)
+
+    def score(t: pa.Table) -> pa.Table:
+        lr = _ray.get(lref)
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h, parents = _hash_tokens(text)
+        n = len(t)
+        sums = np.zeros(n, dtype=np.float64)
+        if len(h):
+            np.add.at(sums, parents, lr[h])
+        counts = np.bincount(parents, minlength=n) if len(h) else np.zeros(n)
+        weight = sums / np.maximum(counts, 1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "dsir_weight": pa.array(weight, type=pa.float64()),
+                "n_tokens": pa.array(
+                    counts.astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -2195,3 +2195,50 @@ def test_cross_doc_line_dedup_partition_invariance():
         ray.data.from_arrow(pa.Table.from_pylist(t2_rows)), min_docs=3
     ).to_pandas()
     assert out2["n_boilerplate_lines"].sum() == 0
+
+
+def test_dsir_weights_ranking_and_invariance():
+    """DSIR importance weights: target-like docs outrank dissimilar
+    ones, and weights are independent of partitioning (per-doc exact
+    float sums, models merged by elementwise count sums)."""
+    from opentelemetry_collector_ray.stages.text import dsir_weights
+
+    target = pa.table(
+        {
+            "doc_id": [100, 101],
+            "text": ["alpha beta alpha beta gamma", "beta alpha beta"],
+        }
+    )
+    raw = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta beta alpha",
+                "beta gamma alpha",
+                "xyzzy qwerty dvorak",
+                "lorem ipsum dolor",
+            ],
+        }
+    )
+    out = (
+        dsir_weights(
+            ray.data.from_arrow(raw), target=ray.data.from_arrow(target)
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    w = dict(zip(out["doc_id"], out["dsir_weight"]))
+    assert min(w[1], w[2]) > max(w[3], w[4])
+    out2 = (
+        dsir_weights(
+            ray.data.from_arrow(raw).repartition(3),
+            target=ray.data.from_arrow(target).repartition(2),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(out, out2)
