@@ -94,6 +94,16 @@ QUERIES = [
     "mix_sample",
     "temperature_mix",
     "stratified_take",
+    "boilerplate_lines",
+    # codec roundtrips over null-holed transcripts (null text from
+    # null events.value/props)
+    "otlp_json_flatten",
+    "otlp_traces_flatten",
+    "otlp_metrics_flatten",
+    "otlp_metrics_histogram",
+    "ottl_transform",
+    "ottl_map_transform",
+    "trending_terms",
 ]
 
 
