@@ -3072,6 +3072,37 @@ def q_otlp_metrics_histogram(sf_dir: str):
     )
 
 
+def q_otlp_metrics_exphist(sf_dir: str):
+    """OTLP ExponentialHistogram branch (scale-0 base-2 buckets with
+    per-dp offset, zeroCount field, sint32/fixed64 wire types): nest
+    emits per-(scope, conv) partials; reading back, bucket rows merge
+    by summing — batch-independent, oracle = GROUP BY on the same
+    ceil(log2(v))-1 rule the exp_histogram table operator uses."""
+    import os
+    import shutil
+
+    from ray.data.aggregate import Sum
+
+    from opentelemetry_collector_ray.sources.otlp_metrics import (
+        read_otlp_metrics_exp_json,
+        write_otlp_metrics_json,
+    )
+
+    out = f"/tmp/otel_ray_otlp_exphist_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_otlp_metrics_json(_transcripts(sf_dir), out)
+    rows = read_otlp_metrics_exp_json(out)
+
+    keys = ["service", "scope_name", "conv_id", "bucket_idx"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([("n", "sum")])
+        return g.rename_columns(keys + ["_n"])
+
+    merged = rows.map_batches(partial, batch_format="pyarrow")
+    return merged.groupby(keys).aggregate(Sum("_n", alias_name="n"))
+
+
 def q_boilerplate_lines(sf_dir: str):
     """Cross-document line dedup (the C4 policy-line rule generalized):
     lines appearing in >= min_docs DISTINCT documents are boilerplate
@@ -3272,6 +3303,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "otlp_metrics_flatten": q_otlp_metrics_flatten,
     "otlp_metrics_pb_roundtrip": q_otlp_metrics_pb_roundtrip,
     "otlp_metrics_histogram": q_otlp_metrics_histogram,
+    "otlp_metrics_exphist": q_otlp_metrics_exphist,
     "boilerplate_lines": q_boilerplate_lines,
     "dsir_weights": q_dsir_weights,
     "attributes_map": q_attributes_map,
@@ -3919,6 +3951,20 @@ def oracle_sql() -> dict[str, str]:
             "cast(sum(CASE WHEN latency_ms > 100 THEN 1 ELSE 0 END) "
             "AS bigint) AS b3 "
             "FROM svc GROUP BY service, scope_name, conv_id"
+        ),
+        "otlp_metrics_exphist": o.PARSED_CTE + (
+            ", svc AS (SELECT *, "
+            "CASE tool WHEN 'bash' THEN 'infra' WHEN 'browser' THEN 'web' "
+            "WHEN 'python' THEN 'compute' WHEN 'sql' THEN 'data' "
+            "ELSE 'unknown' END AS service, "
+            "'otelray.' || role AS scope_name "
+            "FROM parsed2 WHERE latency_ms IS NOT NULL) "
+            "SELECT service, scope_name, conv_id, "
+            "CASE WHEN latency_ms = 0 THEN -100 "
+            "ELSE cast(ceil(log2(cast(greatest(latency_ms, 1) AS double)))"
+            " AS bigint) - 1 END AS bucket_idx, "
+            "cast(count(*) AS bigint) AS n "
+            "FROM svc GROUP BY 1, 2, 3, 4"
         ),
         "boilerplate_lines": (
             "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 "

@@ -78,12 +78,37 @@ _HIST = pa.struct(
         pa.field("aggregationTemporality", pa.int64()),
     ]
 )
+# ExponentialHistogram branch (scale 0): bucket index i covers
+# (2^i, 2^(i+1)], zeros ride the dedicated zeroCount field.
+_EB = pa.struct(
+    [
+        pa.field("offset", pa.int64()),
+        pa.field("bucketCounts", pa.list_(pa.string())),
+    ]
+)
+_EDP = pa.struct(
+    [
+        pa.field("attributes", pa.list_(_KV)),
+        pa.field("timeUnixNano", pa.string()),
+        pa.field("count", pa.string()),
+        pa.field("scale", pa.int64()),
+        pa.field("zeroCount", pa.string()),
+        pa.field("positive", _EB),
+    ]
+)
+_EXP_HIST = pa.struct(
+    [
+        pa.field("dataPoints", pa.list_(_EDP)),
+        pa.field("aggregationTemporality", pa.int64()),
+    ]
+)
 _METRIC = pa.struct(
     [
         pa.field("name", pa.string()),
         pa.field("gauge", _GAUGE),
         pa.field("sum", _SUM),
         pa.field("histogram", _HIST),
+        pa.field("exponentialHistogram", _EXP_HIST),
     ]
 )
 
@@ -311,45 +336,104 @@ def nest_otlp_metrics_batch(t: pa.Table) -> pa.Table:
         names=["dataPoints", "aggregationTemporality"],
     ).cast(_HIST)
 
-    m_gauge = pa.StructArray.from_arrays(
-        [
-            pa.array(np.full(n_scope, "turn.latency_ms", object), type=pa.string()),
-            gauge_struct,
-            pa.nulls(n_scope, _SUM),
-            pa.nulls(n_scope, _HIST),
-        ],
-        names=["name", "gauge", "sum", "histogram"],
+    # exponential-histogram datapoints: same (scope, conv) groups, scale
+    # 0 — idx = ceil(log2(v)) - 1 so bucket i covers (2^i, 2^(i+1)];
+    # zeros ride zeroCount. Per-dp buckets span [offset, max idx].
+    zero_per = (
+        np.bincount(hg_ids[lat_i == 0], minlength=n_h)
+        if n_h
+        else np.empty(0, np.int64)
     )
-    m_sum = pa.StructArray.from_arrays(
+    nz = lat_i > 0
+    grp_nz = hg_ids[nz]
+    with np.errstate(divide="ignore"):
+        eidx = np.ceil(np.log2(np.maximum(lat_i[nz], 1))).astype(np.int64) - 1
+    if len(grp_nz):
+        gstarts = np.flatnonzero(np.r_[True, grp_nz[1:] != grp_nz[:-1]])
+        gids = grp_nz[gstarts]  # which groups have nonzero values
+        mins = np.minimum.reduceat(eidx, gstarts)
+        maxs = np.maximum.reduceat(eidx, gstarts)
+    else:
+        gstarts = np.empty(0, np.int64)
+        gids = np.empty(0, np.int64)
+        mins = np.empty(0, np.int64)
+        maxs = np.empty(0, np.int64)
+    off = np.zeros(n_h, dtype=np.int64)
+    width = np.zeros(n_h, dtype=np.int64)
+    off[gids] = mins
+    width[gids] = maxs - mins + 1
+    wstart = np.r_[0, np.cumsum(width)].astype(np.int64)
+    pos = wstart[grp_nz] + (eidx - off[grp_nz])
+    eb_counts = np.bincount(pos, minlength=int(wstart[-1]) if n_h else 0)
+    positive = pa.StructArray.from_arrays(
         [
-            pa.array(np.full(n_scope, "turn.count", object), type=pa.string()),
-            pa.nulls(n_scope, _GAUGE),
-            sum_struct,
-            pa.nulls(n_scope, _HIST),
-        ],
-        names=["name", "gauge", "sum", "histogram"],
-    )
-    m_hist = pa.StructArray.from_arrays(
-        [
-            pa.array(
-                np.full(n_scope, "turn.latency.hist", object), type=pa.string()
+            pa.array(off, type=pa.int64()),
+            pa.ListArray.from_arrays(
+                pa.array(wstart.astype(np.int32), type=pa.int32()),
+                pa.array(eb_counts.astype("U"), type=pa.string()),
             ),
-            pa.nulls(n_scope, _GAUGE),
-            pa.nulls(n_scope, _SUM),
-            hist_struct,
         ],
-        names=["name", "gauge", "sum", "histogram"],
-    )
-    # interleave [gauge_i, sum_i, hist_i] per scope
-    idx = np.empty(3 * n_scope, dtype=np.int64)
-    idx[0::3] = np.arange(n_scope)
-    idx[1::3] = np.arange(n_scope) + n_scope
-    idx[2::3] = np.arange(n_scope) + 2 * n_scope
-    metrics = pa.concat_arrays(
-        [m_gauge.cast(_METRIC), m_sum.cast(_METRIC), m_hist.cast(_METRIC)]
-    ).take(pa.array(idx, type=pa.int64()))
+        names=["offset", "bucketCounts"],
+    ).cast(_EB)
+    edp = pa.StructArray.from_arrays(
+        [
+            h_attrs,
+            pa.array(time_ns[g_rows][h_start], type=pa.string()),
+            pa.array(h_counts.astype("U"), type=pa.string()),
+            pa.array(np.zeros(n_h, dtype=np.int64), type=pa.int64()),
+            pa.array(zero_per.astype("U"), type=pa.string()),
+            positive,
+        ],
+        names=[
+            "attributes",
+            "timeUnixNano",
+            "count",
+            "scale",
+            "zeroCount",
+            "positive",
+        ],
+    ).cast(_EDP)
+    exp_dps = pa.ListArray.from_arrays(pa.array(h_off, type=pa.int32()), edp)
+    exp_struct = pa.StructArray.from_arrays(
+        [
+            exp_dps,
+            pa.array(
+                np.full(n_scope, AGG_TEMPORALITY_DELTA, dtype=np.int64),
+                type=pa.int64(),
+            ),
+        ],
+        names=["dataPoints", "aggregationTemporality"],
+    ).cast(_EXP_HIST)
+
+    def metric_entry(name, gauge=None, sum_=None, hist=None, exp=None):
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(np.full(n_scope, name, object), type=pa.string()),
+                gauge if gauge is not None else pa.nulls(n_scope, _GAUGE),
+                sum_ if sum_ is not None else pa.nulls(n_scope, _SUM),
+                hist if hist is not None else pa.nulls(n_scope, _HIST),
+                exp if exp is not None else pa.nulls(n_scope, _EXP_HIST),
+            ],
+            names=["name", "gauge", "sum", "histogram", "exponentialHistogram"],
+        ).cast(_METRIC)
+
+    branches = [
+        metric_entry("turn.latency_ms", gauge=gauge_struct),
+        metric_entry("turn.count", sum_=sum_struct),
+        metric_entry("turn.latency.hist", hist=hist_struct),
+        metric_entry("turn.latency.exphist", exp=exp_struct),
+    ]
+    nm = len(branches)
+    # interleave [gauge_i, sum_i, hist_i, exp_i] per scope
+    idx = np.empty(nm * n_scope, dtype=np.int64)
+    for j in range(nm):
+        idx[j::nm] = np.arange(n_scope) + j * n_scope
+    metrics = pa.concat_arrays(branches).take(pa.array(idx, type=pa.int64()))
     metrics_list = pa.ListArray.from_arrays(
-        pa.array(np.arange(0, 3 * n_scope + 3, 3, dtype=np.int32), type=pa.int32()),
+        pa.array(
+            np.arange(0, nm * n_scope + nm, nm, dtype=np.int32),
+            type=pa.int32(),
+        ),
         metrics,
     )
 
@@ -642,6 +726,138 @@ def flatten_otlp_metrics_hist_batch(t: pa.Table) -> pa.Table:
     for i in range(nb):
         cols[f"b{i}"] = pa.array(b_np[:, i], type=pa.int64())
     return pa.table(cols)
+
+
+ZERO_BUCKET_IDX = -100  # sentinel bucket for zeroCount rows (exp_histogram's)
+
+
+def flatten_otlp_metrics_exp_batch(t: pa.Table) -> pa.Table:
+    """ExponentialHistogram branch → exploded per-bucket rows
+    (service, scope_name, conv_id, bucket_idx, n) with zeroCount rows
+    at the ``ZERO_BUCKET_IDX`` sentinel. Datapoints are per-request
+    DELTA partials — consumers sum n per group+bucket for the
+    batch-independent totals."""
+    empty = pa.table(
+        {
+            "service": pa.array([], type=pa.string()),
+            "scope_name": pa.array([], type=pa.string()),
+            "conv_id": pa.array([], type=pa.string()),
+            "bucket_idx": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+    if "resourceMetrics" not in t.column_names:
+        return empty
+    rm = t["resourceMetrics"]
+    if isinstance(rm, pa.ChunkedArray):
+        rm = rm.combine_chunks()
+    res = pc.list_flatten(rm)
+    n_res = len(res)
+    resource = _opt_field(
+        res, "resource", pa.struct([("attributes", pa.list_(_KV))])
+    )
+    service = np.asarray(
+        _attr_first(
+            _opt_field(resource, "attributes", pa.list_(_KV)),
+            n_res,
+            "service.name",
+            "stringValue",
+        ),
+        dtype=object,
+    )
+    sl = res.field("scopeMetrics")
+    scope_parent = pc.list_parent_indices(sl).to_numpy(zero_copy_only=False)
+    scopes = pc.list_flatten(sl)
+    scope_struct = _opt_field(
+        scopes, "scope", pa.struct([("name", pa.string()), ("version", pa.string())])
+    )
+    scope_name = np.asarray(
+        _opt_field(scope_struct, "name", pa.string()).to_numpy(
+            zero_copy_only=False
+        ),
+        dtype=object,
+    )
+    ml = scopes.field("metrics")
+    metric_parent = pc.list_parent_indices(ml).to_numpy(zero_copy_only=False)
+    metrics = pc.list_flatten(ml)
+
+    _, dps_list = _masked_dp_lists_typed(
+        metrics, "exponentialHistogram", _EXP_HIST, _EDP
+    )
+    dp_parent = pc.list_parent_indices(dps_list).to_numpy(zero_copy_only=False)
+    dps = pc.list_flatten(dps_list)
+    n_dp = len(dps)
+    if not n_dp:
+        return empty
+    sidx = metric_parent[dp_parent]
+    ridx = scope_parent[sidx]
+    attrs = _opt_field(dps, "attributes", pa.list_(_KV))
+    conv_id = np.asarray(
+        _attr_first(attrs, n_dp, "conv.id", "stringValue"), dtype=object
+    )
+    zero_n = (
+        pc.cast(_opt_field(dps, "zeroCount", pa.string()), pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    zero_n = np.nan_to_num(zero_n.astype(np.float64)).astype(np.int64)
+    pos = _opt_field(dps, "positive", _EB)
+    offset = np.nan_to_num(
+        pc.cast(_opt_field(pos, "offset", pa.int64()), pa.int64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    ).astype(np.int64)
+    bl = _opt_field(pos, "bucketCounts", pa.list_(pa.string()))
+    b_parent = pc.list_parent_indices(bl).to_numpy(zero_copy_only=False)
+    b_counts = (
+        pc.cast(pc.list_flatten(bl), pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    # position within each dp's bucket list → absolute bucket index
+    starts = np.zeros(n_dp, dtype=np.int64)
+    if len(b_parent):
+        cnts = np.bincount(b_parent, minlength=n_dp)
+        starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    within = (
+        np.arange(len(b_parent)) - starts[b_parent]
+        if len(b_parent)
+        else np.empty(0, np.int64)
+    )
+    b_idx = offset[b_parent] + within if len(b_parent) else np.empty(0, np.int64)
+
+    keep = b_counts > 0
+    rows_service = np.concatenate(
+        [service[ridx][b_parent][keep], service[ridx][zero_n > 0]]
+    )
+    rows_scope = np.concatenate(
+        [scope_name[sidx][b_parent][keep], scope_name[sidx][zero_n > 0]]
+    )
+    rows_conv = np.concatenate(
+        [conv_id[b_parent][keep], conv_id[zero_n > 0]]
+    )
+    rows_idx = np.concatenate(
+        [
+            b_idx[keep],
+            np.full(int((zero_n > 0).sum()), ZERO_BUCKET_IDX, dtype=np.int64),
+        ]
+    )
+    rows_n = np.concatenate([b_counts[keep], zero_n[zero_n > 0]])
+    return pa.table(
+        {
+            "service": pa.array(rows_service, type=pa.string()),
+            "scope_name": pa.array(rows_scope, type=pa.string()),
+            "conv_id": pa.array(rows_conv, type=pa.string()),
+            "bucket_idx": pa.array(rows_idx, type=pa.int64()),
+            "n": pa.array(rows_n, type=pa.int64()),
+        }
+    )
+
+
+def read_otlp_metrics_exp_json(paths) -> "ray.data.Dataset":
+    """Unmarshal the EXPONENTIAL-HISTOGRAM branch: NDJSON → exploded
+    per-bucket partial rows (sum per group+bucket for totals)."""
+    return _ndjson_requests(paths).map_batches(
+        flatten_otlp_metrics_exp_batch, batch_format="pyarrow"
+    )
 
 
 def _masked_dp_lists_typed(metrics, branch, branch_type, dp_type):

@@ -380,6 +380,8 @@ def _classes() -> dict:
     _field(m, "sum", 7, T.TYPE_MESSAGE, type_name=mpfx + "Sum", oneof=0)
     _field(m, "histogram", 9, T.TYPE_MESSAGE,
            type_name=mpfx + "Histogram", oneof=0)
+    _field(m, "exponential_histogram", 10, T.TYPE_MESSAGE,
+           type_name=mpfx + "ExponentialHistogram", oneof=0)
     g = met.message_type.add()
     g.name = "Gauge"
     _field(g, "data_points", 1, T.TYPE_MESSAGE, repeated=True,
@@ -410,6 +412,32 @@ def _classes() -> dict:
     _field(hdp, "attributes", 9, T.TYPE_MESSAGE, repeated=True,
            type_name=pfx + "KeyValue")
     _field(hdp, "flags", 10, T.TYPE_UINT32)
+    eh = met.message_type.add()
+    eh.name = "ExponentialHistogram"
+    _field(eh, "data_points", 1, T.TYPE_MESSAGE, repeated=True,
+           type_name=mpfx + "ExponentialHistogramDataPoint")
+    _field(eh, "aggregation_temporality", 2, T.TYPE_INT32)
+    edp = met.message_type.add()
+    edp.name = "ExponentialHistogramDataPoint"
+    # NOTE: attributes is field 1 here (unlike HistogramDataPoint's 9)
+    _field(edp, "attributes", 1, T.TYPE_MESSAGE, repeated=True,
+           type_name=pfx + "KeyValue")
+    _field(edp, "start_time_unix_nano", 2, T.TYPE_FIXED64)
+    _field(edp, "time_unix_nano", 3, T.TYPE_FIXED64)
+    _field(edp, "count", 4, T.TYPE_FIXED64)
+    edp.oneof_decl.add().name = "_sum"
+    _field(edp, "sum", 5, T.TYPE_DOUBLE, oneof=0)
+    _field(edp, "scale", 6, T.TYPE_SINT32)
+    _field(edp, "zero_count", 7, T.TYPE_FIXED64)
+    ebk = edp.nested_type.add()
+    ebk.name = "Buckets"
+    _field(ebk, "offset", 1, T.TYPE_SINT32)
+    _field(ebk, "bucket_counts", 2, T.TYPE_UINT64, repeated=True)
+    _field(edp, "positive", 8, T.TYPE_MESSAGE,
+           type_name=mpfx + "ExponentialHistogramDataPoint.Buckets")
+    _field(edp, "negative", 9, T.TYPE_MESSAGE,
+           type_name=mpfx + "ExponentialHistogramDataPoint.Buckets")
+    _field(edp, "flags", 10, T.TYPE_UINT32)
     ndp = met.message_type.add()
     ndp.name = "NumberDataPoint"
     ndp.oneof_decl.add().name = "value"

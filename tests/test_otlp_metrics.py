@@ -84,7 +84,7 @@ def test_pb_wire_bytes_are_real_protobuf():
     assert rm[0][:2] == (1, 2)  # resource
     sm = _fields([p for n, w, p in rm if n == 2][0])
     metrics = [p for n, w, p in sm if n == 2]
-    assert len(metrics) == 3  # gauge + sum + histogram per scope
+    assert len(metrics) == 4  # gauge + sum + histogram + exphist
     m0 = dict((n, (w, p)) for n, w, p in _fields(metrics[0]))
     assert m0[1][1] == b"turn.latency_ms"
     assert 5 in m0 and 7 not in m0  # gauge=5 set, sum=7 not
@@ -170,7 +170,7 @@ def test_histogram_branch_wire_and_merge():
     buf = encode_metrics_request(nested.to_pylist()[0])
     sm = _fields([p for n, w, p in _fields(_fields(buf)[0][2]) if n == 2][0])
     metrics = [p for n, w, p in sm if n == 2]
-    assert len(metrics) == 3  # gauge + sum + histogram per scope
+    assert len(metrics) == 4  # gauge + sum + histogram + exphist
     mh = dict((n, (w, p)) for n, w, p in _fields(metrics[2]))
     assert mh[1][1] == b"turn.latency.hist"
     assert 9 in mh and 5 not in mh and 7 not in mh  # histogram=9 only
@@ -188,3 +188,65 @@ def test_histogram_branch_wire_and_merge():
     d = m["histogram"]["dataPoints"][0]
     assert d["count"] == "3" and d["bucketCounts"] == ["1", "0", "1", "1"]
     assert d["explicitBounds"] == list(HIST_BOUNDS)
+
+
+def test_exponential_histogram_branch():
+    """Fourth oneof branch: ExponentialHistogramDataPoint — attributes
+    at field 1 (unlike HistogramDataPoint's 9), sint32 scale/offset,
+    fixed64 zero_count, nested Buckets; zeros ride zeroCount and bucket
+    i covers (2^i, 2^(i+1)]."""
+    from opentelemetry_collector_ray.sources.otlp_metrics import (
+        ZERO_BUCKET_IDX,
+        flatten_otlp_metrics_exp_batch,
+    )
+
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c1", "c2"],
+            "turn_idx": pa.array([0, 1, 2, 0], type=pa.int32()),
+            "role": ["assistant"] * 4,
+            "text": [
+                "[INFO] action=x latency_ms=0 msg=a",
+                "[INFO] action=x latency_ms=64 msg=b",
+                "[INFO] action=x latency_ms=100 msg=c",
+                "[INFO] action=x latency_ms=7 msg=d",
+            ],
+            "tool": ["sql"] * 4,
+            "ts": pa.array([1000, 2000, 3000, 4000], type=pa.timestamp("us")),
+        }
+    )
+    nested = nest_otlp_metrics_batch(t)
+    exp = flatten_otlp_metrics_exp_batch(nested).to_pandas()
+    got = {
+        (r.conv_id, r.bucket_idx): r.n for r in exp.itertuples()
+    }
+    # 64 → (2^5, 2^6] = idx 5; 100 → idx 6; 7 → idx 2; 0 → zero bucket
+    assert got == {
+        ("c1", 5): 1,
+        ("c1", 6): 1,
+        ("c2", 2): 1,
+        ("c1", ZERO_BUCKET_IDX): 1,
+    }
+
+    buf = encode_metrics_request(nested.to_pylist()[0])
+    sm = _fields([p for n, w, p in _fields(_fields(buf)[0][2]) if n == 2][0])
+    metrics = [p for n, w, p in sm if n == 2]
+    assert len(metrics) == 4  # gauge + sum + hist + exphist
+    me = dict((n, (w, p)) for n, w, p in _fields(metrics[3]))
+    assert me[1][1] == b"turn.latency.exphist"
+    assert 10 in me  # exponential_histogram = 10
+    ef = _fields(me[10][1])
+    dp = dict((n, (w, p)) for n, w, p in _fields(ef[0][2]))
+    assert dp[1][0] == 2  # attributes at FIELD 1
+    assert dp[4][0] == 1  # count fixed64
+    assert dp[7][0] == 1  # zero_count fixed64
+    assert 8 in dp  # positive buckets
+    pos = dict((n, (w, p)) for n, w, p in _fields(dp[8][1]))
+    # offset sint32 zigzag: 5 → 10
+    assert pos[1] == (0, 10)
+    # roundtrip keeps the JSON tree form
+    tree = decode_metrics_request(buf)
+    m = tree["resourceMetrics"][0]["scopeMetrics"][0]["metrics"][3]
+    d = m["exponentialHistogram"]["dataPoints"][0]
+    assert d["zeroCount"] == "1" and d["positive"]["offset"] == 5
+    assert d["positive"]["bucketCounts"] == ["1", "1"]
