@@ -3103,6 +3103,41 @@ def q_otlp_metrics_exphist(sf_dir: str):
     return merged.groupby(keys).aggregate(Sum("_n", alias_name="n"))
 
 
+def q_otlp_metrics_summary(sf_dir: str):
+    """OTLP Summary branch (the 5th and final metric type on the wire:
+    SummaryDataPoint with nested ValueAtQuantile): the merged gate
+    covers the MERGEABLE fields (count/sum per (scope, conv)); the
+    point-in-time quantile snapshots — legacy Summary semantics, not
+    mergeable by definition — are pinned by pytest instead."""
+    import os
+    import shutil
+
+    from ray.data.aggregate import Sum
+
+    from opentelemetry_collector_ray.sources.otlp_metrics import (
+        read_otlp_metrics_summary_json,
+        write_otlp_metrics_json,
+    )
+
+    out = f"/tmp/otel_ray_otlp_summ_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_otlp_metrics_json(_transcripts(sf_dir), out)
+    rows = read_otlp_metrics_summary_json(out)
+
+    keys = ["service", "scope_name", "conv_id"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(
+            [("count", "sum"), ("sum_ms", "sum")]
+        )
+        return g.rename_columns(keys + ["_c", "_s"])
+
+    merged = rows.map_batches(partial, batch_format="pyarrow")
+    return merged.groupby(keys).aggregate(
+        Sum("_c", alias_name="count"), Sum("_s", alias_name="sum_ms")
+    )
+
+
 def q_boilerplate_lines(sf_dir: str):
     """Cross-document line dedup (the C4 policy-line rule generalized):
     lines appearing in >= min_docs DISTINCT documents are boilerplate
@@ -3304,6 +3339,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "otlp_metrics_pb_roundtrip": q_otlp_metrics_pb_roundtrip,
     "otlp_metrics_histogram": q_otlp_metrics_histogram,
     "otlp_metrics_exphist": q_otlp_metrics_exphist,
+    "otlp_metrics_summary": q_otlp_metrics_summary,
     "boilerplate_lines": q_boilerplate_lines,
     "dsir_weights": q_dsir_weights,
     "attributes_map": q_attributes_map,
@@ -3965,6 +4001,18 @@ def oracle_sql() -> dict[str, str]:
             " AS bigint) - 1 END AS bucket_idx, "
             "cast(count(*) AS bigint) AS n "
             "FROM svc GROUP BY 1, 2, 3, 4"
+        ),
+        "otlp_metrics_summary": o.PARSED_CTE + (
+            ", svc AS (SELECT *, "
+            "CASE tool WHEN 'bash' THEN 'infra' WHEN 'browser' THEN 'web' "
+            "WHEN 'python' THEN 'compute' WHEN 'sql' THEN 'data' "
+            "ELSE 'unknown' END AS service, "
+            "'otelray.' || role AS scope_name "
+            "FROM parsed2 WHERE latency_ms IS NOT NULL) "
+            "SELECT service, scope_name, conv_id, "
+            'cast(count(*) AS bigint) AS "count", '
+            "cast(sum(latency_ms) AS bigint) AS sum_ms "
+            "FROM svc GROUP BY 1, 2, 3"
         ),
         "boilerplate_lines": (
             "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 "

@@ -102,6 +102,25 @@ _EXP_HIST = pa.struct(
         pa.field("aggregationTemporality", pa.int64()),
     ]
 )
+# Summary branch (legacy passthrough type): point-in-time quantiles —
+# NOT mergeable, so only count/sum feed the merged oracle gate.
+SUMMARY_QUANTILES = (0.5, 0.95)
+_VAQ = pa.struct(
+    [
+        pa.field("quantile", pa.float64()),
+        pa.field("value", pa.float64()),
+    ]
+)
+_SDP = pa.struct(
+    [
+        pa.field("attributes", pa.list_(_KV)),
+        pa.field("timeUnixNano", pa.string()),
+        pa.field("count", pa.string()),
+        pa.field("sum", pa.float64()),
+        pa.field("quantileValues", pa.list_(_VAQ)),
+    ]
+)
+_SUMMARY = pa.struct([pa.field("dataPoints", pa.list_(_SDP))])
 _METRIC = pa.struct(
     [
         pa.field("name", pa.string()),
@@ -109,6 +128,7 @@ _METRIC = pa.struct(
         pa.field("sum", _SUM),
         pa.field("histogram", _HIST),
         pa.field("exponentialHistogram", _EXP_HIST),
+        pa.field("summary", _SUMMARY),
     ]
 )
 
@@ -405,7 +425,55 @@ def nest_otlp_metrics_batch(t: pa.Table) -> pa.Table:
         names=["dataPoints", "aggregationTemporality"],
     ).cast(_EXP_HIST)
 
-    def metric_entry(name, gauge=None, sum_=None, hist=None, exp=None):
+    # summary datapoints: same (scope, conv) groups — count/sum plus
+    # point-in-time discrete quantiles of the group's latencies
+    # (legacy Summary semantics: quantiles are a snapshot, NOT
+    # mergeable — the merged oracle gates count/sum only)
+    nq = len(SUMMARY_QUANTILES)
+    if n_h:
+        order = np.lexsort((lat_i, hg_ids))
+        sorted_vals = lat_i[order]
+        gstart = np.r_[0, np.cumsum(h_counts)[:-1]]
+        qvals = np.empty(n_h * nq, dtype=np.float64)
+        for qi, q in enumerate(SUMMARY_QUANTILES):
+            ranks = gstart + np.ceil(q * h_counts).astype(np.int64) - 1
+            qvals[qi::nq] = sorted_vals[ranks].astype(np.float64)
+    else:
+        qvals = np.empty(0, np.float64)
+    vaq = pa.StructArray.from_arrays(
+        [
+            pa.array(
+                np.tile(np.asarray(SUMMARY_QUANTILES), n_h),
+                type=pa.float64(),
+            ),
+            pa.array(qvals, type=pa.float64()),
+        ],
+        names=["quantile", "value"],
+    )
+    qlists = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, nq * n_h + nq, nq, dtype=np.int32), type=pa.int32()),
+        vaq,
+    )
+    sdp = pa.StructArray.from_arrays(
+        [
+            h_attrs,
+            pa.array(time_ns[g_rows][h_start], type=pa.string()),
+            pa.array(h_counts.astype("U"), type=pa.string()),
+            pa.array(h_sums.astype(np.float64), type=pa.float64()),
+            qlists,
+        ],
+        names=["attributes", "timeUnixNano", "count", "sum", "quantileValues"],
+    ).cast(_SDP)
+    summary_dps = pa.ListArray.from_arrays(
+        pa.array(h_off, type=pa.int32()), sdp
+    )
+    summary_struct = pa.StructArray.from_arrays(
+        [summary_dps], names=["dataPoints"]
+    ).cast(_SUMMARY)
+
+    def metric_entry(
+        name, gauge=None, sum_=None, hist=None, exp=None, summ=None
+    ):
         return pa.StructArray.from_arrays(
             [
                 pa.array(np.full(n_scope, name, object), type=pa.string()),
@@ -413,8 +481,16 @@ def nest_otlp_metrics_batch(t: pa.Table) -> pa.Table:
                 sum_ if sum_ is not None else pa.nulls(n_scope, _SUM),
                 hist if hist is not None else pa.nulls(n_scope, _HIST),
                 exp if exp is not None else pa.nulls(n_scope, _EXP_HIST),
+                summ if summ is not None else pa.nulls(n_scope, _SUMMARY),
             ],
-            names=["name", "gauge", "sum", "histogram", "exponentialHistogram"],
+            names=[
+                "name",
+                "gauge",
+                "sum",
+                "histogram",
+                "exponentialHistogram",
+                "summary",
+            ],
         ).cast(_METRIC)
 
     branches = [
@@ -422,6 +498,7 @@ def nest_otlp_metrics_batch(t: pa.Table) -> pa.Table:
         metric_entry("turn.count", sum_=sum_struct),
         metric_entry("turn.latency.hist", hist=hist_struct),
         metric_entry("turn.latency.exphist", exp=exp_struct),
+        metric_entry("turn.latency.summary", summ=summary_struct),
     ]
     nm = len(branches)
     # interleave [gauge_i, sum_i, hist_i, exp_i] per scope
@@ -849,6 +926,99 @@ def flatten_otlp_metrics_exp_batch(t: pa.Table) -> pa.Table:
             "bucket_idx": pa.array(rows_idx, type=pa.int64()),
             "n": pa.array(rows_n, type=pa.int64()),
         }
+    )
+
+
+def flatten_otlp_metrics_summary_batch(t: pa.Table) -> pa.Table:
+    """Summary branch → one row per SummaryDataPoint: (service,
+    scope_name, conv_id, count, sum_ms, q50, q95). count/sum are
+    mergeable per-request partials; the quantiles are point-in-time
+    snapshots (legacy Summary semantics) carried through verbatim."""
+    empty = pa.table(
+        {
+            "service": pa.array([], type=pa.string()),
+            "scope_name": pa.array([], type=pa.string()),
+            "conv_id": pa.array([], type=pa.string()),
+            "count": pa.array([], type=pa.int64()),
+            "sum_ms": pa.array([], type=pa.int64()),
+            "q50": pa.array([], type=pa.float64()),
+            "q95": pa.array([], type=pa.float64()),
+        }
+    )
+    if "resourceMetrics" not in t.column_names:
+        return empty
+    rm = t["resourceMetrics"]
+    if isinstance(rm, pa.ChunkedArray):
+        rm = rm.combine_chunks()
+    res = pc.list_flatten(rm)
+    n_res = len(res)
+    resource = _opt_field(
+        res, "resource", pa.struct([("attributes", pa.list_(_KV))])
+    )
+    service = pa.array(
+        _attr_first(
+            _opt_field(resource, "attributes", pa.list_(_KV)),
+            n_res,
+            "service.name",
+            "stringValue",
+        ),
+        type=pa.string(),
+    )
+    sl = res.field("scopeMetrics")
+    scope_parent = pc.list_parent_indices(sl).to_numpy(zero_copy_only=False)
+    scopes = pc.list_flatten(sl)
+    scope_struct = _opt_field(
+        scopes, "scope", pa.struct([("name", pa.string()), ("version", pa.string())])
+    )
+    scope_name = _opt_field(scope_struct, "name", pa.string())
+    ml = scopes.field("metrics")
+    metric_parent = pc.list_parent_indices(ml).to_numpy(zero_copy_only=False)
+    metrics = pc.list_flatten(ml)
+
+    _, dps_list = _masked_dp_lists_typed(metrics, "summary", _SUMMARY, _SDP)
+    dp_parent = pc.list_parent_indices(dps_list).to_numpy(zero_copy_only=False)
+    dps = pc.list_flatten(dps_list)
+    n_dp = len(dps)
+    if not n_dp:
+        return empty
+    sidx = metric_parent[dp_parent]
+    ridx = scope_parent[sidx]
+    attrs = _opt_field(dps, "attributes", pa.list_(_KV))
+    conv_id = _attr_first(attrs, n_dp, "conv.id", "stringValue")
+    count = pc.cast(_opt_field(dps, "count", pa.string()), pa.int64())
+    sum_ms = pc.cast(
+        pc.fill_null(_opt_field(dps, "sum", pa.float64()), 0.0), pa.int64()
+    )
+    # first-match per quantile across the quantileValues list
+    ql = _opt_field(dps, "quantileValues", pa.list_(_VAQ))
+    q_parent = pc.list_parent_indices(ql).to_numpy(zero_copy_only=False)
+    qs = pc.list_flatten(ql)
+    qq = _opt_field(qs, "quantile", pa.float64()).to_numpy(
+        zero_copy_only=False
+    )
+    qv = _opt_field(qs, "value", pa.float64()).to_numpy(zero_copy_only=False)
+    out_q = {}
+    for name, target in (("q50", 0.5), ("q95", 0.95)):
+        col = np.full(n_dp, np.nan)
+        hit = qq == target
+        col[q_parent[hit][::-1]] = qv[hit][::-1]
+        out_q[name] = pa.array(col, type=pa.float64())
+    return pa.table(
+        {
+            "service": service.take(pa.array(ridx, type=pa.int64())),
+            "scope_name": scope_name.take(pa.array(sidx, type=pa.int64())),
+            "conv_id": pa.array(conv_id, type=pa.string()),
+            "count": count,
+            "sum_ms": sum_ms,
+            **out_q,
+        }
+    )
+
+
+def read_otlp_metrics_summary_json(paths) -> "ray.data.Dataset":
+    """Unmarshal the SUMMARY branch: NDJSON → per-datapoint rows."""
+    return _ndjson_requests(paths).map_batches(
+        flatten_otlp_metrics_summary_batch, batch_format="pyarrow"
     )
 
 

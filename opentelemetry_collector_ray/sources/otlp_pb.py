@@ -382,6 +382,8 @@ def _classes() -> dict:
            type_name=mpfx + "Histogram", oneof=0)
     _field(m, "exponential_histogram", 10, T.TYPE_MESSAGE,
            type_name=mpfx + "ExponentialHistogram", oneof=0)
+    _field(m, "summary", 11, T.TYPE_MESSAGE,
+           type_name=mpfx + "Summary", oneof=0)
     g = met.message_type.add()
     g.name = "Gauge"
     _field(g, "data_points", 1, T.TYPE_MESSAGE, repeated=True,
@@ -438,6 +440,25 @@ def _classes() -> dict:
     _field(edp, "negative", 9, T.TYPE_MESSAGE,
            type_name=mpfx + "ExponentialHistogramDataPoint.Buckets")
     _field(edp, "flags", 10, T.TYPE_UINT32)
+    su = met.message_type.add()
+    su.name = "Summary"
+    _field(su, "data_points", 1, T.TYPE_MESSAGE, repeated=True,
+           type_name=mpfx + "SummaryDataPoint")
+    sdp = met.message_type.add()
+    sdp.name = "SummaryDataPoint"
+    _field(sdp, "attributes", 7, T.TYPE_MESSAGE, repeated=True,
+           type_name=pfx + "KeyValue")
+    _field(sdp, "start_time_unix_nano", 2, T.TYPE_FIXED64)
+    _field(sdp, "time_unix_nano", 3, T.TYPE_FIXED64)
+    _field(sdp, "count", 4, T.TYPE_FIXED64)
+    _field(sdp, "sum", 5, T.TYPE_DOUBLE)
+    vaq = sdp.nested_type.add()
+    vaq.name = "ValueAtQuantile"
+    _field(vaq, "quantile", 1, T.TYPE_DOUBLE)
+    _field(vaq, "value", 2, T.TYPE_DOUBLE)
+    _field(sdp, "quantile_values", 6, T.TYPE_MESSAGE, repeated=True,
+           type_name=mpfx + "SummaryDataPoint.ValueAtQuantile")
+    _field(sdp, "flags", 8, T.TYPE_UINT32)
     ndp = met.message_type.add()
     ndp.name = "NumberDataPoint"
     ndp.oneof_decl.add().name = "value"

@@ -84,7 +84,7 @@ def test_pb_wire_bytes_are_real_protobuf():
     assert rm[0][:2] == (1, 2)  # resource
     sm = _fields([p for n, w, p in rm if n == 2][0])
     metrics = [p for n, w, p in sm if n == 2]
-    assert len(metrics) == 4  # gauge + sum + histogram + exphist
+    assert len(metrics) == 5  # all five wire branches per scope
     m0 = dict((n, (w, p)) for n, w, p in _fields(metrics[0]))
     assert m0[1][1] == b"turn.latency_ms"
     assert 5 in m0 and 7 not in m0  # gauge=5 set, sum=7 not
@@ -170,7 +170,7 @@ def test_histogram_branch_wire_and_merge():
     buf = encode_metrics_request(nested.to_pylist()[0])
     sm = _fields([p for n, w, p in _fields(_fields(buf)[0][2]) if n == 2][0])
     metrics = [p for n, w, p in sm if n == 2]
-    assert len(metrics) == 4  # gauge + sum + histogram + exphist
+    assert len(metrics) == 5  # all five wire branches per scope
     mh = dict((n, (w, p)) for n, w, p in _fields(metrics[2]))
     assert mh[1][1] == b"turn.latency.hist"
     assert 9 in mh and 5 not in mh and 7 not in mh  # histogram=9 only
@@ -231,7 +231,7 @@ def test_exponential_histogram_branch():
     buf = encode_metrics_request(nested.to_pylist()[0])
     sm = _fields([p for n, w, p in _fields(_fields(buf)[0][2]) if n == 2][0])
     metrics = [p for n, w, p in sm if n == 2]
-    assert len(metrics) == 4  # gauge + sum + hist + exphist
+    assert len(metrics) == 5  # all five wire branches per scope
     me = dict((n, (w, p)) for n, w, p in _fields(metrics[3]))
     assert me[1][1] == b"turn.latency.exphist"
     assert 10 in me  # exponential_histogram = 10
@@ -250,3 +250,53 @@ def test_exponential_histogram_branch():
     d = m["exponentialHistogram"]["dataPoints"][0]
     assert d["zeroCount"] == "1" and d["positive"]["offset"] == 5
     assert d["positive"]["bucketCounts"] == ["1", "1"]
+
+
+def test_summary_branch():
+    """Fifth oneof branch: SummaryDataPoint (fixed64 count, plain
+    double sum, nested ValueAtQuantile at field 6, attributes at 7) —
+    discrete q50/q95 snapshots round-trip both wires verbatim."""
+    from opentelemetry_collector_ray.sources.otlp_metrics import (
+        flatten_otlp_metrics_summary_batch,
+    )
+
+    t = pa.table(
+        {
+            "conv_id": ["c1"] * 5,
+            "turn_idx": pa.array(range(5), type=pa.int32()),
+            "role": ["assistant"] * 5,
+            "text": [
+                f"[INFO] action=x latency_ms={v} msg=a"
+                for v in (10, 20, 30, 40, 50)
+            ],
+            "tool": ["sql"] * 5,
+            "ts": pa.array(
+                [1000 * i for i in range(1, 6)], type=pa.timestamp("us")
+            ),
+        }
+    )
+    nested = nest_otlp_metrics_batch(t)
+    s = flatten_otlp_metrics_summary_batch(nested).to_pandas()
+    assert s["count"].tolist() == [5] and s["sum_ms"].tolist() == [150]
+    # discrete quantiles: rank ceil(q*n) of the sorted values
+    assert s["q50"].tolist() == [30.0] and s["q95"].tolist() == [50.0]
+
+    buf = encode_metrics_request(nested.to_pylist()[0])
+    sm = _fields([p for n, w, p in _fields(_fields(buf)[0][2]) if n == 2][0])
+    metrics = [p for n, w, p in sm if n == 2]
+    assert len(metrics) == 5  # all five wire branches per scope
+    ms = dict((n, (w, p)) for n, w, p in _fields(metrics[4]))
+    assert ms[1][1] == b"turn.latency.summary"
+    assert 11 in ms  # summary = 11
+    dp = dict((n, (w, p)) for n, w, p in _fields(_fields(ms[11][1])[0][2]))
+    assert dp[4][0] == 1  # count fixed64
+    assert dp[7][0] == 2  # attributes at field 7
+    vaqs = [p for n, w, p in _fields(_fields(ms[11][1])[0][2]) if n == 6]
+    assert len(vaqs) == 2  # two ValueAtQuantile entries
+    tree = decode_metrics_request(buf)
+    m = tree["resourceMetrics"][0]["scopeMetrics"][0]["metrics"][4]
+    d = m["summary"]["dataPoints"][0]
+    assert d["quantileValues"] == [
+        {"quantile": 0.5, "value": 30.0},
+        {"quantile": 0.95, "value": 50.0},
+    ]
