@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
     cmpp.add_argument("path")
     cmpp.add_argument("--min-rows-per-file", type=int, default=1_000_000)
 
+    sub.add_parser(
+        "components",
+        help="list available sources, stages, sink modes and feature "
+        "gates (the `otelcol components` analogue)",
+    )
+
     prof = sub.add_parser(
         "profile", help="per-column n/null/distinct/min/max audit of parquet"
     )
@@ -73,6 +79,29 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     from .pipelines.config import ConfigError, load_config
+
+    if args.cmd == "components":
+        # no Ray session needed — registry introspection only
+        from .pipelines.builder import STAGE_REGISTRY
+        from .pipelines.config import FEATURE_GATES, KNOWN_SOURCES
+
+        print(
+            json.dumps(
+                {
+                    "sources": sorted(KNOWN_SOURCES),
+                    "stages": sorted(STAGE_REGISTRY),
+                    "sink_modes": ["route", "single"],
+                    "feature_gates": {
+                        gid: {
+                            "stage": g.stage,
+                            "enabled_by_default": g.default,
+                        }
+                        for gid, g in sorted(FEATURE_GATES.items())
+                    },
+                }
+            )
+        )
+        return 0
 
     if args.cmd == "validate":
         try:

@@ -551,3 +551,25 @@ def test_counter_shards_merge(ray_session):
         ray.get(a.add_many.remote({"processor/p/accepted_log_records": i + 1}))
     snap = m.settle_snapshot(shards, attempts=5)
     assert snap["processor/p/accepted_log_records"] == 6
+
+
+def test_cli_components_lists_registry():
+    """`components` CLI (the otelcol components analogue): machine-
+    readable inventory of sources, stages, sink modes, feature gates —
+    no Ray session needed."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "opentelemetry_collector_ray", "components"],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"},
+    )
+    assert out.returncode == 0, out.stderr
+    d = json.loads(out.stdout)
+    assert "parse" in d["stages"] and "transform" in d["stages"]
+    assert "parquet" in d["sources"]
+    assert "engine.timeoutSender" in d["feature_gates"]
