@@ -3138,6 +3138,57 @@ def q_otlp_metrics_summary(sf_dir: str):
     )
 
 
+def q_otlp_ingest_pipeline(sf_dir: str):
+    """End-to-end OTLP ingestion: genuine OTLP/JSON export files (gzip
+    wire compression) are the SOURCE of the flagship pipeline —
+    flatten → reconstruct the transcript shape (role back out of the
+    scope name, ts from timeUnixNano) → parse → enrich → route →
+    per-sink counts. Must equal the direct-path sink_counts oracle
+    exactly: the wire round-trip is lossless for the whole DAG."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from opentelemetry_collector_ray.pipelines.logs import sink_counts
+    from opentelemetry_collector_ray.sources.otlp_json import (
+        read_otlp_logs_json,
+        write_otlp_logs_json,
+    )
+    from opentelemetry_collector_ray.stages.enrich import enrich_batch
+    from opentelemetry_collector_ray.stages.parse import parse_batch
+
+    out = f"/tmp/otel_ray_otlp_ingest_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_otlp_logs_json(_transcripts(sf_dir), out, compression="gzip")
+
+    def to_transcripts(t: pa.Table) -> pa.Table:
+        role = pc.replace_substring_regex(
+            t["scope_name"], "^otelray\\.", ""
+        )
+        ts = pc.cast(
+            pc.divide(t["time_unix_nano"], 1000), pa.timestamp("us")
+        )
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "role": role,
+                "text": t["body"],
+                "tool": t["tool"],
+                "ts": ts,
+            }
+        )
+
+    recovered = read_otlp_logs_json(out).map_batches(
+        to_transcripts, batch_format="pyarrow"
+    )
+    enriched = recovered.map_batches(
+        parse_batch, batch_format="pyarrow"
+    ).map_batches(enrich_batch, batch_format="pyarrow")
+    return sink_counts(enriched)
+
+
 def q_boilerplate_lines(sf_dir: str):
     """Cross-document line dedup (the C4 policy-line rule generalized):
     lines appearing in >= min_docs DISTINCT documents are boilerplate
@@ -3340,6 +3391,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "otlp_metrics_histogram": q_otlp_metrics_histogram,
     "otlp_metrics_exphist": q_otlp_metrics_exphist,
     "otlp_metrics_summary": q_otlp_metrics_summary,
+    "otlp_ingest_pipeline": q_otlp_ingest_pipeline,
     "boilerplate_lines": q_boilerplate_lines,
     "dsir_weights": q_dsir_weights,
     "attributes_map": q_attributes_map,
@@ -4002,6 +4054,8 @@ def oracle_sql() -> dict[str, str]:
             "cast(count(*) AS bigint) AS n "
             "FROM svc GROUP BY 1, 2, 3, 4"
         ),
+        "otlp_ingest_pipeline": o.ROUTED_CTE
+        + "SELECT sink, count(*) AS n FROM routed GROUP BY sink",
         "otlp_metrics_summary": o.PARSED_CTE + (
             ", svc AS (SELECT *, "
             "CASE tool WHEN 'bash' THEN 'infra' WHEN 'browser' THEN 'web' "
