@@ -435,8 +435,18 @@ class _NdjsonWriter:
         return pa.table({"rows": pa.array([len(lines)], type=pa.int64())})
 
 
+# One Export() request per input batch: cap the batch size so request
+# payloads stay exporter-sized (~a few MB) even when upstream blocks
+# are 100TB-scale (~128MB) — the batch-processor send_batch_max_size
+# rule applied at the wire boundary.
+REQUEST_ROWS = 8192
+
+
 def write_otlp_logs_json(
-    ds: ray.data.Dataset, out_dir: str, compression: str | None = None
+    ds: ray.data.Dataset,
+    out_dir: str,
+    compression: str | None = None,
+    rows_per_request: int = REQUEST_ROWS,
 ) -> int:
     """Marshal: one ExportLogsServiceRequest JSON object per input
     batch, written as NDJSON (null fields omitted — the proto3 JSON
@@ -445,7 +455,9 @@ def write_otlp_logs_json(
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    nested = ds.map_batches(nest_otlp_batch, batch_format="pyarrow")
+    nested = ds.map_batches(
+        nest_otlp_batch, batch_format="pyarrow", batch_size=rows_per_request
+    )
     written = nested.map_batches(
         _NdjsonWriter(out_dir, compression), batch_format="pyarrow"
     ).sum("rows")
@@ -464,7 +476,13 @@ class _NdjsonDecode:
             t["bytes"].to_pylist(), t["path"].to_pylist()
         ):
             raw = decompress_payload(data, path)
-            tables.append(pj.read_json(pa.BufferReader(raw)))
+            # one NDJSON line = one whole request (MBs at exporter
+            # sizing) — the parser's default 1MB block would fail with
+            # "straddling object straddles two block boundaries"
+            opts = pj.ReadOptions(block_size=max(1 << 20, len(raw) + 1))
+            tables.append(
+                pj.read_json(pa.BufferReader(raw), read_options=opts)
+            )
         if not tables:
             return pa.table({})
         return pa.concat_tables(tables, promote_options="permissive")

@@ -1044,7 +1044,10 @@ def _masked_dp_lists_typed(metrics, branch, branch_type, dp_type):
 
 
 def write_otlp_metrics_json(
-    ds: ray.data.Dataset, out_dir: str, compression: str | None = None
+    ds: ray.data.Dataset,
+    out_dir: str,
+    compression: str | None = None,
+    rows_per_request: int | None = None,
 ) -> int:
     """Marshal: one ExportMetricsServiceRequest JSON object per input
     batch, written as NDJSON (null fields omitted — the proto3 JSON
@@ -1053,7 +1056,13 @@ def write_otlp_metrics_json(
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    nested = ds.map_batches(nest_otlp_metrics_batch, batch_format="pyarrow")
+    from .otlp_json import REQUEST_ROWS
+
+    nested = ds.map_batches(
+        nest_otlp_metrics_batch,
+        batch_format="pyarrow",
+        batch_size=rows_per_request or REQUEST_ROWS,
+    )
     written = nested.map_batches(
         _NdjsonWriter(out_dir, compression), batch_format="pyarrow"
     ).sum("rows")

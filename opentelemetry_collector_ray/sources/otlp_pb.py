@@ -31,6 +31,7 @@ import ray.data
 
 from .otlp_json import (
     _COMPRESS_EXT,
+    REQUEST_ROWS,
     _KV,
     _strip_nulls,
     compress_payload,
@@ -611,14 +612,21 @@ class _PbWriter:
 
 
 def write_otlp_logs_pb(
-    ds: ray.data.Dataset, out_dir: str, compression: str | None = None
+    ds: ray.data.Dataset,
+    out_dir: str,
+    compression: str | None = None,
+    rows_per_request: int | None = None,
 ) -> int:
     """Marshal: transcript rows → nested request trees → binary OTLP
     protobuf files. Returns the number of requests written."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    nested = ds.map_batches(nest_otlp_batch, batch_format="pyarrow")
+    nested = ds.map_batches(
+        nest_otlp_batch,
+        batch_format="pyarrow",
+        batch_size=rows_per_request or REQUEST_ROWS,
+    )
     written = nested.map_batches(
         _PbWriter(out_dir, compression), batch_format="pyarrow"
     ).sum("requests")
@@ -758,14 +766,21 @@ class _TracePbWriter:
 
 
 def write_otlp_traces_pb(
-    ds: ray.data.Dataset, out_dir: str, compression: str | None = None
+    ds: ray.data.Dataset,
+    out_dir: str,
+    compression: str | None = None,
+    rows_per_request: int | None = None,
 ) -> int:
     """Marshal: transcript rows → nested trace request trees → binary
     OTLP protobuf files. Returns the number of requests written."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    nested = ds.map_batches(nest_otlp_traces_batch, batch_format="pyarrow")
+    nested = ds.map_batches(
+        nest_otlp_traces_batch,
+        batch_format="pyarrow",
+        batch_size=rows_per_request or REQUEST_ROWS,
+    )
     written = nested.map_batches(
         _TracePbWriter(out_dir, compression), batch_format="pyarrow"
     ).sum("requests")
@@ -853,14 +868,21 @@ class _MetricsPbWriter:
 
 
 def write_otlp_metrics_pb(
-    ds: ray.data.Dataset, out_dir: str, compression: str | None = None
+    ds: ray.data.Dataset,
+    out_dir: str,
+    compression: str | None = None,
+    rows_per_request: int | None = None,
 ) -> int:
     """Marshal: transcript rows → nested metrics request trees →
     binary OTLP protobuf files. Returns the request count."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    nested = ds.map_batches(nest_otlp_metrics_batch, batch_format="pyarrow")
+    nested = ds.map_batches(
+        nest_otlp_metrics_batch,
+        batch_format="pyarrow",
+        batch_size=rows_per_request or REQUEST_ROWS,
+    )
     written = nested.map_batches(
         _MetricsPbWriter(out_dir, compression), batch_format="pyarrow"
     ).sum("requests")

@@ -421,7 +421,10 @@ def flatten_otlp_traces_batch(t: pa.Table) -> pa.Table:
 
 
 def write_otlp_traces_json(
-    ds: ray.data.Dataset, out_dir: str, compression: str | None = None
+    ds: ray.data.Dataset,
+    out_dir: str,
+    compression: str | None = None,
+    rows_per_request: int | None = None,
 ) -> int:
     """Marshal: one ExportTraceServiceRequest JSON object per input
     batch, written as NDJSON (null fields omitted — the proto3 JSON
@@ -430,7 +433,13 @@ def write_otlp_traces_json(
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    nested = ds.map_batches(nest_otlp_traces_batch, batch_format="pyarrow")
+    from .otlp_json import REQUEST_ROWS
+
+    nested = ds.map_batches(
+        nest_otlp_traces_batch,
+        batch_format="pyarrow",
+        batch_size=rows_per_request or REQUEST_ROWS,
+    )
     written = nested.map_batches(
         _NdjsonWriter(out_dir, compression), batch_format="pyarrow"
     ).sum("rows")
