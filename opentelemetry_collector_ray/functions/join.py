@@ -35,11 +35,20 @@ def broadcast_join(
     on: str | list[str],
     how: str = "inner",
 ) -> ray.data.Dataset:
-    """Merge ``small`` (a pandas frame, broadcast once) into every batch."""
+    """Merge ``small`` (a pandas frame, broadcast once) into every
+    batch. SQL join semantics for NULL keys: a NULL key matches
+    nothing — pandas merge would instead pair NaN with NaN, so
+    null-key rows are dropped from any side whose rows cannot appear
+    unmatched in the output (same rule as ``bucketed_hash_join``)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if how in ("inner", "left"):
+        small = small.dropna(subset=keys)
     ref = ray.put(small)
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:
         rhs = ray.get(ref)
+        if how in ("inner", "right"):
+            batch = batch.dropna(subset=keys)
         return batch.merge(rhs, on=on, how=how)
 
     return ds.map_batches(merge, batch_format="pandas")
@@ -131,7 +140,14 @@ def bucketed_hash_join(
     # null-key rows are dropped from any side whose rows cannot appear
     # unmatched in the output; sides whose unmatched rows ARE retained
     # (left side of a left join) keep them — the other side is then
-    # null-free, so no NaN-NaN match can happen.
+    # null-free, so no NaN-NaN match can happen. A full outer join
+    # retains null-key rows on BOTH sides, where that rule cannot hold:
+    # refuse it rather than silently pair NaN with NaN.
+    if how == "outer":
+        raise ValueError(
+            "bucketed_hash_join: how='outer' unsupported (pandas would "
+            "match NULL keys to each other; SQL keeps them unmatched)"
+        )
     drop_null_keys = {
         0: how in ("inner", "right"),
         1: how in ("inner", "left"),

@@ -183,9 +183,7 @@ def fill_null_key(t: pa.Table, key: str) -> pa.Table:
     col = t[key]
     import pyarrow.compute as pc
 
-    if col.null_count and pa.types.is_string(
-        col.type if not isinstance(col, pa.ChunkedArray) else col.type
-    ):
+    if col.null_count and pa.types.is_string(col.type):
         idx = t.column_names.index(key)
         t = t.set_column(idx, key, pc.fill_null(col, NULL_KEY))
     return t
@@ -196,12 +194,23 @@ def restore_null_key(t: pa.Table, key: str) -> pa.Table:
     import pyarrow.compute as pc
 
     col = t[key]
-    if not pa.types.is_string(
-        col.type if not isinstance(col, pa.ChunkedArray) else col.type
-    ):
+    if not pa.types.is_string(col.type):
         return t
     idx = t.column_names.index(key)
     masked = pc.if_else(
         pc.equal(col, NULL_KEY), pa.scalar(None, pa.string()), col
     )
     return t.set_column(idx, key, masked)
+
+
+def cheap_row_count(ds: "ray.data.Dataset") -> int | None:
+    """Row count from plan METADATA only (None when unknown) — on a
+    lazy transformed dataset ``ds.count()`` executes the whole lineage
+    once more (the same double-execution trap as ``cheap_size_bytes``).
+    Callers needing only an order-of-magnitude knob should treat None
+    as "pass the knob explicitly"."""
+    try:
+        n = ds._meta_count()
+        return int(n) if n is not None else None
+    except Exception:
+        return None

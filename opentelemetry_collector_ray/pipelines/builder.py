@@ -397,10 +397,16 @@ def _apply_stages(
                 },
                 batch_format="pyarrow",
                 batch_size=st.options.get("batch_size"),
-                concurrency=_default_concurrency(),
+                concurrency=_stage_concurrency(st.options),
             )
         else:
-            ds = ds.map_batches(built, batch_format="pyarrow")
+            # plain-function stage, counters off: honor the per-stage
+            # batch_size knob here too (it was silently dropped)
+            ds = ds.map_batches(
+                built,
+                batch_format="pyarrow",
+                batch_size=st.options.get("batch_size"),
+            )
     return ds
 
 

@@ -78,6 +78,21 @@ def _md5_hex(keys: np.ndarray, width: int) -> np.ndarray:
     return out
 
 
+def _i64_strings(vals: np.ndarray) -> np.ndarray:
+    """int64-as-string proto3 JSON wire form, None where the input is
+    null — a blind ``astype("U")`` on a NaN-holding float array writes
+    the literal string "nan" onto the wire and crashes every reader
+    (the CLAUDE.md NaN→astype bug class, found by review)."""
+    out = np.empty(len(vals), dtype=object)
+    if vals.dtype.kind == "f":
+        mask = np.isnan(vals)
+        out[:] = np.where(mask, 0, vals).astype(np.int64).astype("U").astype(object)
+        out[mask] = None
+    else:
+        out[:] = vals.astype(np.int64).astype("U").astype(object)
+    return out
+
+
 def _str(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -126,7 +141,7 @@ def nest_otlp_batch(t: pa.Table) -> pa.Table:
         type=pa.int64(),
     )
     time_ns = pa.array(
-        (df["ts_us"].to_numpy() * 1000).astype("U"), type=pa.string()
+        _i64_strings(df["ts_us"].to_numpy() * 1000), type=pa.string()
     )
     # log-trace correlation (logs.proto LogRecord.trace_id=9/span_id=10;
     # the logs data model's RequestContext section): every record points

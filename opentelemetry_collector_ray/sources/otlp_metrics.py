@@ -38,6 +38,7 @@ from .otlp_json import (
     _KV,
     _NdjsonWriter,
     _attr_first,
+    _i64_strings,
     _kv_list,
     _ndjson_requests,
     _opt_field,
@@ -218,7 +219,7 @@ def nest_otlp_metrics_batch(t: pa.Table) -> pa.Table:
     conv = df["conv_id"].to_numpy(dtype=object)
     turn_str = df["turn_idx"].to_numpy().astype("U").astype(object)
     tool = df["tool"].to_numpy(dtype=object)
-    time_ns = (df["ts_us"].to_numpy() * 1000).astype("U").astype(object)
+    time_ns = _i64_strings(df["ts_us"].to_numpy() * 1000)
 
     text_arr = pa.array(df["text"].to_numpy(dtype=object), type=pa.string())
     extracted = pc.extract_regex(text_arr, GROK_PATTERN)
@@ -573,19 +574,48 @@ _EMPTY_FLAT = {
 }
 
 
-def _masked_dp_lists(metrics: pa.StructArray, branch: str, branch_type):
-    """dataPoints lists of one oneof branch, with lists NULLED where
-    the branch struct is null — .field() ignores the parent mask, and
-    list_flatten over a stale child would leak the OTHER metric's
-    points."""
-    b = _opt_field(metrics, branch, branch_type)
-    dps = _opt_field(b, "dataPoints", pa.list_(_DP))
-    valid = np.asarray(
-        pc.is_valid(b).to_numpy(zero_copy_only=False), dtype=bool
+def _tree_context(t: pa.Table):
+    """The shared resource→scope→metric walk of every metrics flatten:
+    returns (service, scope_name, scope_version, scope_parent,
+    metric_parent, metrics), or None for a schema-less/empty batch.
+    Every level goes through ``_opt_field`` — proto3 omits empty
+    repeateds, so a resource without scopeMetrics must read as an
+    empty list, not a KeyError."""
+    if "resourceMetrics" not in t.column_names:
+        return None
+    rm = t["resourceMetrics"]
+    if isinstance(rm, pa.ChunkedArray):
+        rm = rm.combine_chunks()
+    res = pc.list_flatten(rm)
+    n_res = len(res)
+    resource = _opt_field(
+        res, "resource", pa.struct([("attributes", pa.list_(_KV))])
     )
-    idx = np.arange(len(metrics), dtype=object)
-    idx[~valid] = None
-    return b, dps.take(pa.array(idx, type=pa.int64()))
+    service = pa.array(
+        _attr_first(
+            _opt_field(resource, "attributes", pa.list_(_KV)),
+            n_res,
+            "service.name",
+            "stringValue",
+        ),
+        type=pa.string(),
+    )
+    sl = _opt_field(
+        res, "scopeMetrics", _RESOURCE_METRICS.value_type.field("scopeMetrics").type
+    )
+    scope_parent = pc.list_parent_indices(sl).to_numpy(zero_copy_only=False)
+    scopes = pc.list_flatten(sl)
+    scope_struct = _opt_field(
+        scopes,
+        "scope",
+        pa.struct([("name", pa.string()), ("version", pa.string())]),
+    )
+    scope_name = _opt_field(scope_struct, "name", pa.string())
+    scope_version = _opt_field(scope_struct, "version", pa.string())
+    ml = _opt_field(scopes, "metrics", pa.list_(_METRIC))
+    metric_parent = pc.list_parent_indices(ml).to_numpy(zero_copy_only=False)
+    metrics = pc.list_flatten(ml)
+    return service, scope_name, scope_version, scope_parent, metric_parent, metrics
 
 
 def _flat_branch(
@@ -596,8 +626,8 @@ def _flat_branch(
 ) -> dict:
     """One oneof branch → flat per-datapoint columns + context
     indices."""
-    b, dps_list = _masked_dp_lists(
-        metrics, branch, _GAUGE if branch == "gauge" else _SUM
+    b, dps_list = _masked_dp_lists_typed(
+        metrics, branch, _GAUGE if branch == "gauge" else _SUM, _DP
     )
     dp_parent = pc.list_parent_indices(dps_list).to_numpy(zero_copy_only=False)
     dps = pc.list_flatten(dps_list)
@@ -656,40 +686,12 @@ def flatten_otlp_metrics_batch(t: pa.Table) -> pa.Table:
     """ExportMetricsServiceRequest rows → flat datapoint table (the
     unmarshal half): resource/scope/metric context denormalized onto
     every NumberDataPoint of the gauge and sum branches."""
-    if "resourceMetrics" not in t.column_names:
+    ctx = _tree_context(t)
+    if ctx is None:
         return pa.table(
             {k: pa.array([], type=v) for k, v in _EMPTY_FLAT.items()}
         )
-    rm = t["resourceMetrics"]
-    if isinstance(rm, pa.ChunkedArray):
-        rm = rm.combine_chunks()
-    res = pc.list_flatten(rm)
-    n_res = len(res)
-    resource = _opt_field(
-        res, "resource", pa.struct([("attributes", pa.list_(_KV))])
-    )
-    service = pa.array(
-        _attr_first(
-            _opt_field(resource, "attributes", pa.list_(_KV)),
-            n_res,
-            "service.name",
-            "stringValue",
-        ),
-        type=pa.string(),
-    )
-
-    sl = res.field("scopeMetrics")
-    scope_parent = pc.list_parent_indices(sl).to_numpy(zero_copy_only=False)
-    scopes = pc.list_flatten(sl)
-    scope_struct = _opt_field(
-        scopes, "scope", pa.struct([("name", pa.string()), ("version", pa.string())])
-    )
-    scope_name = _opt_field(scope_struct, "name", pa.string())
-    scope_version = _opt_field(scope_struct, "version", pa.string())
-
-    ml = scopes.field("metrics")
-    metric_parent = pc.list_parent_indices(ml).to_numpy(zero_copy_only=False)
-    metrics = pc.list_flatten(ml)
+    service, scope_name, scope_version, scope_parent, metric_parent, metrics = ctx
 
     parts = []
     for branch in ("gauge", "sum"):
@@ -725,44 +727,19 @@ def flatten_otlp_metrics_hist_batch(t: pa.Table) -> pa.Table:
     scope, conv.id, count, sum_ms, b0..b3). Datapoints are per-REQUEST
     partials (DELTA) — consumers sum rows per (scope, conv) to get the
     batch-independent totals (the mergeable-histogram property)."""
-    if "resourceMetrics" not in t.column_names:
-        cols = {
-            "service": pa.array([], type=pa.string()),
-            "scope_name": pa.array([], type=pa.string()),
-            "conv_id": pa.array([], type=pa.string()),
-            "count": pa.array([], type=pa.int64()),
-            "sum_ms": pa.array([], type=pa.int64()),
-        }
-        for i in range(len(HIST_BOUNDS) + 1):
-            cols[f"b{i}"] = pa.array([], type=pa.int64())
-        return pa.table(cols)
-    rm = t["resourceMetrics"]
-    if isinstance(rm, pa.ChunkedArray):
-        rm = rm.combine_chunks()
-    res = pc.list_flatten(rm)
-    n_res = len(res)
-    resource = _opt_field(
-        res, "resource", pa.struct([("attributes", pa.list_(_KV))])
-    )
-    service = pa.array(
-        _attr_first(
-            _opt_field(resource, "attributes", pa.list_(_KV)),
-            n_res,
-            "service.name",
-            "stringValue",
-        ),
-        type=pa.string(),
-    )
-    sl = res.field("scopeMetrics")
-    scope_parent = pc.list_parent_indices(sl).to_numpy(zero_copy_only=False)
-    scopes = pc.list_flatten(sl)
-    scope_struct = _opt_field(
-        scopes, "scope", pa.struct([("name", pa.string()), ("version", pa.string())])
-    )
-    scope_name = _opt_field(scope_struct, "name", pa.string())
-    ml = scopes.field("metrics")
-    metric_parent = pc.list_parent_indices(ml).to_numpy(zero_copy_only=False)
-    metrics = pc.list_flatten(ml)
+    empty_cols = {
+        "service": pa.array([], type=pa.string()),
+        "scope_name": pa.array([], type=pa.string()),
+        "conv_id": pa.array([], type=pa.string()),
+        "count": pa.array([], type=pa.int64()),
+        "sum_ms": pa.array([], type=pa.int64()),
+    }
+    for i in range(len(HIST_BOUNDS) + 1):
+        empty_cols[f"b{i}"] = pa.array([], type=pa.int64())
+    ctx = _tree_context(t)
+    if ctx is None:
+        return pa.table(empty_cols)
+    service, scope_name, _sv, scope_parent, metric_parent, metrics = ctx
 
     _, dps_list = _masked_dp_lists_typed(metrics, "histogram", _HIST, _HDP)
     dp_parent = pc.list_parent_indices(dps_list).to_numpy(zero_copy_only=False)
@@ -823,40 +800,16 @@ def flatten_otlp_metrics_exp_batch(t: pa.Table) -> pa.Table:
             "n": pa.array([], type=pa.int64()),
         }
     )
-    if "resourceMetrics" not in t.column_names:
+    ctx = _tree_context(t)
+    if ctx is None:
         return empty
-    rm = t["resourceMetrics"]
-    if isinstance(rm, pa.ChunkedArray):
-        rm = rm.combine_chunks()
-    res = pc.list_flatten(rm)
-    n_res = len(res)
-    resource = _opt_field(
-        res, "resource", pa.struct([("attributes", pa.list_(_KV))])
-    )
+    service_a, scope_name_a, _sv, scope_parent, metric_parent, metrics = ctx
     service = np.asarray(
-        _attr_first(
-            _opt_field(resource, "attributes", pa.list_(_KV)),
-            n_res,
-            "service.name",
-            "stringValue",
-        ),
-        dtype=object,
-    )
-    sl = res.field("scopeMetrics")
-    scope_parent = pc.list_parent_indices(sl).to_numpy(zero_copy_only=False)
-    scopes = pc.list_flatten(sl)
-    scope_struct = _opt_field(
-        scopes, "scope", pa.struct([("name", pa.string()), ("version", pa.string())])
+        service_a.to_numpy(zero_copy_only=False), dtype=object
     )
     scope_name = np.asarray(
-        _opt_field(scope_struct, "name", pa.string()).to_numpy(
-            zero_copy_only=False
-        ),
-        dtype=object,
+        scope_name_a.to_numpy(zero_copy_only=False), dtype=object
     )
-    ml = scopes.field("metrics")
-    metric_parent = pc.list_parent_indices(ml).to_numpy(zero_copy_only=False)
-    metrics = pc.list_flatten(ml)
 
     _, dps_list = _masked_dp_lists_typed(
         metrics, "exponentialHistogram", _EXP_HIST, _EDP
@@ -945,35 +898,10 @@ def flatten_otlp_metrics_summary_batch(t: pa.Table) -> pa.Table:
             "q95": pa.array([], type=pa.float64()),
         }
     )
-    if "resourceMetrics" not in t.column_names:
+    ctx = _tree_context(t)
+    if ctx is None:
         return empty
-    rm = t["resourceMetrics"]
-    if isinstance(rm, pa.ChunkedArray):
-        rm = rm.combine_chunks()
-    res = pc.list_flatten(rm)
-    n_res = len(res)
-    resource = _opt_field(
-        res, "resource", pa.struct([("attributes", pa.list_(_KV))])
-    )
-    service = pa.array(
-        _attr_first(
-            _opt_field(resource, "attributes", pa.list_(_KV)),
-            n_res,
-            "service.name",
-            "stringValue",
-        ),
-        type=pa.string(),
-    )
-    sl = res.field("scopeMetrics")
-    scope_parent = pc.list_parent_indices(sl).to_numpy(zero_copy_only=False)
-    scopes = pc.list_flatten(sl)
-    scope_struct = _opt_field(
-        scopes, "scope", pa.struct([("name", pa.string()), ("version", pa.string())])
-    )
-    scope_name = _opt_field(scope_struct, "name", pa.string())
-    ml = scopes.field("metrics")
-    metric_parent = pc.list_parent_indices(ml).to_numpy(zero_copy_only=False)
-    metrics = pc.list_flatten(ml)
+    service, scope_name, _sv, scope_parent, metric_parent, metrics = ctx
 
     _, dps_list = _masked_dp_lists_typed(metrics, "summary", _SUMMARY, _SDP)
     dp_parent = pc.list_parent_indices(dps_list).to_numpy(zero_copy_only=False)

@@ -45,6 +45,7 @@ from .otlp_json import (
     _KV,
     _NdjsonWriter,
     _attr_first,
+    _i64_strings,
     _kv_list,
     _md5_hex,
     _ndjson_requests,
@@ -154,7 +155,7 @@ def nest_otlp_traces_batch(t: pa.Table) -> pa.Table:
     # non-root spans link to their trace's ROOT span (turn 0), the
     # groupbytrace causal anchor. Both are repeated nested messages
     # inside Span on the wire.
-    start_str = start_ns.astype("U").astype(object)
+    start_str = _i64_strings(start_ns)
     events = pa.ListArray.from_arrays(
         pa.array(np.arange(n + 1, dtype=np.int32), type=pa.int32()),
         pa.StructArray.from_arrays(
@@ -201,8 +202,8 @@ def nest_otlp_traces_batch(t: pa.Table) -> pa.Table:
             pa.array(parent_hex, type=pa.string()),
             name,
             kind,
-            pa.array(start_ns.astype("U"), type=pa.string()),
-            pa.array(end_ns.astype("U"), type=pa.string()),
+            pa.array(_i64_strings(start_ns), type=pa.string()),
+            pa.array(_i64_strings(end_ns), type=pa.string()),
             span_attrs,
             events,
             links,

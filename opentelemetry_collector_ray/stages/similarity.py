@@ -124,6 +124,17 @@ def brute_force_topk(
 # --------------------------------------------------------------- LSH
 
 
+def _knob_rows(ds) -> int:
+    """Row count for auto-knob sizing: plan metadata when free, else
+    one count() — counting a LAZY lineage executes it an extra time,
+    so callers with transformed inputs should pass bits/nlist
+    explicitly (the knob only needs an order of magnitude)."""
+    from ..functions.shard import cheap_row_count
+
+    n = cheap_row_count(ds)
+    return n if n is not None else int(ds.count())
+
+
 def auto_lsh_bits(
     n_rows: int,
     dim: int,
@@ -251,7 +262,7 @@ def embedding_near_dup_lsh(
     first = ds.take(1)
     dim = len(np.asarray(first[0]["embedding"]))
     if bits is None:
-        bits = auto_lsh_bits(ds.count(), dim)
+        bits = auto_lsh_bits(_knob_rows(ds), dim)
     planes = _hyperplanes(dim, bits)
     weights = (1 << np.arange(bits)).astype(np.int64)
 
@@ -371,7 +382,7 @@ def lsh_topk(
 
     dim = len(next(iter(queries.values())))
     if bits is None:
-        bits = auto_lsh_bits(ds.count(), dim)
+        bits = auto_lsh_bits(_knob_rows(ds), dim)
     planes = _hyperplanes(dim, bits)
     bucketed = ds.map_batches(
         lambda b: lsh_bucket_batch(b, planes, id_col), batch_format="pyarrow"
@@ -464,7 +475,7 @@ def semdedup(
     if nlist is None:
         first = ds.take(1)
         nlist = auto_ivf_nlist(
-            ds.count(), len(np.asarray(first[0]["embedding"]))
+            _knob_rows(ds), len(np.asarray(first[0]["embedding"]))
         )
     if centroids is None:
         centroids = train_ivf_centroids(ds, nlist=nlist, id_col=id_col)
@@ -582,7 +593,7 @@ def ivf_topk(
     import pyarrow.compute as pc
 
     if nlist is None:
-        nlist = auto_ivf_nlist(ds.count(), len(next(iter(queries.values()))))
+        nlist = auto_ivf_nlist(_knob_rows(ds), len(next(iter(queries.values()))))
     if centroids is None:
         centroids = train_ivf_centroids(ds, nlist=nlist, id_col=id_col)
     qids = sorted(queries.keys())

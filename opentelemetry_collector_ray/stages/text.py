@@ -1369,15 +1369,23 @@ def cross_doc_line_dedup(
         flat_np = np.asarray(
             flat.to_numpy(zero_copy_only=False), dtype=object
         )
-        rebuilt = pc.binary_join(
-            pa.ListArray.from_arrays(
-                pa.array(offsets), pa.array(flat_np[keep], pa.string())
+        rebuilt = pc.cast(
+            pc.binary_join(
+                pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(flat_np[keep], pa.string())
+                ),
+                "\n",
             ),
-            "\n",
+            pa.string(),
+        )
+        # SQL string_agg over zero kept lines is NULL, not "" (an
+        # all-boilerplate doc) — mirror it so the oracle hash holds
+        rebuilt = pc.if_else(
+            pa.array(kept_counts > 0), rebuilt, pa.scalar(None, pa.string())
         )
         dropped = (counts_per - kept_counts).astype(np.int64)
         return t.append_column(
-            "text_clean", pc.cast(rebuilt, pa.string())
+            "text_clean", rebuilt
         ).append_column("n_boilerplate_lines", pa.array(dropped, pa.int64()))
 
     return docs.map_batches(clean, batch_format="pyarrow")

@@ -77,7 +77,11 @@ def topk_per_group(
             ascending=[True, False, True],
             kind="mergesort",
         )
-        return g.groupby(group, sort=False).head(k)
+        # dropna=False keeps a NUMERIC NaN group (SQL PARTITION BY
+        # keeps the NULL partition); object keys took the sentinel
+        # above because Ray's sort shuffle can't order None beside str,
+        # but float NaN sorts fine
+        return g.groupby(group, sort=False, dropna=False).head(k)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         if g[group].dtype == object:

@@ -101,9 +101,11 @@ QUERIES = [
     "otlp_traces_flatten",
     "otlp_metrics_flatten",
     "otlp_metrics_histogram",
+    "otlp_metrics_exphist",
+    "otlp_metrics_summary",
+    "otlp_ingest_pipeline",
     "ottl_transform",
     "ottl_map_transform",
-    "trending_terms",
 ]
 
 

@@ -2242,3 +2242,69 @@ def test_dsir_weights_ranking_and_invariance():
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(out, out2)
+
+
+def test_broadcast_join_drops_null_keys():
+    """SQL inner-join semantics on the broadcast path too: pandas
+    merge would pair NaN with NaN (review finding)."""
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.join import broadcast_join
+
+    big = pa.table({"k": pa.array([1, None, 2], pa.int64()),
+                    "v": pa.array([10, 20, 30], pa.int64())})
+    small = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                          "r": pd.array([7, 8], dtype="Int64")})
+    out = broadcast_join(
+        ray.data.from_arrow(big), small, "k"
+    ).to_pandas()
+    assert out[["k", "v", "r"]].astype("Int64").values.tolist() == [[1, 10, 7]]
+
+
+def test_bucketed_join_refuses_outer():
+    from opentelemetry_collector_ray.functions.join import bucketed_hash_join
+
+    a = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="outer"):
+        bucketed_hash_join(a, a, "k", how="outer")
+
+
+def test_topk_per_group_keeps_numeric_null_group():
+    """SQL PARTITION BY keeps a NULL partition for NUMERIC keys too —
+    pandas groupby would drop the NaN group (review finding)."""
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.window2 import topk_per_group
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, None, None, 2], pa.int64()),
+            "v": pa.array([5, 3, 9, 1, 2], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    out = topk_per_group(
+        ray.data.from_arrow(t), group="g", order_by="v", tiebreak="id", k=1
+    ).to_pandas()
+    assert len(out) == 3  # groups 1, 2 AND the null group
+    null_rows = out[out["g"].isna()]
+    assert null_rows["v"].tolist() == [9]
+
+
+def test_cross_doc_line_dedup_all_boilerplate_is_null():
+    """A doc whose every line is boilerplate reads back NULL text
+    (SQL string_agg over zero rows), not '' (review finding)."""
+    from opentelemetry_collector_ray.stages.text import cross_doc_line_dedup
+
+    rows = [{"doc_id": i, "text": "shared line"} for i in range(4)]
+    rows.append({"doc_id": 99, "text": "shared line\nown"})
+    out = (
+        cross_doc_line_dedup(
+            ray.data.from_arrow(pa.Table.from_pylist(rows)), min_docs=3
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text_clean"].iloc[:4].isna().all()
+    assert out["text_clean"].iloc[4] == "own"

@@ -182,3 +182,45 @@ def test_log_trace_correlation_ids(ray_session, tmp_path):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_null_ts_rows_round_trip_all_codecs():
+    """A NULL timestamp must become an OMITTED time field on the wire
+    (never the literal string 'nan' — the astype('U') NaN trap) and
+    read back as null across all three codecs."""
+    from opentelemetry_collector_ray.sources.otlp_metrics import (
+        flatten_otlp_metrics_batch,
+        nest_otlp_metrics_batch,
+    )
+    from opentelemetry_collector_ray.sources.otlp_traces import (
+        flatten_otlp_traces_batch,
+        nest_otlp_traces_batch,
+    )
+
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": pa.array([0, 1], type=pa.int32()),
+            "role": ["user", "tool"],
+            "text": [
+                "[INFO] action=x latency_ms=5 msg=a",
+                "[WARN] action=y latency_ms=2 msg=b",
+            ],
+            "tool": ["", "bash"],
+            "ts": pa.array([1000, None], type=pa.timestamp("us")),
+        }
+    )
+    logs = flatten_otlp_batch(nest_otlp_batch(t)).to_pandas()
+    assert logs["time_unix_nano"].isna().sum() == 1
+    tr = flatten_otlp_traces_batch(nest_otlp_traces_batch(t)).to_pandas()
+    assert tr["start_unix_nano"].isna().sum() == 1
+    assert tr["end_unix_nano"].isna().sum() == 1
+    mt = flatten_otlp_metrics_batch(nest_otlp_metrics_batch(t)).to_pandas()
+    assert mt["time_unix_nano"].isna().sum() > 0
+    # and the wire never carries a 'nan' token
+    import json
+
+    from opentelemetry_collector_ray.sources.otlp_json import _strip_nulls
+
+    line = json.dumps(_strip_nulls(nest_otlp_batch(t).to_pylist()[0]))
+    assert '"nan"' not in line and ":null" not in line.replace(" ", "")
