@@ -2999,24 +2999,43 @@ def q_otlp_traces_pb_roundtrip(sf_dir: str):
     return read_otlp_traces_pb(out)
 
 
+_METRICS_WIRE_CACHE: dict = {}
+
+
+def _otlp_metrics_wire(sf_dir: str) -> str:
+    """Write the metrics NDJSON wire ONCE per (process, sf_dir) — four
+    queries (flatten/histogram/exphist/summary) read different branches
+    of the SAME five-branch requests, so rewriting per query would
+    quadruple the nest/serialize cost. crc32 key (never Python hash():
+    per-process randomized)."""
+    import os
+    import shutil
+    import zlib
+
+    key = zlib.crc32(os.path.abspath(sf_dir).encode()) & 0xFFFFFFFF
+    out = f"/tmp/otel_ray_otlp_metrics_{os.getpid()}_{key:08x}"
+    if _METRICS_WIRE_CACHE.get(sf_dir) != out or not os.path.isdir(out):
+        from opentelemetry_collector_ray.sources.otlp_metrics import (
+            write_otlp_metrics_json,
+        )
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_otlp_metrics_json(_transcripts(sf_dir), out)
+        _METRICS_WIRE_CACHE[sf_dir] = out
+    return out
+
+
 def q_otlp_metrics_flatten(sf_dir: str):
     """OTLP/JSON metrics interchange (pdata/pmetric/json.go:27-49):
     nest transcripts into ExportMetricsServiceRequest — per scope a
     Gauge metric (parsed-turn latencies) and a DELTA monotonic Sum
     (turn counts), the Metric oneof — write NDJSON, read back and
     flatten one row per NumberDataPoint."""
-    import os
-    import shutil
-
     from opentelemetry_collector_ray.sources.otlp_metrics import (
         read_otlp_metrics_json,
-        write_otlp_metrics_json,
     )
 
-    out = f"/tmp/otel_ray_otlp_metrics_{os.getpid()}"
-    shutil.rmtree(out, ignore_errors=True)
-    write_otlp_metrics_json(_transcripts(sf_dir), out)
-    return read_otlp_metrics_json(out)
+    return read_otlp_metrics_json(_otlp_metrics_wire(sf_dir))
 
 
 def q_otlp_metrics_pb_roundtrip(sf_dir: str):
@@ -3044,20 +3063,13 @@ def q_otlp_metrics_histogram(sf_dir: str):
     reading back, partials merge by summing counts/buckets — the
     mergeable-histogram property that makes the wire batch-independent
     and the oracle a plain GROUP BY."""
-    import os
-    import shutil
-
     from ray.data.aggregate import Sum
 
     from opentelemetry_collector_ray.sources.otlp_metrics import (
         read_otlp_metrics_hist_json,
-        write_otlp_metrics_json,
     )
 
-    out = f"/tmp/otel_ray_otlp_hist_{os.getpid()}"
-    shutil.rmtree(out, ignore_errors=True)
-    write_otlp_metrics_json(_transcripts(sf_dir), out)
-    dps = read_otlp_metrics_hist_json(out)
+    dps = read_otlp_metrics_hist_json(_otlp_metrics_wire(sf_dir))
 
     keys = ["service", "scope_name", "conv_id"]
     vals = ["count", "sum_ms", "b0", "b1", "b2", "b3"]
@@ -3078,20 +3090,13 @@ def q_otlp_metrics_exphist(sf_dir: str):
     emits per-(scope, conv) partials; reading back, bucket rows merge
     by summing — batch-independent, oracle = GROUP BY on the same
     ceil(log2(v))-1 rule the exp_histogram table operator uses."""
-    import os
-    import shutil
-
     from ray.data.aggregate import Sum
 
     from opentelemetry_collector_ray.sources.otlp_metrics import (
         read_otlp_metrics_exp_json,
-        write_otlp_metrics_json,
     )
 
-    out = f"/tmp/otel_ray_otlp_exphist_{os.getpid()}"
-    shutil.rmtree(out, ignore_errors=True)
-    write_otlp_metrics_json(_transcripts(sf_dir), out)
-    rows = read_otlp_metrics_exp_json(out)
+    rows = read_otlp_metrics_exp_json(_otlp_metrics_wire(sf_dir))
 
     keys = ["service", "scope_name", "conv_id", "bucket_idx"]
 
@@ -3109,20 +3114,13 @@ def q_otlp_metrics_summary(sf_dir: str):
     covers the MERGEABLE fields (count/sum per (scope, conv)); the
     point-in-time quantile snapshots — legacy Summary semantics, not
     mergeable by definition — are pinned by pytest instead."""
-    import os
-    import shutil
-
     from ray.data.aggregate import Sum
 
     from opentelemetry_collector_ray.sources.otlp_metrics import (
         read_otlp_metrics_summary_json,
-        write_otlp_metrics_json,
     )
 
-    out = f"/tmp/otel_ray_otlp_summ_{os.getpid()}"
-    shutil.rmtree(out, ignore_errors=True)
-    write_otlp_metrics_json(_transcripts(sf_dir), out)
-    rows = read_otlp_metrics_summary_json(out)
+    rows = read_otlp_metrics_summary_json(_otlp_metrics_wire(sf_dir))
 
     keys = ["service", "scope_name", "conv_id"]
 
