@@ -3187,6 +3187,25 @@ def q_otlp_ingest_pipeline(sf_dir: str):
     return sink_counts(enriched)
 
 
+def q_chat_jsonl_roundtrip(sf_dir: str):
+    """Chat-messages JSONL interchange (the OpenAI-style SFT corpus
+    wire: one conversation per line with an ordered messages array):
+    write, read back, flatten — identity on (conv_id, turn_idx, role,
+    text), with turn_idx re-derived from message position."""
+    import os
+    import shutil
+
+    from opentelemetry_collector_ray.sources.chat_jsonl import (
+        read_chat_jsonl,
+        write_chat_jsonl,
+    )
+
+    out = f"/tmp/otel_ray_chat_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_chat_jsonl(_transcripts(sf_dir), out)
+    return read_chat_jsonl(out)
+
+
 def q_boilerplate_lines(sf_dir: str):
     """Cross-document line dedup (the C4 policy-line rule generalized):
     lines appearing in >= min_docs DISTINCT documents are boilerplate
@@ -3390,6 +3409,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "otlp_metrics_exphist": q_otlp_metrics_exphist,
     "otlp_metrics_summary": q_otlp_metrics_summary,
     "otlp_ingest_pipeline": q_otlp_ingest_pipeline,
+    "chat_jsonl_roundtrip": q_chat_jsonl_roundtrip,
     "boilerplate_lines": q_boilerplate_lines,
     "dsir_weights": q_dsir_weights,
     "attributes_map": q_attributes_map,
@@ -4054,6 +4074,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "otlp_ingest_pipeline": o.ROUTED_CTE
         + "SELECT sink, count(*) AS n FROM routed GROUP BY sink",
+        "chat_jsonl_roundtrip": o.TRANSCRIPTS_CTE
+        + "SELECT conv_id, turn_idx, role, text FROM transcripts",
         "otlp_metrics_summary": o.PARSED_CTE + (
             ", svc AS (SELECT *, "
             "CASE tool WHEN 'bash' THEN 'infra' WHEN 'browser' THEN 'web' "

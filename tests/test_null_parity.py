@@ -104,6 +104,7 @@ QUERIES = [
     "otlp_metrics_exphist",
     "otlp_metrics_summary",
     "otlp_ingest_pipeline",
+    "chat_jsonl_roundtrip",
     "ottl_transform",
     "ottl_map_transform",
 ]
