@@ -3946,7 +3946,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM a) "
             "SELECT q.event_type AS event_type, "
             "cast(count(*) AS bigint) AS n_outliers "
-            "FROM q JOIN st USING (event_type) "
+            # null-safe equality: the engine keeps a NULL group like
+            # every other grouped stat; plain JOIN USING would drop it
+            "FROM q JOIN st ON q.event_type IS NOT DISTINCT FROM "
+            "st.event_type "
             "WHERE abs(cast(q.vm AS double) - st.mean) > 2.0 * st.std "
             "GROUP BY q.event_type"
         ),

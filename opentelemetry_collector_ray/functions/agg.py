@@ -18,6 +18,33 @@ import pyarrow as pa
 import ray.data
 
 
+def _sentinel_groupby(partials: ray.data.Dataset, keys: list[str], *aggs):
+    """Ray ``groupby`` with SQL NULL-group semantics for STRING keys:
+    its sort shuffle cannot order None beside str, so nulls ride the
+    ``shard.NULL_KEY`` sentinel through the exchange and are restored
+    on the tiny aggregate output. No-op overhead when keys are
+    null-free (fill_null_key early-outs per batch)."""
+    from .shard import fill_null_key, restore_null_key
+
+    def fill(t: pa.Table) -> pa.Table:
+        for k in keys:
+            t = fill_null_key(t, k)
+        return t
+
+    out = (
+        partials.map_batches(fill, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(*aggs)
+    )
+
+    def restore(t: pa.Table) -> pa.Table:
+        for k in keys:
+            t = restore_null_key(t, k)
+        return t
+
+    return out.map_batches(restore, batch_format="pyarrow")
+
+
 def grouped_count(
     ds: ray.data.Dataset, keys: list[str], *, alias: str = "n"
 ) -> ray.data.Dataset:
@@ -30,8 +57,7 @@ def grouped_count(
         return g.rename_columns(keys + ["_pc"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby(keys).aggregate(Sum("_pc", alias_name=alias))
-    return out
+    return _sentinel_groupby(partials, keys, Sum("_pc", alias_name=alias))
 
 
 def grouped_stats(
@@ -56,10 +82,12 @@ def grouped_stats(
         return g.rename_columns(keys + ["_pc", "_ps"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby(keys).aggregate(
-        Sum("_pc", alias_name=count_alias), Sum("_ps", alias_name=sum_alias)
+    return _sentinel_groupby(
+        partials,
+        keys,
+        Sum("_pc", alias_name=count_alias),
+        Sum("_ps", alias_name=sum_alias),
     )
-    return out
 
 
 def grouped_count_driver(
@@ -188,7 +216,9 @@ def grouped_variance(
         return g.rename_columns(keys + ["_pc", "_ps", "_pq"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(keys).aggregate(
+    agg = _sentinel_groupby(
+        partials,
+        keys,
         Sum("_pc", alias_name=n_alias),
         Sum("_ps", alias_name=sum_alias),
         Sum("_pq", alias_name=sumsq_alias),
@@ -250,7 +280,9 @@ def grouped_corr(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(keys).aggregate(
+    agg = _sentinel_groupby(
+        partials,
+        keys,
         Sum("_pc", alias_name="n"),
         Sum("_px", alias_name="sum_x"),
         Sum("_py", alias_name="sum_y"),
@@ -435,4 +467,4 @@ def merge_counts(
     out = renamed[0]
     for ds in renamed[1:]:
         out = out.union(ds)
-    return out.groupby(keys).aggregate(Sum("_pc", alias_name=alias))
+    return _sentinel_groupby(out, keys, Sum("_pc", alias_name=alias))

@@ -589,13 +589,21 @@ def summary_metrics(
     ).to_pandas()
 
     rows = []
-    for sval, g in hist.groupby(series, sort=True):
+    # dropna=False: SQL GROUP BY keeps a NULL series group (sort=False —
+    # pandas cannot sort None beside str; the gate compares unordered)
+    for sval, g in hist.groupby(series, sort=False, dropna=False):
         g = g.sort_values("_vm", kind="mergesort")
         cnt = g["_n"].to_numpy()
         vm = g["_vm"].to_numpy()
         cum = cnt.cumsum()
         n = int(cum[-1])
-        row = {series: sval, "n": n, "sum_milli": int((vm * cnt).sum())}
+        # pandas groupby hands the missing group back as NaN even for
+        # object keys — keep it a true None (reprs as SQL NULL does)
+        row = {
+            series: None if pd.isna(sval) else sval,
+            "n": n,
+            "sum_milli": int((vm * cnt).sum()),
+        }
         for q in quantiles:
             target = max(int(np.ceil(q * n)), 1)
             idx = int(np.searchsorted(cum, target, side="left"))

@@ -29,6 +29,7 @@ SRC = "/root/testdata/sf0.001"
 _NULL_RULES = [
     ("events", "value", "event_id", 7, 3),
     ("events", "props", "event_id", 11, 5),
+    ("events", "event_type", "event_id", 19, 8),
     ("lineitem", "l_quantity", "l_linenumber", 3, 1),
     ("lineitem", "l_extendedprice", "l_linenumber", 5, 2),
     ("lineitem", "l_discount", "l_linenumber", 7, 4),
