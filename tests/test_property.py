@@ -157,3 +157,116 @@ def test_ottl_statement_roundtrip_on_random_maps(rows):
         all(k != "zz" for k, _ in row)
         for row in _to_py(s2["attrs"].chunk(0))
     )
+
+
+_text_strat = st.one_of(
+    st.none(),
+    st.text(max_size=40),
+    st.from_regex(
+        r"\[(DEBUG|INFO|WARN|ERROR)\] action=\w{1,8} latency_ms=\d{1,4} msg=.{0,20}",
+        fullmatch=True,
+    ),
+)
+_conv_strat = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1,
+    max_size=10,
+)
+
+
+@st.composite
+def _transcript_tables(draw):
+    convs = draw(st.lists(_conv_strat, min_size=1, max_size=4, unique=True))
+    rows = []
+    for c in convs:
+        n = draw(st.integers(min_value=1, max_value=4))
+        for i in range(n):
+            rows.append(
+                {
+                    "conv_id": c,
+                    "turn_idx": i,
+                    "role": draw(
+                        st.sampled_from(["user", "assistant", "tool", "system"])
+                    ),
+                    "text": draw(_text_strat),
+                    "tool": draw(st.sampled_from(["", "bash", "sql"])),
+                    "ts": draw(
+                        st.one_of(
+                            st.none(),
+                            st.integers(min_value=0, max_value=2**40),
+                        )
+                    ),
+                }
+            )
+    t = pa.Table.from_pylist(rows)
+    return pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "turn_idx": pc_cast_i32(t["turn_idx"]),
+            "role": t["role"],
+            "text": t["text"].cast(pa.string()) if t["text"].type != pa.string() else t["text"],
+            "tool": t["tool"],
+            "ts": t["ts"].cast(pa.timestamp("us")),
+        }
+    )
+
+
+def pc_cast_i32(col):
+    import pyarrow.compute as _pc
+
+    return _pc.cast(col, pa.int32())
+
+
+@settings(max_examples=40, deadline=None)
+@given(_transcript_tables())
+def test_otlp_logs_nest_flatten_identity(t):
+    """flatten ∘ nest is the identity on (conv_id, turn_idx, body=text,
+    tool) for ARBITRARY transcripts — unicode, newlines, empty strings,
+    null text/ts all survive the wire tree."""
+    from opentelemetry_collector_ray.sources.otlp_json import (
+        flatten_otlp_batch,
+        nest_otlp_batch,
+    )
+
+    flat = (
+        flatten_otlp_batch(nest_otlp_batch(t))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    src = (
+        t.to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert flat["body"].where(flat["body"].notna(), None).tolist() == (
+        src["text"].where(src["text"].notna(), None).tolist()
+    )
+    assert flat["conv_id"].tolist() == src["conv_id"].tolist()
+    assert flat["turn_idx"].tolist() == src["turn_idx"].tolist()
+    assert flat["tool"].tolist() == src["tool"].tolist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(_transcript_tables())
+def test_chat_jsonl_nest_flatten_identity(t):
+    from opentelemetry_collector_ray.sources.chat_jsonl import (
+        flatten_chat_batch,
+        nest_chat_batch,
+    )
+
+    flat = (
+        flatten_chat_batch(nest_chat_batch(t))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    src = (
+        t.select(["conv_id", "turn_idx", "role", "text"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(flat, src)
