@@ -3206,6 +3206,79 @@ def q_chat_jsonl_roundtrip(sf_dir: str):
     return read_chat_jsonl(out)
 
 
+def q_media_decode_real(sf_dir: str):
+    """REAL image decode in the actor pool — no fake path: a
+    deterministic uncompressed-PPM corpus (keyed off embeddings
+    vec_ids so it scales with sf) → pure-numpy decode → per-channel
+    statistics features → nearest resize re-encoded. Rows-only (pixel
+    math isn't SQL); pinned by test_ops real-codec tests."""
+    import numpy as np
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.imagecodec import (
+        encode_ppm,
+        synth_image,
+    )
+    from opentelemetry_collector_ray.stages.multimodal import (
+        DecodeStage,
+        ResizeStage,
+    )
+
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    )
+
+    def make_media(t: pa.Table) -> pa.Table:
+        mids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "media_id": pa.array(mids, type=pa.int64()),
+                "media_type": pa.array(
+                    ["image/x-ppm"] * len(mids), type=pa.string()
+                ),
+                "payload": pa.array(
+                    [encode_ppm(synth_image(int(i))) for i in mids],
+                    type=pa.binary(),
+                ),
+                "meta_json": pa.array(["{}"] * len(mids), type=pa.string()),
+            }
+        )
+
+    media = ids.map_batches(make_media, batch_format="pyarrow", batch_size=256)
+    decoded = media.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"fake_decode": False},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+    resized = decoded.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"width": 8, "height": 6, "fake": False},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        feats = t["features"]
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        flat = pc.list_flatten(feats).to_numpy(zero_copy_only=False)
+        m = flat.reshape(len(t), DecodeStage.FEAT_DIM)
+        cols = {"media_id": t["media_id"], "width": t["width"],
+                "height": t["height"]}
+        for j in range(DecodeStage.FEAT_DIM):
+            cols[f"f{j}"] = pa.array(
+                np.round(m[:, j].astype(np.float64), 6)
+            )
+        return pa.table(cols)
+
+    return resized.map_batches(project, batch_format="pyarrow")
+
+
 def q_boilerplate_lines(sf_dir: str):
     """Cross-document line dedup (the C4 policy-line rule generalized):
     lines appearing in >= min_docs DISTINCT documents are boilerplate
@@ -3410,6 +3483,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "otlp_metrics_summary": q_otlp_metrics_summary,
     "otlp_ingest_pipeline": q_otlp_ingest_pipeline,
     "chat_jsonl_roundtrip": q_chat_jsonl_roundtrip,
+    "media_decode_real": q_media_decode_real,
     "boilerplate_lines": q_boilerplate_lines,
     "dsir_weights": q_dsir_weights,
     "attributes_map": q_attributes_map,

@@ -3,11 +3,12 @@
 Images/audio/video are opaque ``binary`` columns plus metadata columns
 (``media_type``, ``width``/``height``/``duration_ms``…). The Ray-side
 plumbing — schema, actor-pool signature, small batch sizes for wide
-binary rows, output layout — is real and tested; the codec itself is
-STUBBED (no image/audio libraries in this container): ``DecodeStage``
-raises ``NotImplementedError`` unless constructed with
-``fake_decode=True``, which produces a deterministic fake decode so the
-pipeline shape can be exercised end-to-end.
+binary rows, output layout — is real and tested. The codec tier:
+UNCOMPRESSED image formats (PPM/PGM/BMP) decode / resize / featurize
+for REAL via the pure-numpy ``stages.imagecodec``; compressed formats
+(PNG/JPEG/video/audio) still need codec libraries absent from this
+container — those raise ``NotImplementedError`` per payload unless
+``fake_decode=True`` substitutes a deterministic fake.
 
 Scale notes baked into the design: binary rows are wide → callers
 should use small ``batch_size`` (64–256) and let block size, not row
@@ -21,6 +22,15 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+# module-level, NOT function-body: workers resolve this package only
+# via pickle-by-value
+from .imagecodec import (
+    decode_image,
+    encode_ppm,
+    image_features,
+    resize_nearest,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -57,31 +67,33 @@ def synth_media_table(n: int, payload_bytes: int = 4096) -> pa.Table:
 class ResizeStage:
     """Image-resize actor stage: payload → resized payload + dims.
 
-    Plumbing is real (actor pool, binary in/out, metadata columns);
-    the pixel work is stubbed: without codecs, the deterministic fake
-    "resize" truncates/repeats the payload to the target byte budget
-    (W×H×3) so output sizes are exactly what a real RGB resize would
-    produce — downstream stages see realistic block shapes.
+    Uncompressed payloads (PPM/PGM/BMP) take the REAL path: decode →
+    nearest-neighbor resample → re-encode as PPM. Other formats fall
+    back to the deterministic fake (payload truncated/repeated to the
+    W×H×3 byte budget) when ``fake=True``, else raise per payload.
     """
 
     def __init__(self, width: int = 64, height: int = 64, fake: bool = False):
-        if not fake:
-            try:
-                import PIL  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "no image codecs here; construct with fake=True"
-                ) from e
+        self.fake = fake
         self.width = width
         self.height = height
         self.budget = width * height * 3
 
+    def _resize_one(self, p: bytes) -> bytes:
+        try:
+            img = decode_image(p)
+        except ValueError:
+            if self.fake:
+                return (p * (self.budget // max(len(p), 1) + 1))[: self.budget]
+            raise NotImplementedError(
+                "compressed media needs codec libraries; only "
+                "uncompressed PPM/PGM/BMP resize natively"
+            )
+        return encode_ppm(resize_nearest(img, self.width, self.height))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        out = [
-            (p * (self.budget // max(len(p), 1) + 1))[: self.budget]
-            for p in payloads
-        ]
+        out = [self._resize_one(p) for p in payloads]
         n = len(batch)
         return (
             batch.set_column(
@@ -140,8 +152,12 @@ class FrameSampleStage:
 class DecodeStage:
     """Actor-pool decode: payload → feature columns.
 
-    Real deployments replace ``_decode_one`` with PIL/torchaudio/ffmpeg
-    calls loaded once per actor in ``__init__``. Output appends
+    Uncompressed image payloads (PPM/PGM/BMP) decode for REAL — the
+    features are per-channel mean/std + aspect + luminance from
+    ``imagecodec.image_features``. Compressed formats need codec
+    libraries (PIL/torchaudio/ffmpeg, loaded once per actor in real
+    deployments); without them each such payload raises unless
+    ``fake_decode=True`` substitutes the digest fake. Output appends
     ``decoded_ok: bool``, ``feat_dim: int32`` and ``features:
     list<float32>`` (fixed dim), preserving input columns.
     """
@@ -150,19 +166,17 @@ class DecodeStage:
 
     def __init__(self, fake_decode: bool = False):
         self.fake_decode = fake_decode
-        if not fake_decode:
-            # the import-try gate for the real codecs
-            try:
-                import PIL  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "no media codecs in this environment; construct with "
-                    "fake_decode=True to exercise the pipeline plumbing"
-                ) from e
 
     def _decode_one(self, payload: bytes, media_type: str) -> np.ndarray:
+        try:
+            return image_features(decode_image(payload))
+        except ValueError:
+            pass
         if not self.fake_decode:
-            raise NotImplementedError("real decode requires media codecs")
+            raise NotImplementedError(
+                "compressed media needs codec libraries; only "
+                "uncompressed PPM/PGM/BMP decode natively"
+            )
         # deterministic fake: 8 floats from the payload digest
         d = hashlib.sha256(payload).digest()
         return (

@@ -172,9 +172,11 @@ def test_media_decode_plumbing():
     assert len(out) == 32
     assert out["decoded_ok"].all()
     assert all(len(f) == DecodeStage.FEAT_DIM for f in out["features"])
-    # real-decode path is an explicit stub
+    # compressed payloads without codec libs fail PER PAYLOAD (the
+    # uncompressed PPM/PGM/BMP path is now a real decoder)
+    st = DecodeStage(fake_decode=False)
     with pytest.raises(NotImplementedError):
-        DecodeStage(fake_decode=False)
+        st._decode_one(b"\x89PNG not really", "image/png")
 
 
 def test_media_resize_and_frame_sample():
@@ -206,7 +208,7 @@ def test_media_resize_and_frame_sample():
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        ResizeStage(fake=False)
+        ResizeStage(fake=False)._resize_one(b"\x89PNG not really")
 
 
 def test_word_shingles_edges():
@@ -2308,3 +2310,97 @@ def test_cross_doc_line_dedup_all_boilerplate_is_null():
     )
     assert out["text_clean"].iloc[:4].isna().all()
     assert out["text_clean"].iloc[4] == "own"
+
+
+def test_real_image_codec_roundtrip_and_features():
+    """The pure-numpy codec is REAL: encode/decode identity for PPM and
+    BMP, nearest resize maps known pixels, features derive from actual
+    pixel statistics — no fakes anywhere on this path."""
+    import numpy as np
+
+    from opentelemetry_collector_ray.stages.imagecodec import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        image_features,
+        resize_nearest,
+        synth_image,
+    )
+
+    img = synth_image(7, width=33, height=21)  # odd width → BMP row pad
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    # PGM (grayscale) decodes to replicated channels
+    gray = b"P5\n# comment\n4 2\n255\n" + bytes(range(8))
+    g = decode_image(gray)
+    assert g.shape == (2, 4, 3) and (g[:, :, 0] == g[:, :, 2]).all()
+
+    small = resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    # constant image stays constant under resize
+    const = np.full((10, 10, 3), 200, dtype=np.uint8)
+    assert (resize_nearest(const, 3, 7) == 200).all()
+
+    f = image_features(img)
+    assert f.shape == (8,) and f.dtype == np.float32
+    assert abs(float(f[0]) - float(img[:, :, 0].mean() / 255.0)) < 1e-4
+    assert abs(float(f[6]) - 33 / 21) < 1e-5
+
+
+def test_media_real_decode_pipeline(ray_session):
+    """DecodeStage + ResizeStage over a REAL uncompressed-image corpus:
+    genuine pixel decode in the actor pool, no fake path."""
+    import numpy as np
+
+    from opentelemetry_collector_ray.stages.imagecodec import (
+        decode_ppm,
+        encode_ppm,
+        image_features,
+        synth_image,
+    )
+    from opentelemetry_collector_ray.stages.multimodal import ResizeStage
+
+    ids = list(range(12))
+    t = pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "media_type": pa.array(["image/x-ppm"] * 12),
+            "payload": pa.array(
+                [encode_ppm(synth_image(i)) for i in ids], type=pa.binary()
+            ),
+            "meta_json": pa.array(["{}"] * 12),
+        }
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(
+            DecodeStage,
+            fn_constructor_kwargs={"fake_decode": False},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert out["decoded_ok"].all()
+    expect = image_features(synth_image(0))
+    assert np.allclose(np.asarray(out["features"].iloc[0]), expect)
+
+    resized = (
+        ray.data.from_arrow(t)
+        .map_batches(
+            ResizeStage,
+            fn_constructor_kwargs={"width": 8, "height": 6, "fake": False},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    first = decode_ppm(resized["payload"].iloc[0])
+    assert first.shape == (6, 8, 3)
