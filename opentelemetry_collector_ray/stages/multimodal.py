@@ -25,6 +25,7 @@ import pyarrow as pa
 
 # module-level, NOT function-body: workers resolve this package only
 # via pickle-by-value
+from .audiocodec import audio_features, decode_wav
 from .imagecodec import (
     decode_image,
     encode_ppm,
@@ -172,10 +173,15 @@ class DecodeStage:
             return image_features(decode_image(payload))
         except ValueError:
             pass
+        try:
+            return audio_features(*decode_wav(payload))
+        except ValueError:
+            pass
         if not self.fake_decode:
             raise NotImplementedError(
                 "compressed media needs codec libraries; only "
-                "uncompressed PPM/PGM/BMP decode natively"
+                "uncompressed PPM/PGM/BMP images and PCM WAV audio "
+                "decode natively"
             )
         # deterministic fake: 8 floats from the payload digest
         d = hashlib.sha256(payload).digest()

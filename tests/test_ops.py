@@ -2404,3 +2404,58 @@ def test_media_real_decode_pipeline(ray_session):
     )
     first = decode_ppm(resized["payload"].iloc[0])
     assert first.shape == (6, 8, 3)
+
+
+def test_real_wav_codec_and_decode_stage(ray_session):
+    """PCM WAV decodes for real: encode/decode identity, features from
+    actual signal math, and the DecodeStage audio path — no fakes."""
+    import numpy as np
+
+    from opentelemetry_collector_ray.stages.audiocodec import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+        synth_tone,
+    )
+
+    sig = synth_tone(3, rate=8000, ms=40)
+    buf = encode_wav(sig, rate=8000)
+    back, rate = decode_wav(buf)
+    assert rate == 8000 and back.shape == sig.shape
+    assert np.allclose(back, sig, rtol=0, atol=2.0 / 32767)
+    f = audio_features(back, rate)
+    assert abs(float(f[0]) - 0.04) < 1e-6  # duration
+    assert 0.3 < float(f[1]) < 0.6  # RMS of a 0.6+0.2 sine mix
+    # 385 Hz tone → ~2*f0 crossings/sec
+    assert abs(float(f[3]) * rate - 2 * 385.0) < 40
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2], type=pa.int64()),
+            "media_type": pa.array(["audio/wav"] * 2),
+            "payload": pa.array(
+                [encode_wav(synth_tone(i), rate=8000) for i in (1, 2)],
+                type=pa.binary(),
+            ),
+            "meta_json": pa.array(["{}"] * 2),
+        }
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(
+            DecodeStage,
+            fn_constructor_kwargs={"fake_decode": False},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert out["decoded_ok"].all()
+    # stage features come from the QUANTIZED wire signal — 1e-3 covers
+    # the 16-bit PCM roundtrip error
+    assert np.allclose(
+        np.asarray(out["features"].iloc[0]),
+        audio_features(synth_tone(1), 8000),
+        rtol=0,
+        atol=1e-3,
+    )
