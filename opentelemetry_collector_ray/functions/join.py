@@ -36,18 +36,26 @@ def broadcast_join(
     how: str = "inner",
 ) -> ray.data.Dataset:
     """Merge ``small`` (a pandas frame, broadcast once) into every
-    batch. SQL join semantics for NULL keys: a NULL key matches
-    nothing — pandas merge would instead pair NaN with NaN, so
-    null-key rows are dropped from any side whose rows cannot appear
-    unmatched in the output (same rule as ``bucketed_hash_join``)."""
+    batch. Only ``inner`` and ``left`` are expressible per-batch: a
+    right/outer join would re-emit the small side's unmatched rows
+    once per BATCH (results multiplied by block count) — flip the
+    sides and use ``left``, or use ``bucketed_hash_join``. SQL join
+    semantics for NULL keys: a NULL key matches nothing — pandas merge
+    would instead pair NaN with NaN, so null keys are dropped from the
+    small side (its rows never appear unmatched here), which keeps
+    left-side null-key rows correctly unmatched."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"broadcast_join: how={how!r} unsupported (a per-batch "
+            "merge re-emits small-side unmatched rows once per batch)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
-    if how in ("inner", "left"):
-        small = small.dropna(subset=keys)
+    small = small.dropna(subset=keys)
     ref = ray.put(small)
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:
         rhs = ray.get(ref)
-        if how in ("inner", "right"):
+        if how == "inner":
             batch = batch.dropna(subset=keys)
         return batch.merge(rhs, on=on, how=how)
 

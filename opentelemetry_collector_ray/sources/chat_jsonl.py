@@ -24,6 +24,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from .otlp_json import _NdjsonWriter, _opt_field
+
 _MESSAGE = pa.struct(
     [pa.field("role", pa.string()), pa.field("content", pa.string())]
 )
@@ -33,7 +35,11 @@ def nest_chat_batch(t: pa.Table) -> pa.Table:
     """Transcript rows → one row per CONVERSATION (conv_id, messages).
     Conversations must not span batches — feed this from the sharded
     transcripts derivation (blocks hold whole conversations) or from
-    any per-conv grouped stream."""
+    any per-conv grouped stream. Rows with a NULL conv_id are DROPPED:
+    a message line needs a grouping identity, and unrelated null-id
+    rows would otherwise merge into one bogus conversation (review
+    finding)."""
+    t = t.filter(pc.is_valid(t["conv_id"]))
     order = pc.sort_indices(
         t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
@@ -103,29 +109,10 @@ def flatten_chat_batch(t: pa.Table) -> pa.Table:
         {
             "conv_id": conv.take(pa.array(parents, type=pa.int64())),
             "turn_idx": pa.array(turn.astype(np.int32), type=pa.int32()),
-            "role": flat.field("role"),
-            "text": flat.field("content"),
+            "role": _opt_field(flat, "role", pa.string()),
+            "text": _opt_field(flat, "content", pa.string()),
         }
     )
-
-
-class _JsonlWriter:
-    def __init__(self, out_dir: str):
-        self.out_dir = out_dir
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        import json
-        import os
-        import uuid
-
-        lines = [
-            json.dumps(row, separators=(",", ":"))
-            for row in t.to_pylist()
-        ]
-        path = os.path.join(self.out_dir, f"chat-{uuid.uuid4().hex}.jsonl")
-        with open(path, "w") as f:
-            f.write("\n".join(lines) + "\n")
-        return pa.table({"rows": pa.array([len(lines)], type=pa.int64())})
 
 
 def write_chat_jsonl(ds: ray.data.Dataset, out_dir: str) -> int:
@@ -141,8 +128,12 @@ def write_chat_jsonl(ds: ray.data.Dataset, out_dir: str) -> int:
     nested = ds.map_batches(
         nest_chat_batch, batch_format="pyarrow", batch_size=None
     )
+    # the OTLP NDJSON writer, re-skinned: same one-json.dumps-per-line
+    # sink (null message content is omitted on the wire like any unset
+    # proto3 field and reads back as null)
     written = nested.map_batches(
-        _JsonlWriter(out_dir), batch_format="pyarrow"
+        _NdjsonWriter(out_dir, prefix="chat", suffix=".jsonl"),
+        batch_format="pyarrow",
     ).sum("rows")
     return int(written or 0)
 

@@ -78,18 +78,24 @@ def _md5_hex(keys: np.ndarray, width: int) -> np.ndarray:
     return out
 
 
-def _i64_strings(vals: np.ndarray) -> np.ndarray:
+def _i64_strings(vals: np.ndarray, scale: int = 1) -> np.ndarray:
     """int64-as-string proto3 JSON wire form, None where the input is
     null — a blind ``astype("U")`` on a NaN-holding float array writes
     the literal string "nan" onto the wire and crashes every reader
-    (the CLAUDE.md NaN→astype bug class, found by review)."""
+    (the CLAUDE.md NaN→astype bug class, found by review).
+
+    ``scale`` multiplies AFTER the int64 conversion: one null in a
+    batch makes the whole array float64, and scaling epoch-microseconds
+    by 1000 in float64 exceeds 2^53 — every other timestamp in the
+    batch would come back ±hundreds of ns off (found by review)."""
     out = np.empty(len(vals), dtype=object)
     if vals.dtype.kind == "f":
         mask = np.isnan(vals)
-        out[:] = np.where(mask, 0, vals).astype(np.int64).astype("U").astype(object)
+        ints = np.where(mask, 0, vals).astype(np.int64) * scale
+        out[:] = ints.astype("U").astype(object)
         out[mask] = None
     else:
-        out[:] = vals.astype(np.int64).astype("U").astype(object)
+        out[:] = (vals.astype(np.int64) * scale).astype("U").astype(object)
     return out
 
 
@@ -141,7 +147,7 @@ def nest_otlp_batch(t: pa.Table) -> pa.Table:
         type=pa.int64(),
     )
     time_ns = pa.array(
-        _i64_strings(df["ts_us"].to_numpy() * 1000), type=pa.string()
+        _i64_strings(df["ts_us"].to_numpy(), scale=1000), type=pa.string()
     )
     # log-trace correlation (logs.proto LogRecord.trace_id=9/span_id=10;
     # the logs data model's RequestContext section): every record points
@@ -427,10 +433,18 @@ class _NdjsonWriter:
     one NDJSON file per task (the sink side of MarshalLogs). One
     ``json.dumps`` per REQUEST (= per input batch), not per record."""
 
-    def __init__(self, out_dir: str, compression: str | None = None):
+    def __init__(
+        self,
+        out_dir: str,
+        compression: str | None = None,
+        *,
+        prefix: str = "otlp",
+        suffix: str = ".json",
+    ):
         self.out_dir = out_dir
         self.compression = compression
-        self.ext = ".json" + _COMPRESS_EXT.get(compression or "", "")
+        self.prefix = prefix
+        self.ext = suffix + _COMPRESS_EXT.get(compression or "", "")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import json
@@ -441,7 +455,9 @@ class _NdjsonWriter:
             json.dumps(_strip_nulls(row), separators=(",", ":"))
             for row in t.to_pylist()
         ]
-        path = os.path.join(self.out_dir, f"otlp-{uuid.uuid4().hex}{self.ext}")
+        path = os.path.join(
+            self.out_dir, f"{self.prefix}-{uuid.uuid4().hex}{self.ext}"
+        )
         payload = compress_payload(
             ("\n".join(lines) + "\n").encode(), self.compression
         )

@@ -219,7 +219,7 @@ def nest_otlp_metrics_batch(t: pa.Table) -> pa.Table:
     conv = df["conv_id"].to_numpy(dtype=object)
     turn_str = df["turn_idx"].to_numpy().astype("U").astype(object)
     tool = df["tool"].to_numpy(dtype=object)
-    time_ns = _i64_strings(df["ts_us"].to_numpy() * 1000)
+    time_ns = _i64_strings(df["ts_us"].to_numpy(), scale=1000)
 
     text_arr = pa.array(df["text"].to_numpy(dtype=object), type=pa.string())
     extracted = pc.extract_regex(text_arr, GROK_PATTERN)

@@ -129,8 +129,11 @@ def nest_otlp_traces_batch(t: pa.Table) -> pa.Table:
     level = pc.if_else(ok, extracted.field("level"), null_str)
     is_error = pc.equal(pc.fill_null(level, ""), "ERROR")
 
-    start_ns = df["ts_us"].to_numpy() * 1000
-    end_ns = start_ns + latency_ms * 1_000_000
+    # keep UNSCALED microseconds here; _i64_strings scales by 1000 in
+    # int64 (a null-holding float64 array times 1000 exceeds 2^53 and
+    # corrupts every neighbor's nanoseconds)
+    start_us = df["ts_us"].to_numpy()
+    end_us = start_us + latency_ms * 1000
     kind = pa.array(
         pd.Series(rol).map(KIND_INT).fillna(1).astype(np.int64),
         type=pa.int64(),
@@ -155,7 +158,7 @@ def nest_otlp_traces_batch(t: pa.Table) -> pa.Table:
     # non-root spans link to their trace's ROOT span (turn 0), the
     # groupbytrace causal anchor. Both are repeated nested messages
     # inside Span on the wire.
-    start_str = _i64_strings(start_ns)
+    start_str = _i64_strings(start_us, scale=1000)
     events = pa.ListArray.from_arrays(
         pa.array(np.arange(n + 1, dtype=np.int32), type=pa.int32()),
         pa.StructArray.from_arrays(
@@ -202,8 +205,8 @@ def nest_otlp_traces_batch(t: pa.Table) -> pa.Table:
             pa.array(parent_hex, type=pa.string()),
             name,
             kind,
-            pa.array(_i64_strings(start_ns), type=pa.string()),
-            pa.array(_i64_strings(end_ns), type=pa.string()),
+            pa.array(_i64_strings(start_us, scale=1000), type=pa.string()),
+            pa.array(_i64_strings(end_us, scale=1000), type=pa.string()),
             span_attrs,
             events,
             links,
