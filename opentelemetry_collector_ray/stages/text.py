@@ -1060,35 +1060,44 @@ def budget_select(
 
     from ray.data.aggregate import Sum
 
+    from ..functions.shard import NULL_KEY
+
     shift = max(32 - int(np.log2(buckets)), 0)
 
     def tag(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         h = mult_hash(ids)
-        return t.append_column("h", pa.array(h, pa.int64())).append_column(
-            "_bk", pa.array(h >> shift, pa.int64())
+        # internal sentinel group key: SQL PARTITION BY keeps a NULL
+        # group, but Ray's sort shuffle and the driver dicts below
+        # can't mix None with str — the REAL group column stays
+        # untouched in the output
+        gk = pc.fill_null(t[group], NULL_KEY)
+        return (
+            t.append_column("h", pa.array(h, pa.int64()))
+            .append_column("_bk", pa.array(h >> shift, pa.int64()))
+            .append_column("_gk", gk)
         )
 
     tagged = docs.map_batches(tag, batch_format="pyarrow")
 
     def partial(t: pa.Table) -> pa.Table:
         g = (
-            pa.table({group: t[group], "_bk": t["_bk"], "_w": t[weight]})
-            .group_by([group, "_bk"])
+            pa.table({"_gk": t["_gk"], "_bk": t["_bk"], "_w": t[weight]})
+            .group_by(["_gk", "_bk"])
             .aggregate([("_w", "sum")])
         )
-        return g.rename_columns([group, "_bk", "_ws"])
+        return g.rename_columns(["_gk", "_bk", "_ws"])
 
     hist = (
         tagged.map_batches(partial, batch_format="pyarrow")
-        .groupby([group, "_bk"])
+        .groupby(["_gk", "_bk"])
         .aggregate(Sum("_ws", alias_name="w"))
         .to_pandas()
-        .sort_values([group, "_bk"], kind="mergesort")
+        .sort_values(["_gk", "_bk"], kind="mergesort")
     )
     # per group: cutoff bucket = first bucket where cum weight >= budget
     cutoffs: dict = {}
-    for gval, sub in hist.groupby(group, sort=False):
+    for gval, sub in hist.groupby("_gk", sort=False):
         cum = sub["w"].cumsum()
         over = cum >= budget
         if not over.any():
@@ -1102,7 +1111,7 @@ def budget_select(
 
         def in_cut(t: pa.Table) -> pa.Table:
             cuts = _ray.get(cut_ref)
-            gv = _pd.Series(t[group].to_numpy(zero_copy_only=False))
+            gv = _pd.Series(t["_gk"].to_numpy(zero_copy_only=False))
             bk = t["_bk"].to_numpy(zero_copy_only=False)
             want = (
                 gv.map({g: c[0] for g, c in cuts.items()})
@@ -1113,13 +1122,13 @@ def budget_select(
 
         edge = (
             tagged.map_batches(in_cut, batch_format="pyarrow")
-            .select_columns([group, "h", id_col, weight])
+            .select_columns(["_gk", "h", id_col, weight])
             .to_pandas()
-            .sort_values([group, "h", id_col], kind="mergesort")
+            .sort_values(["_gk", "h", id_col], kind="mergesort")
         )
         # exact boundary inside the cutoff bucket: first DROPPED (h, id)
         bounds: dict = {}
-        for gval, sub in edge.groupby(group, sort=False):
+        for gval, sub in edge.groupby("_gk", sort=False):
             before = cutoffs[gval][1]
             run = before + sub[weight].cumsum().shift(fill_value=0)
             dropped = sub[run >= budget]
@@ -1141,7 +1150,7 @@ def budget_select(
 
     def keep(t: pa.Table) -> pa.Table:
         bnds = _ray.get(bound_ref)
-        gv = _pd.Series(t[group].to_numpy(zero_copy_only=False))
+        gv = _pd.Series(t["_gk"].to_numpy(zero_copy_only=False))
         bk = t["_bk"].to_numpy(zero_copy_only=False)
         h = t["h"].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -1157,7 +1166,7 @@ def budget_select(
         mask = (bk < cb) | (
             (bk == cb) & ((h < hb) | ((h == hb) & (ids < ib)))
         )
-        return t.filter(pa.array(mask)).drop_columns(["_bk"])
+        return t.filter(pa.array(mask)).drop_columns(["_bk", "_gk"])
 
     return tagged.map_batches(keep, batch_format="pyarrow")
 

@@ -37,6 +37,7 @@ _NULL_RULES = [
     ("customer", "c_nationkey", "c_custkey", 9, 2),
     ("documents", "text", "doc_id", 13, 7),
     ("documents", "lang", "doc_id", 17, 3),
+    ("documents", "source", "doc_id", 23, 11),
 ]
 
 QUERIES = [
