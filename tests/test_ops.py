@@ -2459,3 +2459,52 @@ def test_real_wav_codec_and_decode_stage(ray_session):
         rtol=0,
         atol=1e-3,
     )
+
+
+def test_broadcast_join_left_keeps_null_key_rows_unmatched():
+    """LEFT broadcast join: null-key left rows are RETAINED unmatched
+    (SQL), never paired with a null-key small-side row; right/outer
+    modes are refused (per-batch merges can't express them)."""
+    import pandas as pd
+
+    from opentelemetry_collector_ray.functions.join import broadcast_join
+
+    big = pa.table({"k": pa.array([1, None], pa.int64()),
+                    "v": pa.array([10, 20], pa.int64())})
+    small = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                          "r": pd.array([7, 8], dtype="Int64")})
+    out = (
+        broadcast_join(ray.data.from_arrow(big), small, "k", how="left")
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert out["r"].tolist()[0] == 7  # matched
+    assert pd.isna(out["r"].iloc[1])  # null-key row kept, UNMATCHED
+    with pytest.raises(ValueError, match="unsupported"):
+        broadcast_join(ray.data.from_arrow(big), small, "k", how="right")
+
+
+def test_sentinel_groupby_merges_null_string_groups():
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from opentelemetry_collector_ray.functions.agg import _sentinel_groupby
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", None, None, "b"], pa.string()),
+            "_pc": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = (
+        _sentinel_groupby(ray.data.from_arrow(t), ["g"], Sum("_pc", alias_name="n"))
+        .to_pandas()
+        .sort_values("n")
+        .reset_index(drop=True)
+    )
+    got = {(None if pd.isna(r.g) else r.g): r.n for r in out.itertuples()}
+    assert got == {"a": 1, "b": 4, None: 5}
+
