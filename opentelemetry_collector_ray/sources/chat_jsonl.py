@@ -24,6 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from . import wirefs
 from .otlp_json import _NdjsonWriter, _opt_field
 
 _MESSAGE = pa.struct(
@@ -115,13 +116,21 @@ def flatten_chat_batch(t: pa.Table) -> pa.Table:
     )
 
 
-def write_chat_jsonl(ds: ray.data.Dataset, out_dir: str) -> int:
-    """Transcripts → messages-JSONL files (one conversation per line).
-    Returns the number of conversations written. Conversations must be
-    block-whole (true for the sharded transcripts derivation)."""
-    import os
-
-    os.makedirs(out_dir, exist_ok=True)
+def write_chat_jsonl(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    filesystem=None,
+    storage_options: dict | None = None,
+    overwrite: bool = True,
+) -> int:
+    """Transcripts → messages-JSONL files (one conversation per line;
+    ``out_dir`` may be a filesystem URI, landed atomically per
+    ``wirefs``). Returns the number of conversations written.
+    Conversations must be block-whole (true for the sharded
+    transcripts derivation)."""
+    fs, dir_path = wirefs.resolve_fs(out_dir, filesystem, storage_options)
+    wirefs.prepare_dir(fs, dir_path, overwrite)
     # batch_size=None → whole-BLOCK batches: the sharded transcripts
     # derivation emits conversation-whole blocks, and a conversation
     # split across two nest batches would write two partial lines
@@ -132,7 +141,7 @@ def write_chat_jsonl(ds: ray.data.Dataset, out_dir: str) -> int:
     # sink (null message content is omitted on the wire like any unset
     # proto3 field and reads back as null)
     written = nested.map_batches(
-        _NdjsonWriter(out_dir, prefix="chat", suffix=".jsonl"),
+        _NdjsonWriter(dir_path, prefix="chat", suffix=".jsonl", filesystem=fs),
         batch_format="pyarrow",
     ).sum("rows")
     return int(written or 0)

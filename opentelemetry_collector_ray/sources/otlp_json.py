@@ -37,6 +37,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..schema import DIM_TOOL_SERVICE, SEVERITY_NUMBER
+from . import wirefs
 
 _ANYVALUE = pa.struct(
     [pa.field("stringValue", pa.string()), pa.field("intValue", pa.string())]
@@ -430,8 +431,11 @@ def decompress_payload(data: bytes, path: str = "") -> bytes:
 
 class _NdjsonWriter:
     """Render each request row to one canonical OTLP JSON line and land
-    one NDJSON file per task (the sink side of MarshalLogs). One
-    ``json.dumps`` per REQUEST (= per input batch), not per record."""
+    one NDJSON file per writer batch (the sink side of MarshalLogs) —
+    k requests frame naturally as k lines. One ``json.dumps`` per
+    REQUEST, not per record. Files land through ``wirefs``: any
+    pyarrow filesystem, worker-side mkdir, atomic tmp+rename publish,
+    content-addressed names (retry-idempotent)."""
 
     def __init__(
         self,
@@ -440,29 +444,31 @@ class _NdjsonWriter:
         *,
         prefix: str = "otlp",
         suffix: str = ".json",
+        filesystem=None,
     ):
         self.out_dir = out_dir
         self.compression = compression
         self.prefix = prefix
         self.ext = suffix + _COMPRESS_EXT.get(compression or "", "")
+        self.filesystem = filesystem
+        self._dir_ready = False
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import json
-        import os
-        import uuid
 
+        fs, dir_path = wirefs.resolve_fs(self.out_dir, self.filesystem)
+        if not self._dir_ready:
+            wirefs.ensure_dir(fs, dir_path)
+            self._dir_ready = True
         lines = [
             json.dumps(_strip_nulls(row), separators=(",", ":"))
             for row in t.to_pylist()
         ]
-        path = os.path.join(
-            self.out_dir, f"{self.prefix}-{uuid.uuid4().hex}{self.ext}"
-        )
         payload = compress_payload(
             ("\n".join(lines) + "\n").encode(), self.compression
         )
-        with open(path, "wb") as f:
-            f.write(payload)
+        name = wirefs.content_name(self.prefix, payload, self.ext)
+        wirefs.atomic_write(fs, dir_path, name, payload)
         return pa.table({"rows": pa.array([len(lines)], type=pa.int64())})
 
 
@@ -478,19 +484,28 @@ def write_otlp_logs_json(
     out_dir: str,
     compression: str | None = None,
     rows_per_request: int = REQUEST_ROWS,
+    *,
+    requests_per_file: int | None = None,
+    filesystem=None,
+    storage_options: dict | None = None,
+    overwrite: bool = True,
 ) -> int:
-    """Marshal: one ExportLogsServiceRequest JSON object per input
-    batch, written as NDJSON (null fields omitted — the proto3 JSON
-    wire form), optionally wire-compressed (gzip/zstd). Returns the
-    number of requests written."""
-    import os
-
-    os.makedirs(out_dir, exist_ok=True)
+    """Marshal: one ExportLogsServiceRequest JSON object per
+    ``rows_per_request`` input rows, ``requests_per_file`` requests per
+    NDJSON file (null fields omitted — the proto3 JSON wire form),
+    optionally wire-compressed (gzip/zstd). ``out_dir`` may be a local
+    path or a filesystem URI (s3://…); a non-empty existing dir is
+    replaced, never appended to. Returns the number of requests
+    written."""
+    fs, dir_path = wirefs.resolve_fs(out_dir, filesystem, storage_options)
+    wirefs.prepare_dir(fs, dir_path, overwrite)
     nested = ds.map_batches(
         nest_otlp_batch, batch_format="pyarrow", batch_size=rows_per_request
     )
     written = nested.map_batches(
-        _NdjsonWriter(out_dir, compression), batch_format="pyarrow"
+        _NdjsonWriter(dir_path, compression, filesystem=fs),
+        batch_format="pyarrow",
+        batch_size=requests_per_file or wirefs.REQUESTS_PER_FILE,
     ).sum("rows")
     return int(written or 0)
 
@@ -519,23 +534,36 @@ class _NdjsonDecode:
         return pa.concat_tables(tables, promote_options="permissive")
 
 
-def _ndjson_requests(paths) -> ray.data.Dataset:
-    """Dataset of request trees from NDJSON files, transparently
-    handling wire compression (sniffed off the file extension)."""
+def _any_compressed(paths) -> bool:
+    """True when any input entry carries a wire-compression suffix.
+    Handles a directory string, a single file string, and a LIST of
+    either (a bare list of .gz paths previously fell through to
+    read_json on compressed bytes)."""
     import os
 
-    compressed = isinstance(paths, str) and os.path.isdir(paths) and any(
-        p.endswith((".gz", ".zst")) for p in os.listdir(paths)
-    )
-    if not compressed:
-        return ray.data.read_json(paths)
-    return ray.data.read_binary_files(paths, include_paths=True).map_batches(
-        _NdjsonDecode(), batch_format="pyarrow"
-    )
+    entries = [paths] if isinstance(paths, str) else list(paths)
+    for p in entries:
+        if isinstance(p, str) and os.path.isdir(p):
+            if any(n.endswith((".gz", ".zst")) for n in os.listdir(p)):
+                return True
+        elif isinstance(p, str) and p.endswith((".gz", ".zst")):
+            return True
+    return False
 
 
-def read_otlp_logs_json(paths) -> ray.data.Dataset:
+def _ndjson_requests(paths, filesystem=None) -> ray.data.Dataset:
+    """Dataset of request trees from NDJSON files, transparently
+    handling wire compression (sniffed off the file extensions across
+    ALL entries — dir listings, single files, and lists alike)."""
+    if not _any_compressed(paths):
+        return ray.data.read_json(paths, filesystem=filesystem)
+    return ray.data.read_binary_files(
+        paths, include_paths=True, filesystem=filesystem
+    ).map_batches(_NdjsonDecode(), batch_format="pyarrow")
+
+
+def read_otlp_logs_json(paths, filesystem=None) -> ray.data.Dataset:
     """Unmarshal: NDJSON of ExportLogsServiceRequest → flat records."""
-    return _ndjson_requests(paths).map_batches(
+    return _ndjson_requests(paths, filesystem).map_batches(
         flatten_otlp_batch, batch_format="pyarrow"
     )

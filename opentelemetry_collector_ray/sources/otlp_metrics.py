@@ -33,6 +33,8 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..schema import DIM_TOOL_SERVICE
+from . import wirefs
+from .otlp_json import REQUEST_ROWS
 from ..stages.parse import GROK_PATTERN
 from .otlp_json import (
     _KV,
@@ -976,38 +978,43 @@ def write_otlp_metrics_json(
     out_dir: str,
     compression: str | None = None,
     rows_per_request: int | None = None,
+    *,
+    requests_per_file: int | None = None,
+    filesystem=None,
+    storage_options: dict | None = None,
+    overwrite: bool = True,
 ) -> int:
-    """Marshal: one ExportMetricsServiceRequest JSON object per input
-    batch, written as NDJSON (null fields omitted — the proto3 JSON
-    wire form), optionally wire-compressed. Returns the number of
-    requests written."""
-    import os
-
-    os.makedirs(out_dir, exist_ok=True)
-    from .otlp_json import REQUEST_ROWS
-
+    """Marshal: one ExportMetricsServiceRequest JSON object per
+    request, ``requests_per_file`` requests per NDJSON file (null
+    fields omitted — the proto3 JSON wire form), optionally
+    wire-compressed. ``out_dir`` may be a filesystem URI. Returns the
+    number of requests written."""
+    fs, dir_path = wirefs.resolve_fs(out_dir, filesystem, storage_options)
+    wirefs.prepare_dir(fs, dir_path, overwrite)
     nested = ds.map_batches(
         nest_otlp_metrics_batch,
         batch_format="pyarrow",
         batch_size=rows_per_request or REQUEST_ROWS,
     )
     written = nested.map_batches(
-        _NdjsonWriter(out_dir, compression), batch_format="pyarrow"
+        _NdjsonWriter(dir_path, compression, filesystem=fs),
+        batch_format="pyarrow",
+        batch_size=requests_per_file or wirefs.REQUESTS_PER_FILE,
     ).sum("rows")
     return int(written or 0)
 
 
-def read_otlp_metrics_json(paths) -> ray.data.Dataset:
+def read_otlp_metrics_json(paths, filesystem=None) -> ray.data.Dataset:
     """Unmarshal: NDJSON of ExportMetricsServiceRequest → flat
     datapoints."""
-    return _ndjson_requests(paths).map_batches(
+    return _ndjson_requests(paths, filesystem).map_batches(
         flatten_otlp_metrics_batch, batch_format="pyarrow"
     )
 
 
-def read_otlp_metrics_hist_json(paths) -> ray.data.Dataset:
+def read_otlp_metrics_hist_json(paths, filesystem=None) -> ray.data.Dataset:
     """Unmarshal the HISTOGRAM branch: NDJSON → per-datapoint partial
     histograms (merge rows per (scope, conv) for totals)."""
-    return _ndjson_requests(paths).map_batches(
+    return _ndjson_requests(paths, filesystem).map_batches(
         flatten_otlp_metrics_hist_batch, batch_format="pyarrow"
     )

@@ -29,6 +29,8 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
+from . import wirefs
+from .wirefs import unframe_requests
 from .otlp_json import (
     _COMPRESS_EXT,
     REQUEST_ROWS,
@@ -580,35 +582,78 @@ def decode_logs_request(buf: bytes, request_cls=None) -> dict:
     return tree
 
 
-class _PbWriter:
-    """One ExportLogsServiceRequest per input batch, one .binpb file
-    per request (the gRPC Export() payload landed on disk), optionally
-    wire-compressed (the configgrpc compressor matrix)."""
+# (kind → runtime request-class key, per-request encode fn, file prefix)
+_PB_KINDS = {
+    "logs": ("request", encode_logs_request, "otlp"),
+    "traces": ("trace_request", None, "otlp-traces"),  # filled in below
+    "metrics": ("metrics_request", None, "otlp-metrics"),
+}
 
-    def __init__(self, out_dir: str, compression: str | None = None):
+
+class _PbWriter:
+    """Binary-protobuf Export sink: each writer batch of k request rows
+    is encoded, FRAMED into one payload (``wirefs.frame_requests`` —
+    magic + length prefixes; one file per request was a 10^8-small-
+    files problem at 10^12 rows), wire-compressed whole, and landed
+    atomically under a content-addressed name on any pyarrow
+    filesystem (retry-idempotent; see ``wirefs``)."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        compression: str | None = None,
+        kind: str = "logs",
+        filesystem=None,
+    ):
         self.out_dir = out_dir
         self.compression = compression
+        self.kind = kind
+        self.filesystem = filesystem
         self.ext = ".binpb" + _COMPRESS_EXT.get(compression or "", "")
+        self._dir_ready = False
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        import os
-        import uuid
-
-        req_cls = _classes()["request"]  # once per batch, per worker
-        rows = t.to_pylist()
-        n = 0
-        for row in rows:
-            path = os.path.join(
-                self.out_dir, f"otlp-{uuid.uuid4().hex}{self.ext}"
+        cls_key, encode, prefix = _PB_KINDS[self.kind]
+        req_cls = _classes()[cls_key]  # once per batch, per worker
+        fs, dir_path = wirefs.resolve_fs(self.out_dir, self.filesystem)
+        if not self._dir_ready:
+            wirefs.ensure_dir(fs, dir_path)
+            self._dir_ready = True
+        blobs = [encode(row, req_cls) for row in t.to_pylist()]
+        if blobs:
+            payload = compress_payload(
+                wirefs.frame_requests(blobs), self.compression
             )
-            with open(path, "wb") as f:
-                f.write(
-                    compress_payload(
-                        encode_logs_request(row, req_cls), self.compression
-                    )
-                )
-            n += 1
-        return pa.table({"requests": pa.array([n], type=pa.int64())})
+            name = wirefs.content_name(prefix, payload, self.ext)
+            wirefs.atomic_write(fs, dir_path, name, payload)
+        return pa.table({"requests": pa.array([len(blobs)], type=pa.int64())})
+
+
+def _write_pb(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    compression: str | None,
+    rows_per_request: int | None,
+    nest_fn,
+    kind: str,
+    requests_per_file: int | None = None,
+    filesystem=None,
+    storage_options: dict | None = None,
+    overwrite: bool = True,
+) -> int:
+    fs, dir_path = wirefs.resolve_fs(out_dir, filesystem, storage_options)
+    wirefs.prepare_dir(fs, dir_path, overwrite)
+    nested = ds.map_batches(
+        nest_fn,
+        batch_format="pyarrow",
+        batch_size=rows_per_request or REQUEST_ROWS,
+    )
+    written = nested.map_batches(
+        _PbWriter(dir_path, compression, kind, filesystem=fs),
+        batch_format="pyarrow",
+        batch_size=requests_per_file or wirefs.REQUESTS_PER_FILE,
+    ).sum("requests")
+    return int(written or 0)
 
 
 def write_otlp_logs_pb(
@@ -616,47 +661,42 @@ def write_otlp_logs_pb(
     out_dir: str,
     compression: str | None = None,
     rows_per_request: int | None = None,
+    **fs_opts,
 ) -> int:
-    """Marshal: transcript rows → nested request trees → binary OTLP
-    protobuf files. Returns the number of requests written."""
-    import os
-
-    os.makedirs(out_dir, exist_ok=True)
-    nested = ds.map_batches(
-        nest_otlp_batch,
-        batch_format="pyarrow",
-        batch_size=rows_per_request or REQUEST_ROWS,
+    """Marshal: transcript rows → nested request trees → framed binary
+    OTLP protobuf files (``requests_per_file`` Export payloads per
+    file; ``out_dir`` may be a filesystem URI). Returns the number of
+    requests written."""
+    return _write_pb(
+        ds, out_dir, compression, rows_per_request, nest_otlp_batch,
+        "logs", **fs_opts,
     )
-    written = nested.map_batches(
-        _PbWriter(out_dir, compression), batch_format="pyarrow"
-    ).sum("requests")
-    return int(written or 0)
 
 
 def _decode_batch(t: pa.Table) -> pa.Table:
-    """read_binary_files block → flat records. Each row is one request
-    blob; decompress by path suffix, decode all, type the trees
-    explicitly (proto3 omits unset fields, so inference can't be
-    trusted), flatten once."""
+    """read_binary_files block → flat records. Each row is one FILE
+    payload holding one or more framed request blobs; decompress by
+    payload magic, unframe (a bare unframed request passes through),
+    decode all, type the trees explicitly (proto3 omits unset fields,
+    so inference can't be trusted), flatten once."""
     blobs = t["bytes"].to_pylist()
     paths = t["path"].to_pylist()
     req_cls = _classes()["request"]  # once per batch, per worker
     trees = [
-        decode_logs_request(decompress_payload(b, p), req_cls).get(
-            "resourceLogs", []
-        )
+        decode_logs_request(req, req_cls).get("resourceLogs", [])
         for b, p in zip(blobs, paths)
+        for req in unframe_requests(decompress_payload(b, p))
     ]
     nested = pa.table({"resourceLogs": pa.array(trees, type=_RESOURCE_LOGS)})
     return flatten_otlp_batch(nested)
 
 
-def read_otlp_logs_pb(paths) -> ray.data.Dataset:
+def read_otlp_logs_pb(paths, filesystem=None) -> ray.data.Dataset:
     """Unmarshal: .binpb files of ExportLogsServiceRequest → flat
     records (same schema as ``read_otlp_logs_json``)."""
-    return ray.data.read_binary_files(paths, include_paths=True).map_batches(
-        _decode_batch, batch_format="pyarrow"
-    )
+    return ray.data.read_binary_files(
+        paths, include_paths=True, filesystem=filesystem
+    ).map_batches(_decode_batch, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- traces
@@ -736,33 +776,7 @@ def decode_traces_request(buf: bytes, request_cls=None) -> dict:
     return tree
 
 
-class _TracePbWriter:
-    """One ExportTraceServiceRequest per input batch, one .binpb file
-    per request (the gRPC Export() payload landed on disk)."""
-
-    def __init__(self, out_dir: str, compression: str | None = None):
-        self.out_dir = out_dir
-        self.compression = compression
-        self.ext = ".binpb" + _COMPRESS_EXT.get(compression or "", "")
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        import os
-        import uuid
-
-        req_cls = _classes()["trace_request"]  # once per batch, per worker
-        n = 0
-        for row in t.to_pylist():
-            path = os.path.join(
-                self.out_dir, f"otlp-traces-{uuid.uuid4().hex}{self.ext}"
-            )
-            with open(path, "wb") as f:
-                f.write(
-                    compress_payload(
-                        encode_traces_request(row, req_cls), self.compression
-                    )
-                )
-            n += 1
-        return pa.table({"requests": pa.array([n], type=pa.int64())})
+_PB_KINDS["traces"] = ("trace_request", encode_traces_request, "otlp-traces")
 
 
 def write_otlp_traces_pb(
@@ -770,21 +784,15 @@ def write_otlp_traces_pb(
     out_dir: str,
     compression: str | None = None,
     rows_per_request: int | None = None,
+    **fs_opts,
 ) -> int:
-    """Marshal: transcript rows → nested trace request trees → binary
-    OTLP protobuf files. Returns the number of requests written."""
-    import os
-
-    os.makedirs(out_dir, exist_ok=True)
-    nested = ds.map_batches(
-        nest_otlp_traces_batch,
-        batch_format="pyarrow",
-        batch_size=rows_per_request or REQUEST_ROWS,
+    """Marshal: transcript rows → nested trace request trees → framed
+    binary OTLP protobuf files. Returns the number of requests
+    written."""
+    return _write_pb(
+        ds, out_dir, compression, rows_per_request, nest_otlp_traces_batch,
+        "traces", **fs_opts,
     )
-    written = nested.map_batches(
-        _TracePbWriter(out_dir, compression), batch_format="pyarrow"
-    ).sum("requests")
-    return int(written or 0)
 
 
 def _decode_traces_batch(t: pa.Table) -> pa.Table:
@@ -792,10 +800,9 @@ def _decode_traces_batch(t: pa.Table) -> pa.Table:
     paths = t["path"].to_pylist()
     req_cls = _classes()["trace_request"]  # once per batch, per worker
     trees = [
-        decode_traces_request(decompress_payload(b, p), req_cls).get(
-            "resourceSpans", []
-        )
+        decode_traces_request(req, req_cls).get("resourceSpans", [])
         for b, p in zip(blobs, paths)
+        for req in unframe_requests(decompress_payload(b, p))
     ]
     nested = pa.table(
         {"resourceSpans": pa.array(trees, type=_RESOURCE_SPANS)}
@@ -803,12 +810,12 @@ def _decode_traces_batch(t: pa.Table) -> pa.Table:
     return flatten_otlp_traces_batch(nested)
 
 
-def read_otlp_traces_pb(paths) -> ray.data.Dataset:
+def read_otlp_traces_pb(paths, filesystem=None) -> ray.data.Dataset:
     """Unmarshal: .binpb files of ExportTraceServiceRequest → flat
     spans (same schema as ``read_otlp_traces_json``)."""
-    return ray.data.read_binary_files(paths, include_paths=True).map_batches(
-        _decode_traces_batch, batch_format="pyarrow"
-    )
+    return ray.data.read_binary_files(
+        paths, include_paths=True, filesystem=filesystem
+    ).map_batches(_decode_traces_batch, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- metrics
@@ -837,34 +844,11 @@ def decode_metrics_request(buf: bytes, request_cls=None) -> dict:
     return json_format.MessageToDict(msg)
 
 
-class _MetricsPbWriter:
-    """One ExportMetricsServiceRequest per input batch, one .binpb
-    file per request."""
-
-    def __init__(self, out_dir: str, compression: str | None = None):
-        self.out_dir = out_dir
-        self.compression = compression
-        self.ext = ".binpb" + _COMPRESS_EXT.get(compression or "", "")
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        import os
-        import uuid
-
-        req_cls = _classes()["metrics_request"]
-        n = 0
-        for row in t.to_pylist():
-            path = os.path.join(
-                self.out_dir, f"otlp-metrics-{uuid.uuid4().hex}{self.ext}"
-            )
-            with open(path, "wb") as f:
-                f.write(
-                    compress_payload(
-                        encode_metrics_request(row, req_cls),
-                        self.compression,
-                    )
-                )
-            n += 1
-        return pa.table({"requests": pa.array([n], type=pa.int64())})
+_PB_KINDS["metrics"] = (
+    "metrics_request",
+    encode_metrics_request,
+    "otlp-metrics",
+)
 
 
 def write_otlp_metrics_pb(
@@ -872,21 +856,14 @@ def write_otlp_metrics_pb(
     out_dir: str,
     compression: str | None = None,
     rows_per_request: int | None = None,
+    **fs_opts,
 ) -> int:
     """Marshal: transcript rows → nested metrics request trees →
-    binary OTLP protobuf files. Returns the request count."""
-    import os
-
-    os.makedirs(out_dir, exist_ok=True)
-    nested = ds.map_batches(
-        nest_otlp_metrics_batch,
-        batch_format="pyarrow",
-        batch_size=rows_per_request or REQUEST_ROWS,
+    framed binary OTLP protobuf files. Returns the request count."""
+    return _write_pb(
+        ds, out_dir, compression, rows_per_request, nest_otlp_metrics_batch,
+        "metrics", **fs_opts,
     )
-    written = nested.map_batches(
-        _MetricsPbWriter(out_dir, compression), batch_format="pyarrow"
-    ).sum("requests")
-    return int(written or 0)
 
 
 def _decode_metrics_batch(t: pa.Table) -> pa.Table:
@@ -894,10 +871,9 @@ def _decode_metrics_batch(t: pa.Table) -> pa.Table:
     paths = t["path"].to_pylist()
     req_cls = _classes()["metrics_request"]
     trees = [
-        decode_metrics_request(decompress_payload(b, p), req_cls).get(
-            "resourceMetrics", []
-        )
+        decode_metrics_request(req, req_cls).get("resourceMetrics", [])
         for b, p in zip(blobs, paths)
+        for req in unframe_requests(decompress_payload(b, p))
     ]
     nested = pa.table(
         {"resourceMetrics": pa.array(trees, type=_RESOURCE_METRICS)}
@@ -905,9 +881,9 @@ def _decode_metrics_batch(t: pa.Table) -> pa.Table:
     return flatten_otlp_metrics_batch(nested)
 
 
-def read_otlp_metrics_pb(paths) -> ray.data.Dataset:
+def read_otlp_metrics_pb(paths, filesystem=None) -> ray.data.Dataset:
     """Unmarshal: .binpb files of ExportMetricsServiceRequest → flat
     datapoints (same schema as ``read_otlp_metrics_json``)."""
-    return ray.data.read_binary_files(paths, include_paths=True).map_batches(
-        _decode_metrics_batch, batch_format="pyarrow"
-    )
+    return ray.data.read_binary_files(
+        paths, include_paths=True, filesystem=filesystem
+    ).map_batches(_decode_metrics_batch, batch_format="pyarrow")

@@ -40,6 +40,8 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..schema import DIM_TOOL_SERVICE
+from . import wirefs
+from .otlp_json import REQUEST_ROWS
 from ..stages.parse import GROK_PATTERN
 from .otlp_json import (
     _KV,
@@ -429,29 +431,34 @@ def write_otlp_traces_json(
     out_dir: str,
     compression: str | None = None,
     rows_per_request: int | None = None,
+    *,
+    requests_per_file: int | None = None,
+    filesystem=None,
+    storage_options: dict | None = None,
+    overwrite: bool = True,
 ) -> int:
-    """Marshal: one ExportTraceServiceRequest JSON object per input
-    batch, written as NDJSON (null fields omitted — the proto3 JSON
-    wire form, IDs in hex), optionally wire-compressed. Returns the
+    """Marshal: one ExportTraceServiceRequest JSON object per request,
+    ``requests_per_file`` requests per NDJSON file (null fields
+    omitted — the proto3 JSON wire form, IDs in hex), optionally
+    wire-compressed. ``out_dir`` may be a filesystem URI. Returns the
     number of requests written."""
-    import os
-
-    os.makedirs(out_dir, exist_ok=True)
-    from .otlp_json import REQUEST_ROWS
-
+    fs, dir_path = wirefs.resolve_fs(out_dir, filesystem, storage_options)
+    wirefs.prepare_dir(fs, dir_path, overwrite)
     nested = ds.map_batches(
         nest_otlp_traces_batch,
         batch_format="pyarrow",
         batch_size=rows_per_request or REQUEST_ROWS,
     )
     written = nested.map_batches(
-        _NdjsonWriter(out_dir, compression), batch_format="pyarrow"
+        _NdjsonWriter(dir_path, compression, filesystem=fs),
+        batch_format="pyarrow",
+        batch_size=requests_per_file or wirefs.REQUESTS_PER_FILE,
     ).sum("rows")
     return int(written or 0)
 
 
-def read_otlp_traces_json(paths) -> ray.data.Dataset:
+def read_otlp_traces_json(paths, filesystem=None) -> ray.data.Dataset:
     """Unmarshal: NDJSON of ExportTraceServiceRequest → flat spans."""
-    return _ndjson_requests(paths).map_batches(
+    return _ndjson_requests(paths, filesystem).map_batches(
         flatten_otlp_traces_batch, batch_format="pyarrow"
     )
