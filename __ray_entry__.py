@@ -3206,6 +3206,46 @@ def q_chat_jsonl_roundtrip(sf_dir: str):
     return read_chat_jsonl(out)
 
 
+def q_telemetry_export(sf_dir: str):
+    """Self-telemetry over the engine's own metrics wire
+    (service/telemetry.go:24-33,96 initPrometheus analogue): populate
+    the obsreport counter surface from the flagship routed pipeline,
+    export the snapshot as an ExportMetricsServiceRequest wire file
+    (state/telemetry.py — monotonic CUMULATIVE Sum per counter), then
+    re-read it through the engine's own ``read_otlp_metrics_json`` and
+    return the (name, value) counter table — oracle-equal to
+    ``obs_counters``, proving the export round-trips losslessly."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from opentelemetry_collector_ray.pipelines.logs import sink_counts
+    from opentelemetry_collector_ray.sources.otlp_metrics import (
+        read_otlp_metrics_json,
+    )
+    from opentelemetry_collector_ray.state import metrics as m
+    from opentelemetry_collector_ray.state.telemetry import export_telemetry
+
+    per_sink = sink_counts(_enriched(sf_dir))
+    accepted = int(per_sink.loc[per_sink["sink"] != "errors", "n"].sum())
+    snapshot = {m.receiver_accepted(): accepted}
+    for _, r in per_sink.iterrows():
+        snapshot[m.exporter_sent(str(r["sink"]))] = int(r["n"])
+    out = f"/tmp/otel_ray_telemetry_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    # fixed export timestamp: deterministic wire bytes → deterministic
+    # content-addressed file name → idempotent re-export
+    export_telemetry(snapshot, out, ts_unix_nano=1_700_000_000_000_000_000)
+    flat = read_otlp_metrics_json(out).to_pandas()
+    return pd.DataFrame(
+        {
+            "name": flat["metric_name"].astype(str),
+            "value": flat["value"].astype("int64"),
+        }
+    )
+
+
 def q_media_decode_real(sf_dir: str):
     """REAL image decode in the actor pool — no fake path: a
     deterministic uncompressed-PPM corpus (keyed off embeddings
@@ -3483,6 +3523,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "otlp_metrics_summary": q_otlp_metrics_summary,
     "otlp_ingest_pipeline": q_otlp_ingest_pipeline,
     "chat_jsonl_roundtrip": q_chat_jsonl_roundtrip,
+    "telemetry_export": q_telemetry_export,
     "media_decode_real": q_media_decode_real,
     "boilerplate_lines": q_boilerplate_lines,
     "dsir_weights": q_dsir_weights,
@@ -4153,6 +4194,14 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT sink, count(*) AS n FROM routed GROUP BY sink",
         "chat_jsonl_roundtrip": o.TRANSCRIPTS_CTE
         + "SELECT conv_id, turn_idx, role, text FROM transcripts",
+        "telemetry_export": o.ROUTED_CTE
+        + (
+            "SELECT 'receiver/accepted_log_records' AS name, "
+            "count(*) AS value FROM transcripts "
+            "UNION ALL "
+            "SELECT 'exporter/' || sink || '/sent_log_records' AS name, "
+            "count(*) AS value FROM routed GROUP BY sink"
+        ),
         "otlp_metrics_summary": o.PARSED_CTE + (
             ", svc AS (SELECT *, "
             "CASE tool WHEN 'bash' THEN 'infra' WHEN 'browser' THEN 'web' "

@@ -318,6 +318,40 @@ def _run_one(cfg: PipelineConfig, source: ray.data.Dataset) -> dict:
         report["processor_counters"] = _metrics.settle_snapshot(
             counters_actor
         )
+    if cfg.telemetry is not None:
+        # service.telemetry analogue (service/telemetry.go:96): land the
+        # run's obsreport counter snapshot over the engine's own OTLP
+        # metrics wire at run end.
+        import time
+
+        from ..state.telemetry import export_telemetry
+
+        snap: dict[str, int] = {}
+        if "per_sink" in report:
+            for sink, n in dict(report["per_sink"]).items():
+                snap[_metrics.exporter_sent(str(sink))] = int(n)
+            # every row routes to exactly one non-'errors' sink (ERROR
+            # rows additionally fan to 'errors'), so receiver-accepted
+            # is the non-errors sum — the obs_counters derivation
+            snap[_metrics.receiver_accepted()] = int(
+                sum(
+                    int(n)
+                    for sink, n in dict(report["per_sink"]).items()
+                    if str(sink) != "errors"
+                )
+            )
+        else:
+            snap[_metrics.receiver_accepted()] = int(report["rows"])
+            snap[_metrics.exporter_sent("single")] = int(report["rows"])
+        for k, v in (report.get("processor_counters") or {}).items():
+            snap[str(k)] = int(v)
+        report["telemetry_path"] = export_telemetry(
+            snap,
+            cfg.telemetry.out_dir,
+            time.time_ns(),
+            wire=cfg.telemetry.wire,
+            compression=cfg.telemetry.compression,
+        )
     return report
 
 

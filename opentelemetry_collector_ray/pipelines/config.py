@@ -201,12 +201,26 @@ class SinkConfig:
 
 
 @dataclass
+class TelemetryConfig:
+    """Self-telemetry sink (service.telemetry analogue,
+    service/telemetry.go:24-33,96): at run end the engine exports its
+    obsreport counter snapshot as an ExportMetricsServiceRequest wire
+    file under ``out_dir`` — consumable by anything reading OTLP
+    metrics, including the engine's own metrics readers."""
+
+    out_dir: str
+    wire: str = "json"  # json | pb
+    compression: str | None = None  # gzip | zstd
+
+
+@dataclass
 class PipelineConfig:
     source: SourceConfig
     stages: list[StageConfig]
     sinks: SinkConfig
     # resolved feature-gate state (registry defaults + spec overrides)
     gates: dict = field(default_factory=dict)
+    telemetry: TelemetryConfig | None = None
 
 
 def load_service_config(spec: dict | str) -> dict[str, PipelineConfig]:
@@ -349,4 +363,31 @@ def load_config(
         raise ConfigError("'feature_gates' must be a list of gate ids")
     gates = resolve_gates(gate_specs)
 
-    return PipelineConfig(source=source, stages=stages, sinks=sinks, gates=gates)
+    telemetry = None
+    tl = p.get("telemetry")
+    if tl is not None:
+        if not isinstance(tl, dict):
+            raise ConfigError("'telemetry' must be a mapping")
+        if not tl.get("out_dir"):
+            raise ConfigError("telemetry needs out_dir")
+        wire = tl.get("wire", "json")
+        if wire not in {"json", "pb"}:
+            raise ConfigError(f"unknown telemetry wire: {wire!r} (json|pb)")
+        comp = tl.get("compression")
+        if comp is not None and comp not in {"gzip", "zstd", "none"}:
+            raise ConfigError(
+                f"unknown telemetry compression: {comp!r} (gzip|zstd|none)"
+            )
+        telemetry = TelemetryConfig(
+            out_dir=tl["out_dir"],
+            wire=wire,
+            compression=None if comp == "none" else comp,
+        )
+
+    return PipelineConfig(
+        source=source,
+        stages=stages,
+        sinks=sinks,
+        gates=gates,
+        telemetry=telemetry,
+    )

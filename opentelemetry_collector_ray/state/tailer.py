@@ -35,12 +35,25 @@ def tail_run(
     stop_file: str | None = None,
     max_ticks: int | None = None,
     sleep=time.sleep,
+    telemetry_out: str | None = None,
+    telemetry_wire: str = "json",
 ) -> dict:
     """Poll-process loop. Returns cumulative stats
-    ``{ticks, processed, total_rows}``."""
+    ``{ticks, processed, total_rows}``.
+
+    ``telemetry_out``: per-TICK self-telemetry export (the live half
+    of service/telemetry.go:96 — a long-running service emits its
+    counters while running, not only at exit): each tick lands the
+    cumulative counter snapshot as an OTLP metrics wire file. Idle
+    ticks (no progress since the last export) are skipped, so an idle
+    tail loop doesn't accrete one file per poll."""
+    from .telemetry import export_telemetry
+
     ticks = 0
     processed = 0
+    total_rows = 0
     last = None
+    last_exported: dict | None = None
     while True:
         stop = stop_file is not None and os.path.exists(stop_file)
         files = sorted(glob.glob(input_glob))
@@ -49,7 +62,21 @@ def tail_run(
                 files, out_dir, pipeline_fn, num_partitions=num_partitions
             )
             processed += last["processed"]
+            total_rows = last.get("total_rows", total_rows)
         ticks += 1
+        if telemetry_out is not None:
+            snap = {
+                "engine/partitions_processed": processed,
+                "receiver/accepted_log_records": int(total_rows),
+            }
+            if snap != last_exported:
+                export_telemetry(
+                    {**snap, "engine/ticks": ticks},
+                    telemetry_out,
+                    time.time_ns(),
+                    wire=telemetry_wire,
+                )
+                last_exported = snap
         if stop:  # final drain tick already ran above
             break
         if max_ticks is not None and ticks >= max_ticks:

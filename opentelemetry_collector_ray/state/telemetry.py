@@ -1,0 +1,148 @@
+"""Self-telemetry export — the engine's own counters over its own wire.
+
+The reference serves its pipeline metrics on a live metrics endpoint
+(service/telemetry.go:24-33,96 initPrometheus): accepted/sent/refused
+counters are observable while the collector runs, in a standard wire
+format any metrics backend ingests. The engine's counters were already
+queryable as a table (``obs_counters``); this module closes the export
+half: snapshot the MetricsActor (or the sharded data-plane counters)
+and land the snapshot as an ``ExportMetricsServiceRequest`` through the
+SAME OTLP metrics codec the data plane uses — so the engine's
+telemetry is consumable by anything that reads OTLP metrics, including
+the engine itself (``read_otlp_metrics_json``/``_pb``).
+
+Encoding: each counter becomes one metric named after the obsreport
+instrument (``receiver/accepted_log_records``,
+``exporter/<sink>/sent_log_records``) with a monotonic CUMULATIVE Sum
+branch and a single asInt datapoint — the pdata shape of a lifetime
+counter (metrics.proto AggregationTemporality.CUMULATIVE=2, matching
+the reference's prometheus counters which are likewise cumulative).
+Files land through ``sources.wirefs`` (atomic, content-addressed, any
+pyarrow filesystem), so a per-tick ``tail_run`` export of the SAME
+snapshot is idempotent — no duplicate wire files across ticks with
+unchanged counters.
+"""
+
+from __future__ import annotations
+
+import json
+
+import ray
+
+from ..sources import wirefs
+from ..sources.otlp_json import _COMPRESS_EXT, compress_payload
+from ..sources.otlp_pb import encode_metrics_request
+
+AGG_TEMPORALITY_CUMULATIVE = 2
+
+
+def telemetry_request_tree(
+    snapshot: dict[str, int],
+    ts_unix_nano: int,
+    service_name: str = "otelray-engine",
+) -> dict:
+    """Counter snapshot → one ExportMetricsServiceRequest tree (the
+    proto3-JSON dict both codecs share). Counters sort by name so the
+    tree — and therefore the wire bytes and the content-addressed file
+    name — are deterministic for a given snapshot."""
+    metrics = [
+        {
+            "name": name,
+            "sum": {
+                "dataPoints": [
+                    {
+                        "timeUnixNano": str(int(ts_unix_nano)),
+                        "asInt": str(int(value)),
+                    }
+                ],
+                "aggregationTemporality": AGG_TEMPORALITY_CUMULATIVE,
+                "isMonotonic": True,
+            },
+        }
+        for name, value in sorted(snapshot.items())
+    ]
+    return {
+        "resourceMetrics": [
+            {
+                "resource": {
+                    "attributes": [
+                        {
+                            "key": "service.name",
+                            "value": {"stringValue": service_name},
+                        }
+                    ]
+                },
+                "scopeMetrics": [
+                    {
+                        "scope": {
+                            "name": "otelray.telemetry",
+                            "version": "1.0",
+                        },
+                        "metrics": metrics,
+                    }
+                ],
+            }
+        ]
+    }
+
+
+def export_telemetry(
+    snapshot: dict[str, int],
+    out_dir: str,
+    ts_unix_nano: int,
+    *,
+    wire: str = "json",
+    compression: str | None = None,
+    filesystem=None,
+    storage_options: dict | None = None,
+    service_name: str = "otelray-engine",
+) -> str | None:
+    """Land one counter snapshot as an OTLP metrics wire file
+    (NDJSON or framed binary protobuf; ``out_dir`` may be a filesystem
+    URI). Appends to the telemetry dir — unlike data sinks, a
+    telemetry stream is cumulative across ticks by design, and the
+    content-addressed names make re-exports of an unchanged snapshot
+    no-ops. Returns the landed path (None for an empty snapshot)."""
+    if not snapshot:
+        return None
+    tree = telemetry_request_tree(snapshot, ts_unix_nano, service_name)
+    fs, dir_path = wirefs.resolve_fs(out_dir, filesystem, storage_options)
+    wirefs.ensure_dir(fs, dir_path)
+    if wire == "json":
+        payload = compress_payload(
+            (json.dumps(tree, separators=(",", ":")) + "\n").encode(),
+            compression,
+        )
+        ext = ".json" + _COMPRESS_EXT.get(compression or "", "")
+    elif wire == "pb":
+        payload = compress_payload(
+            wirefs.frame_requests([encode_metrics_request(tree)]), compression
+        )
+        ext = ".binpb" + _COMPRESS_EXT.get(compression or "", "")
+    else:
+        raise ValueError(f"unknown telemetry wire: {wire!r} (json|pb)")
+    name = wirefs.content_name("telemetry", payload, ext)
+    return wirefs.atomic_write(fs, dir_path, name, payload)
+
+
+def export_run_telemetry(
+    run_id: str,
+    out_dir: str,
+    ts_unix_nano: int,
+    *,
+    wire: str = "json",
+    shards: list | None = None,
+    **kw,
+) -> str | None:
+    """Snapshot-and-export for a live run: merge the run's counter
+    shards (any add may land on any shard — sum per name) and land the
+    merged snapshot."""
+    from . import metrics as m
+
+    if shards is None:
+        shards = m.get_metrics_shards(run_id)
+    merged: dict[str, int] = {}
+    for snap in ray.get([s.snapshot.remote() for s in shards]):
+        for k, v in snap.items():
+            merged[k] = merged.get(k, 0) + int(v)
+    return export_telemetry(merged, out_dir, ts_unix_nano, wire=wire, **kw)
