@@ -108,10 +108,29 @@ def _str(col) -> np.ndarray:
     return np.asarray(col.to_numpy(zero_copy_only=False), dtype=object)
 
 
+def _require_non_null_keys(t: pa.Table, cols=("conv_id", "role")) -> None:
+    """OTLP identity (trace/span IDs, scope names) derives from these
+    columns via numpy string ops that stringify null to 'None' —
+    minting bogus-but-valid IDs instead of propagating null. The
+    transcripts derivation guarantees non-null; EXTERNAL callers must
+    fail loudly, not emit 'None'-keyed spans (ADVICE r3)."""
+    for c in cols:
+        if c in t.column_names:
+            nulls = pc.sum(pc.cast(pc.is_null(t[c]), pa.int64())).as_py()
+            if nulls:
+                raise ValueError(
+                    f"nest_otlp*: column {c!r} has {nulls} null value(s); "
+                    "OTLP identity keys derive from it and null would "
+                    "stringify to 'None'. Filter or fill nulls before "
+                    "marshaling."
+                )
+
+
 def nest_otlp_batch(t: pa.Table) -> pa.Table:
     """Transcript rows → ONE ExportLogsServiceRequest row (the marshal
     half, plog/json.go MarshalLogs): records grouped into scopes by
     role, scopes into resources by derived service.name."""
+    _require_non_null_keys(t)
     n = len(t)
     df = pd.DataFrame(
         {

@@ -37,6 +37,7 @@ from . import wirefs
 from .otlp_json import REQUEST_ROWS
 from ..stages.parse import GROK_PATTERN
 from .otlp_json import (
+    _require_non_null_keys,
     _KV,
     _NdjsonWriter,
     _attr_first,
@@ -199,6 +200,7 @@ def nest_otlp_metrics_batch(t: pa.Table) -> pa.Table:
     marshal half, pmetric/json.go MarshalMetrics): per scope group a
     Gauge metric (parsed-turn latencies) and a Sum metric (turn
     counts)."""
+    _require_non_null_keys(t)
     n = len(t)
     df = pd.DataFrame(
         {
@@ -761,6 +763,22 @@ def flatten_otlp_metrics_hist_batch(t: pa.Table) -> pa.Table:
     )
     buckets = _opt_field(dps, "bucketCounts", pa.list_(pa.string()))
     nb = len(HIST_BOUNDS) + 1
+    # genuine OTel exports carry per-datapoint explicitBounds of any
+    # length; this fixed-bounds flatten handles exactly len(bounds)+1
+    # buckets per datapoint — validate per-dp lengths instead of a
+    # blind reshape whose error ("cannot reshape array of size …")
+    # points nowhere (ADVICE r3)
+    if n_dp:
+        lens = pc.list_value_length(buckets).to_numpy(zero_copy_only=False)
+        bad = np.flatnonzero(np.nan_to_num(lens, nan=-1).astype(np.int64) != nb)
+        if len(bad):
+            raise ValueError(
+                f"histogram datapoint {int(bad[0])} has "
+                f"{int(lens[bad[0]]) if not np.isnan(float(lens[bad[0]])) else 0} "
+                f"bucketCounts; this reader expects exactly {nb} "
+                f"(explicitBounds={list(HIST_BOUNDS)}). Re-bucket the "
+                "export or extend HIST_BOUNDS to match its bounds."
+            )
     flat_b = pc.cast(pc.cast(pc.list_flatten(buckets), pa.int64()), pa.int64())
     b_np = (
         flat_b.to_numpy(zero_copy_only=False).reshape(n_dp, nb)

@@ -44,6 +44,7 @@ from . import wirefs
 from .otlp_json import REQUEST_ROWS
 from ..stages.parse import GROK_PATTERN
 from .otlp_json import (
+    _require_non_null_keys,
     _KV,
     _NdjsonWriter,
     _attr_first,
@@ -78,6 +79,7 @@ def nest_otlp_traces_batch(t: pa.Table) -> pa.Table:
     """Transcript rows → ONE ExportTraceServiceRequest row (the marshal
     half, ptrace/json.go MarshalTraces): spans grouped into scopes by
     role, scopes into resources by derived service.name."""
+    _require_non_null_keys(t)
     n = len(t)
     df = pd.DataFrame(
         {

@@ -12,10 +12,14 @@ poll/checkpoint path (``state.tailer.tail_run`` →
 per-partition ledger exactly-once.
 
 Delivery contract (mirrors the reference's queue+storage stack,
-persistent_storage.go:29-50): ``export`` acks after the rows are in the
-actor buffer (at-least-once from the client's view — a client that
-retries an acked export duplicates, same as OTLP); ``flush`` acks after
-the spool file is durable. From the spool onward the ledger makes
+persistent_storage.go:29-50): by default ``export`` acks after the rows
+are in the actor buffer — an actor crash before the next land loses
+up-to-one buffer of acked rows, a WEAKER window than the reference's
+ack-after-acceptance, so clients must re-push since their last durable
+ack on receiver restart (at-least-once; a retried acked export
+duplicates, same as OTLP). ``export(..., durable=True)`` and ``flush``
+ack only after the spool file is durable — the reference's contract,
+at a per-push fsync cost. From the spool onward the ledger makes
 processing exactly-once across crash/resume: a landed spool file is
 processed by exactly one completed partition regardless of how many
 times the run is killed and resumed.
@@ -69,25 +73,36 @@ class SpoolReceiverActor:
                     pass
         self.seq = max(seqs) + 1 if seqs else 0
 
-    def export(self, rows: list[dict]) -> int:
+    def export(self, rows: list[dict], durable: bool = False) -> int:
         """Push a batch of row dicts (the Export RPC shape). Acks the
         cumulative accepted count; lands a spool file when the buffer
-        crosses the threshold."""
+        crosses the threshold.
+
+        Ack contract (persistent_storage.go:29-50 parity): with the
+        default ``durable=False`` the ack means *buffered* — an actor
+        crash before the next ``_land()`` loses up-to-one buffer of
+        acked rows, so clients wanting reference semantics must either
+        re-push everything since their last durable ``flush()`` ack on
+        receiver restart, or pass ``durable=True`` to land
+        synchronously before the ack (ack = on disk, exactly the
+        reference's queue+storage acceptance — at a per-push fsync
+        cost; amortize with larger pushes)."""
         if rows:
             self.buf.append(pa.Table.from_pylist(rows))
             self.buffered_rows += len(rows)
             self.accepted += len(rows)
-        if self.buffered_rows >= self.max_buffer_rows:
+        if durable or self.buffered_rows >= self.max_buffer_rows:
             self._land()
         return self.accepted
 
-    def export_table(self, table: pa.Table) -> int:
-        """Arrow-native push (zero object-store copies on the way in)."""
+    def export_table(self, table: pa.Table, durable: bool = False) -> int:
+        """Arrow-native push (zero object-store copies on the way in).
+        Same ack contract as ``export``."""
         if len(table):
             self.buf.append(table)
             self.buffered_rows += len(table)
             self.accepted += len(table)
-        if self.buffered_rows >= self.max_buffer_rows:
+        if durable or self.buffered_rows >= self.max_buffer_rows:
             self._land()
         return self.accepted
 

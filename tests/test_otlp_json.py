@@ -224,3 +224,28 @@ def test_null_ts_rows_round_trip_all_codecs():
 
     line = json.dumps(_strip_nulls(nest_otlp_batch(t).to_pylist()[0]))
     assert '"nan"' not in line and ":null" not in line.replace(" ", "")
+
+
+def test_nest_rejects_null_identity_keys():
+    """External callers feeding null conv_id/role must fail loudly —
+    numpy string ops would otherwise stringify null to 'None' and mint
+    bogus-but-valid IDs/scopes (ADVICE r3)."""
+    import pytest
+
+    from opentelemetry_collector_ray.sources.otlp_traces import (
+        nest_otlp_traces_batch,
+    )
+
+    t = _transcript_batch()
+    bad = t.set_column(
+        0, "conv_id", pa.array(["c1", None, "c2", "c3"], type=pa.string())
+    )
+    with pytest.raises(ValueError, match="conv_id.*null"):
+        nest_otlp_batch(bad)
+    with pytest.raises(ValueError, match="conv_id.*null"):
+        nest_otlp_traces_batch(bad)
+    bad_role = t.set_column(
+        2, "role", pa.array(["user", None, "tool", "user"], type=pa.string())
+    )
+    with pytest.raises(ValueError, match="role.*null"):
+        nest_otlp_batch(bad_role)

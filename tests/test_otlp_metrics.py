@@ -300,3 +300,48 @@ def test_summary_branch():
         {"quantile": 0.5, "value": 30.0},
         {"quantile": 0.95, "value": 50.0},
     ]
+
+
+def test_hist_flatten_rejects_mismatched_bucket_counts():
+    """Genuine OTel exports can carry any explicitBounds; the
+    fixed-bounds flatten must raise a descriptive error instead of an
+    opaque numpy reshape failure (ADVICE r3)."""
+    import pytest
+
+    from opentelemetry_collector_ray.sources.otlp_metrics import (
+        _RESOURCE_METRICS,
+        flatten_otlp_metrics_hist_batch,
+    )
+
+    tree = [
+        {
+            "resource": {"attributes": []},
+            "scopeMetrics": [
+                {
+                    "scope": {"name": "s", "version": "1"},
+                    "metrics": [
+                        {
+                            "name": "m",
+                            "histogram": {
+                                "dataPoints": [
+                                    {
+                                        "count": "3",
+                                        "sum": 5.0,
+                                        # 2 buckets, reader expects 4
+                                        "bucketCounts": ["1", "2"],
+                                        "explicitBounds": [10.0],
+                                    }
+                                ],
+                                "aggregationTemporality": 1,
+                            },
+                        }
+                    ],
+                }
+            ],
+        }
+    ]
+    t = pa.table(
+        {"resourceMetrics": pa.array([tree], type=_RESOURCE_METRICS)}
+    )
+    with pytest.raises(ValueError, match="bucketCounts.*expects exactly 4"):
+        flatten_otlp_metrics_hist_batch(t)

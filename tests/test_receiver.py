@@ -113,3 +113,18 @@ def test_push_dataset_streams_batches(tmp_path):
     ray.get(actor.flush.remote())
     got = ray.data.read_parquet(glob.glob(spool + "/*.parquet")).count()
     assert got == 2000
+
+
+def test_durable_export_acks_after_landing(tmp_path):
+    """durable=True = the reference's ack-after-acceptance contract:
+    the spool file exists the moment the ack returns, even far below
+    the buffer threshold — a crash right after the ack loses nothing."""
+    spool = str(tmp_path / "spool")
+    actor = SpoolReceiverActor.remote(spool, max_buffer_rows=10_000)
+    ray.get(actor.export.remote(_rows(0, 5), True))
+    files = glob.glob(spool + "/*.parquet")
+    assert len(files) == 1
+    got = ray.data.read_parquet(files).count()
+    assert got == 5
+    stats = ray.get(actor.stats.remote())
+    assert stats["buffered_rows"] == 0 and stats["landed_files"] == 1
