@@ -3248,14 +3248,19 @@ def q_telemetry_export(sf_dir: str):
 
 def q_media_decode_real(sf_dir: str):
     """REAL image decode in the actor pool — no fake path: a
-    deterministic uncompressed-PPM corpus (keyed off embeddings
-    vec_ids so it scales with sf) → pure-numpy decode → per-channel
-    statistics features → nearest resize re-encoded. Rows-only (pixel
-    math isn't SQL); pinned by test_ops real-codec tests."""
+    deterministic mixed-format corpus (PPM / BMP / zlib-compressed
+    non-interlaced PNG by media_id mod 3, keyed off embeddings vec_ids
+    so it scales with sf) → pure-numpy decode → per-channel statistics
+    features → nearest resize re-encoded. All three formats must
+    produce IDENTICAL features for the same media_id (the codecs are
+    lossless), which the pinned test_ops real-codec tests assert.
+    Rows-only (pixel math isn't SQL)."""
     import numpy as np
     import ray.data
 
     from opentelemetry_collector_ray.stages.imagecodec import (
+        encode_bmp,
+        encode_png,
         encode_ppm,
         synth_image,
     )
@@ -3268,18 +3273,24 @@ def q_media_decode_real(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
     )
 
+    _ENCODERS = (
+        ("image/x-ppm", encode_ppm),
+        ("image/bmp", encode_bmp),
+        ("image/png", encode_png),
+    )
+
     def make_media(t: pa.Table) -> pa.Table:
         mids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        types, payloads = [], []
+        for i in mids:
+            mt, enc = _ENCODERS[int(i) % 3]
+            types.append(mt)
+            payloads.append(enc(synth_image(int(i))))
         return pa.table(
             {
                 "media_id": pa.array(mids, type=pa.int64()),
-                "media_type": pa.array(
-                    ["image/x-ppm"] * len(mids), type=pa.string()
-                ),
-                "payload": pa.array(
-                    [encode_ppm(synth_image(int(i))) for i in mids],
-                    type=pa.binary(),
-                ),
+                "media_type": pa.array(types, type=pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
                 "meta_json": pa.array(["{}"] * len(mids), type=pa.string()),
             }
         )

@@ -200,7 +200,20 @@ def build_source(cfg: PipelineConfig) -> ray.data.Dataset:
         kwargs = {}
         if src.columns:
             kwargs["columns"] = src.columns
-        return ray.data.read_parquet(src.paths, **kwargs)
+        paths = src.paths
+        if src.storage_options:
+            # configauth parity: per-source credentials become the
+            # filesystem constructor's kwargs (sources/wirefs registry)
+            from ..sources import wirefs
+
+            fs, first = wirefs.resolve_fs(
+                paths[0], None, src.storage_options
+            )
+            kwargs["filesystem"] = fs
+            paths = [wirefs.resolve_fs(p, fs)[1] if "://" not in p else
+                     p.split("://", 1)[1] for p in paths]
+            paths[0] = first
+        return ray.data.read_parquet(paths, **kwargs)
     if src.type == "events_transcripts":
         from ..sources.transcripts import transcripts_from_events
 
@@ -224,6 +237,7 @@ def run_service(spec: dict | str) -> dict:
             tuple(cfg.source.paths or []),
             cfg.source.sf_dir,
             tuple(cfg.source.columns or []),
+            tuple(sorted((cfg.source.storage_options or {}).items())),
         )
 
     # shared sources: a lazy Dataset re-executes its read per consumer,
@@ -273,6 +287,8 @@ def _run_one(cfg: PipelineConfig, source: ray.data.Dataset) -> dict:
         if cfg.sinks.min_rows_per_file
         else {}
     )
+    if cfg.sinks.storage_options:
+        sizing["storage_options"] = cfg.sinks.storage_options
     if cfg.sinks.compression:
         # forwarded to pyarrow's ParquetWriter via write_parquet —
         # "none" means store uncompressed (arrow spells it "NONE")

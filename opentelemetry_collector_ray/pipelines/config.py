@@ -174,6 +174,9 @@ class SourceConfig:
     paths: list[str] | None = None
     sf_dir: str | None = None
     columns: list[str] | None = None
+    # per-source credentials/options → filesystem constructor kwargs
+    # (config/configauth parity; resolved via sources.wirefs)
+    storage_options: dict | None = None
 
 
 @dataclass
@@ -198,6 +201,8 @@ class SinkConfig:
     # config/configgrpc/configgrpc_benchmark_test.go:39): one of
     # snappy | zstd | gzip | lz4 | brotli | none (None = arrow default)
     compression: str | None = None
+    # per-sink credentials/options → filesystem constructor kwargs
+    storage_options: dict | None = None
 
 
 @dataclass
@@ -307,11 +312,15 @@ def load_config(
         raise ConfigError("'source' must be a mapping")
     if src.get("type") not in KNOWN_SOURCES:
         raise ConfigError(f"unknown source type: {src.get('type')!r}")
+    so = src.get("storage_options")
+    if so is not None and not isinstance(so, dict):
+        raise ConfigError("'storage_options' must be a mapping")
     source = SourceConfig(
         type=src["type"],
         paths=src.get("paths"),
         sf_dir=src.get("sf_dir"),
         columns=src.get("columns"),
+        storage_options=so,
     )
     if source.type == "parquet" and not source.paths:
         raise ConfigError("parquet source needs paths")
@@ -339,12 +348,16 @@ def load_config(
         raise ConfigError("pipeline must reference at least one sink")
     if not isinstance(sk, dict):
         raise ConfigError("'sinks' must be a mapping")
+    sko = sk.get("storage_options")
+    if sko is not None and not isinstance(sko, dict):
+        raise ConfigError("'storage_options' must be a mapping")
     sinks = SinkConfig(
         mode=sk.get("mode", "route"),
         out_dir=sk.get("out_dir"),
         min_rows_per_file=sk.get("min_rows_per_file"),
         write_timeout=sk.get("write_timeout"),
         compression=sk.get("compression"),
+        storage_options=sko,
     )
     if sinks.mode not in {"route", "single"}:
         raise ConfigError(f"unknown sink mode: {sinks.mode!r}")

@@ -20,6 +20,7 @@ import logging
 import os
 import shutil
 
+import pyarrow.fs as pafs
 import ray.data
 
 logger = logging.getLogger(__name__)
@@ -42,7 +43,14 @@ def _recover_and_clean(parent: str, base: str, out_dir: str) -> None:
         shutil.rmtree(p, ignore_errors=True)
 
 
-def atomic_write_parquet(ds: ray.data.Dataset, out_dir: str, **kwargs) -> int:
+def atomic_write_parquet(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    filesystem=None,
+    storage_options: dict | None = None,
+    **kwargs,
+) -> int:
     """Write to ``out_dir`` atomically (tmp + swap); returns row count.
 
     A crashed write leaves either a ``.tmp-`` directory (cleaned by the
@@ -50,8 +58,26 @@ def atomic_write_parquet(ds: ray.data.Dataset, out_dir: str, **kwargs) -> int:
     a missing ``out_dir`` plus the previous good data in ``.old-``,
     which the next attempt renames back before rewriting. ``out_dir``
     is never half-complete.
-    """
+
+    ``out_dir`` may be a filesystem URI (or ``filesystem``/
+    ``storage_options`` explicit — the config/configauth credential
+    plumbing): non-local sinks stage into a ``.tmp-`` dir on the SAME
+    filesystem and publish with ``fs.move``. On a true object store
+    that move is copy+delete per file, not an atomic rename — the
+    previous sink stays complete until the copy starts, and a torn
+    publish is repaired by the next attempt's rewrite (per-partition
+    ledger resumability is the real crash story at that scale; see
+    SCALE.md)."""
     import uuid as _uuid
+
+    if filesystem is not None or storage_options is not None or "://" in out_dir:
+        from ..sources import wirefs
+
+        fs, path = wirefs.resolve_fs(out_dir, filesystem, storage_options)
+        if not isinstance(fs, pafs.LocalFileSystem):
+            return _atomic_write_parquet_fs(ds, fs, path, **kwargs)
+        out_dir = path  # resolved local path: fall through to the
+        # os.rename swap below (a true atomic publish)
 
     parent = os.path.dirname(os.path.abspath(out_dir)) or "."
     os.makedirs(parent, exist_ok=True)
@@ -80,16 +106,48 @@ def atomic_write_parquet(ds: ray.data.Dataset, out_dir: str, **kwargs) -> int:
     return int(rows)
 
 
+def _atomic_write_parquet_fs(
+    ds: ray.data.Dataset, fs, out_dir: str, **kwargs
+) -> int:
+    """Non-local variant of the stage+swap: write into a ``.tmp-``
+    sibling on the same filesystem, count, replace. ``fs.move`` is an
+    atomic rename only where the store supports it; see the caller's
+    docstring for the object-store caveat."""
+    import uuid as _uuid
+
+    parent, base = os.path.split(out_dir.rstrip("/"))
+    attempt = f"{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+    tmp = f"{parent}/.tmp-{base}-{attempt}" if parent else f".tmp-{base}-{attempt}"
+    # clean any prior attempt's debris (never matches live sink names)
+    for info in fs.get_file_info(
+        pafs.FileSelector(parent or ".", recursive=False, allow_not_found=True)
+    ):
+        name = info.path.rsplit("/", 1)[-1]
+        if name.startswith(f".tmp-{base}-"):
+            fs.delete_dir(info.path)
+    fs.create_dir(tmp, recursive=True)
+    ds.write_parquet(tmp, filesystem=fs, **kwargs)
+    rows = ray.data.read_parquet(tmp, filesystem=fs).count()
+    if fs.get_file_info(out_dir).type != pafs.FileType.NotFound:
+        fs.delete_dir(out_dir)
+    fs.move(tmp, out_dir)
+    return int(rows)
+
+
 def write_sinks(
     exploded: ray.data.Dataset,
     out_dir: str,
     *,
     sort_within: tuple[str, ...] | None = None,
+    filesystem=None,
+    storage_options: dict | None = None,
     **kwargs,
 ) -> dict:
     """One-pass atomic fan-out write of an exploded (…, sink) dataset;
     returns per-sink counts (the exporter sent_log_records numbers),
     computed with the combiner pattern over the written output.
+    ``out_dir`` may be a filesystem URI (``storage_options`` →
+    filesystem constructor, the configauth plumbing).
 
     ``sort_within``: sort each BLOCK by (sink, *sort_within) before the
     partitioned write — each output file is then internally ordered by
@@ -97,6 +155,12 @@ def write_sinks(
     file level; per-file, not global — a global sort would be an
     unnecessary all-to-all). Gated by ``engine.sortedSinkWrites``."""
     from ..functions.agg import grouped_count_driver
+
+    fs = None
+    if filesystem is not None or storage_options is not None or "://" in out_dir:
+        from ..sources import wirefs
+
+        fs, out_dir = wirefs.resolve_fs(out_dir, filesystem, storage_options)
 
     if sort_within:
         if kwargs.get("min_rows_per_file"):
@@ -119,8 +183,10 @@ def write_sinks(
         exploded = exploded.map_batches(
             lambda t: t.sort_by(keys), batch_format="pyarrow"
         )
-    atomic_write_parquet(exploded, out_dir, partition_cols=["sink"], **kwargs)
-    out = ray.data.read_parquet(out_dir)
+    atomic_write_parquet(
+        exploded, out_dir, partition_cols=["sink"], filesystem=fs, **kwargs
+    )
+    out = ray.data.read_parquet(out_dir, filesystem=fs)
     counts = grouped_count_driver(out, ["sink"])
     return {str(r["sink"]): int(r["n"]) for _, r in counts.iterrows()}
 

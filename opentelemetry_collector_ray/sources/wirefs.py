@@ -56,14 +56,25 @@ REQUESTS_PER_FILE = 32
 FRAME_MAGIC = b"OTFR"
 
 # Schemes whose filesystems accept credential/storage options as
-# constructor kwargs (config/configauth parity: per-sink credentials
-# ride the YAML `storage_options` map straight into the constructor).
-_SCHEME_FS = {
+# constructor kwargs (config/configauth parity: per-source/per-sink
+# credentials ride the YAML `storage_options` map straight into the
+# constructor). Values are pyarrow.fs class names or, via
+# ``register_scheme``, arbitrary factories.
+_SCHEME_FS: dict = {
     "s3": "S3FileSystem",
     "gs": "GcsFileSystem",
     "gcs": "GcsFileSystem",
     "hdfs": "HadoopFileSystem",
 }
+
+
+def register_scheme(scheme: str, factory) -> None:
+    """Register a filesystem factory for a URI scheme:
+    ``factory(**storage_options) -> pyarrow.fs.FileSystem``. The hook
+    for custom/fsspec-backed stores — and for tests, which register a
+    recording fake to prove config credentials reach the
+    constructor."""
+    _SCHEME_FS[scheme] = factory
 
 
 def resolve_fs(
@@ -74,18 +85,21 @@ def resolve_fs(
     """URI (or plain local path) → (FileSystem, path-within-fs).
 
     An explicit ``filesystem`` wins and ``uri`` is taken as a path
-    inside it. Otherwise ``scheme://`` URIs resolve via pyarrow
-    (``storage_options`` become filesystem-constructor kwargs — the
-    credential plumbing the reference does through config/configauth),
-    and scheme-less strings are local paths.
+    inside it. Otherwise ``scheme://`` URIs resolve via the scheme
+    registry or pyarrow (``storage_options`` become
+    filesystem-constructor kwargs — the credential plumbing the
+    reference does through config/configauth), and scheme-less strings
+    are local paths.
     """
     if filesystem is not None:
         return filesystem, uri
     if "://" in uri:
         scheme, rest = uri.split("://", 1)
-        if storage_options and scheme in _SCHEME_FS:
-            fs_cls = getattr(pafs, _SCHEME_FS[scheme])
-            return fs_cls(**storage_options), rest
+        entry = _SCHEME_FS.get(scheme)
+        if callable(entry):
+            return entry(**(storage_options or {})), rest
+        if storage_options and entry is not None:
+            return getattr(pafs, entry)(**storage_options), rest
         fs, path = pafs.FileSystem.from_uri(uri)
         return fs, path
     return pafs.LocalFileSystem(), os.path.abspath(uri)

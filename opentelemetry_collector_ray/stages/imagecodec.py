@@ -113,15 +113,159 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + body
 
 
+# ------------------------------------------------------------------ PNG
+# stdlib zlib makes PNG decodable without codec libraries: the format
+# is chunks (len/type/data/crc32) around a zlib stream of per-row
+# filtered scanlines. Real pixel math, not a stub — covers the
+# non-interlaced 8-bit color types (gray / gray+alpha / RGB / RGBA).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype → samples per pixel (bitdepth 8)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(buf: bytes):
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(buf):
+        n = int.from_bytes(buf[pos : pos + 4], "big")
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + n]
+        yield ctype, data
+        pos += 12 + n  # len + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def _unfilter_scanlines(raw: np.ndarray, h: int, stride: int, bpp: int):
+    """Reverse the per-row PNG filters. Rows are (filter_byte, bytes);
+    Up/None/Average are vectorized per row; Sub is a per-byte-lane
+    cumulative sum; Paeth falls back to a per-pixel walk (rare in our
+    own encodes — we write filter 0 — but real-world PNGs use it)."""
+    rows = raw.reshape(h, 1 + stride)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: cumsum per byte lane
+            lanes = cur.reshape(-1, bpp)
+            rec = np.cumsum(lanes, axis=0).reshape(-1)
+        elif f == 2:  # Up
+            rec = cur + prev
+        elif f == 3:  # Average — sequential in x via lane recurrence
+            # each reconstructed byte must be masked to mod-256 BEFORE
+            # it feeds the next pixel's predictor (PNG spec 9.2)
+            rec = np.zeros(stride, np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor — sequential in x
+            rec = np.zeros(stride, np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return out
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG → (H, W, 3) uint8 RGB (alpha dropped,
+    grayscale broadcast — same output contract as the other decoders)."""
+    import zlib
+
+    if not buf.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    w = h = None
+    colortype = None
+    idat = []
+    for ctype, data in _png_chunks(buf):
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bitdepth, colortype, _comp, _filt, interlace = data[8:13]
+            if bitdepth != 8:
+                raise ValueError(f"only 8-bit PNG (got bitdepth={bitdepth})")
+            if colortype not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG colortype {colortype}")
+            if interlace:
+                raise ValueError("interlaced (Adam7) PNG unsupported")
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = _PNG_CHANNELS[colortype]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline data length mismatch")
+    px = _unfilter_scanlines(raw, h, stride, ch).reshape(h, w, ch)
+    if colortype == 2:
+        return px.copy()
+    if colortype == 6:
+        return px[:, :, :3].copy()
+    if colortype == 0:
+        return np.repeat(px, 3, axis=2)
+    return np.repeat(px[:, :, :1], 3, axis=2)  # gray+alpha
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + zlib.crc32(ctype + data).to_bytes(4, "big")
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W, 3|4) uint8 → non-interlaced 8-bit RGB/RGBA PNG (filter 0
+    rows — decoders must accept all filters; encoders may pick any)."""
+    import zlib
+
+    h, w = arr.shape[:2]
+    ch = 4 if arr.ndim == 3 and arr.shape[2] == 4 else 3
+    colortype = 6 if ch == 4 else 2
+    body = np.ascontiguousarray(arr[:, :, :ch], dtype=np.uint8).reshape(
+        h, w * ch
+    )
+    scan = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    scan[:, 1:] = body
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, colortype, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_image(buf: bytes) -> np.ndarray:
-    """Magic-byte dispatch over the supported uncompressed formats."""
+    """Magic-byte dispatch over the supported formats."""
     if buf[:2] in (b"P6", b"P5"):
         return decode_ppm(buf)
     if buf[:2] == b"BM":
         return decode_bmp(buf)
+    if buf.startswith(_PNG_SIG):
+        return decode_png(buf)
     raise ValueError(
-        "unsupported payload (only uncompressed PPM/PGM/BMP decode "
-        "without codec libraries)"
+        "unsupported payload (PPM/PGM/BMP/non-interlaced-PNG decode "
+        "without codec libraries; JPEG needs a codec library)"
     )
 
 

@@ -5,9 +5,9 @@ Images/audio/video are opaque ``binary`` columns plus metadata columns
 plumbing — schema, actor-pool signature, small batch sizes for wide
 binary rows, output layout — is real and tested. The codec tier:
 UNCOMPRESSED image formats (PPM/PGM/BMP) decode / resize / featurize
-for REAL via the pure-numpy ``stages.imagecodec``; compressed formats
-(PNG/JPEG/video/audio) still need codec libraries absent from this
-container — those raise ``NotImplementedError`` per payload unless
+for REAL via the pure-numpy ``stages.imagecodec`` — including
+non-interlaced 8-bit PNG (stdlib zlib); remaining compressed formats
+(JPEG/video/compressed-audio) still need codec libraries absent here — those raise ``NotImplementedError`` per payload unless
 ``fake_decode=True`` substitutes a deterministic fake.
 
 Scale notes baked into the design: binary rows are wide → callers
@@ -68,7 +68,7 @@ def synth_media_table(n: int, payload_bytes: int = 4096) -> pa.Table:
 class ResizeStage:
     """Image-resize actor stage: payload → resized payload + dims.
 
-    Uncompressed payloads (PPM/PGM/BMP) take the REAL path: decode →
+    Native payloads (PPM/PGM/BMP/PNG) take the REAL path: decode →
     nearest-neighbor resample → re-encode as PPM. Other formats fall
     back to the deterministic fake (payload truncated/repeated to the
     W×H×3 byte budget) when ``fake=True``, else raise per payload.
@@ -87,8 +87,8 @@ class ResizeStage:
             if self.fake:
                 return (p * (self.budget // max(len(p), 1) + 1))[: self.budget]
             raise NotImplementedError(
-                "compressed media needs codec libraries; only "
-                "uncompressed PPM/PGM/BMP resize natively"
+                "this media format needs codec libraries; "
+                "PPM/PGM/BMP/non-interlaced-PNG resize natively"
             )
         return encode_ppm(resize_nearest(img, self.width, self.height))
 
@@ -153,7 +153,7 @@ class FrameSampleStage:
 class DecodeStage:
     """Actor-pool decode: payload → feature columns.
 
-    Uncompressed image payloads (PPM/PGM/BMP) decode for REAL — the
+    Native image payloads (PPM/PGM/BMP/PNG) decode for REAL — the
     features are per-channel mean/std + aspect + luminance from
     ``imagecodec.image_features``. Compressed formats need codec
     libraries (PIL/torchaudio/ffmpeg, loaded once per actor in real
@@ -179,9 +179,9 @@ class DecodeStage:
             pass
         if not self.fake_decode:
             raise NotImplementedError(
-                "compressed media needs codec libraries; only "
-                "uncompressed PPM/PGM/BMP images and PCM WAV audio "
-                "decode natively"
+                "this media format needs codec libraries; "
+                "PPM/PGM/BMP/non-interlaced-PNG images and PCM WAV "
+                "audio decode natively"
             )
         # deterministic fake: 8 floats from the payload digest
         d = hashlib.sha256(payload).digest()

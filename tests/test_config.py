@@ -573,3 +573,56 @@ def test_cli_components_lists_registry():
     assert "parse" in d["stages"] and "transform" in d["stages"]
     assert "parquet" in d["sources"]
     assert "engine.timeoutSender" in d["feature_gates"]
+
+
+def test_storage_options_reach_filesystem(corpus, tmp_path):
+    """configauth parity: per-source/per-sink YAML storage_options must
+    reach the filesystem CONSTRUCTOR (recorded by a fake scheme), and
+    both the read and the atomic write must route through that
+    filesystem handle."""
+    import shutil
+
+    import pyarrow.fs as pafs
+    import ray.data
+
+    from opentelemetry_collector_ray.sources import wirefs
+
+    root = str(tmp_path / "fsroot")
+    os.makedirs(root + "/corpus", exist_ok=True)
+    for f in os.listdir(corpus):
+        shutil.copy(os.path.join(corpus, f), os.path.join(root, "corpus", f))
+    calls = []
+
+    def factory(**opts):
+        calls.append(opts)
+        return pafs.SubTreeFileSystem(root, pafs.LocalFileSystem())
+
+    wirefs.register_scheme("mockfs", factory)
+    try:
+        report = run_pipeline(
+            {
+                "pipeline": {
+                    "source": {
+                        "type": "parquet",
+                        "paths": ["mockfs://corpus"],
+                        "storage_options": {"access_token": "sekrit-src"},
+                    },
+                    "stages": [{"type": "parse"}, {"type": "enrich"}],
+                    "sinks": {
+                        "mode": "single",
+                        "out_dir": "mockfs://out",
+                        "storage_options": {"access_token": "sekrit-sink"},
+                    },
+                }
+            }
+        )
+    finally:
+        del wirefs._SCHEME_FS["mockfs"]
+    assert {"access_token": "sekrit-src"} in calls
+    assert {"access_token": "sekrit-sink"} in calls
+    n_in = ray.data.read_parquet(corpus).count()
+    assert report["rows"] == n_in
+    # the sink landed INSIDE the fake filesystem's root, atomically
+    assert os.path.isdir(os.path.join(root, "out"))
+    assert ray.data.read_parquet(os.path.join(root, "out")).count() == n_in
+    assert not [d for d in os.listdir(root) if d.startswith(".tmp-")]
