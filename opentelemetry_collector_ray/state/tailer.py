@@ -25,6 +25,68 @@ import time
 from .checkpoint import run_partitioned
 
 
+class ConfigWatcher:
+    """Config hot-reload for the long-running services — the
+    ``Collector.reloadConfiguration`` analogue (otelcol/collector.go:
+    191-204: a confmap Watch event re-resolves config and rebuilds the
+    pipeline without restarting the process).
+
+    Use as the ``pipeline_fn`` of :func:`tail_run`: each call builds
+    this tick's Dataset through the CURRENTLY-loaded stage chain;
+    ``tail_run`` invokes :meth:`refresh` once per tick, which re-reads
+    the YAML only when the file's mtime changed (the batch stand-in
+    for a watch event — no inotify dependency). Reload semantics match
+    the reference: the new config applies to work from the next tick
+    onward; completed partitions stay completed (the checkpoint ledger
+    is untouched — a config flip alone reprocesses nothing, only NEW
+    or rewritten input goes through the new chain).
+
+    Only ``source.columns`` and ``stages`` participate here —
+    ``sinks`` belongs to ``tail_run``'s ``out_dir`` and the
+    partitioned writer."""
+
+    def __init__(self, config_path: str, env: dict | None = None):
+        self.config_path = config_path
+        self.env = env
+        self.generation = 0
+        self._mtime: int | None = None
+        self.cfg = None
+        self.refresh()
+
+    def refresh(self) -> bool:
+        """Re-resolve the config iff the file changed; returns whether
+        a reload happened. A config that fails validation mid-run
+        keeps the previous good config (the reference logs and keeps
+        serving on a bad reload; failing the whole tail loop on a
+        half-saved edit would be worse)."""
+        from ..pipelines.config import ConfigError, load_config
+
+        mt = os.stat(self.config_path).st_mtime_ns
+        if mt == self._mtime:
+            return False
+        try:
+            cfg = load_config(self.config_path, self.env)
+        except ConfigError:
+            if self.cfg is None:
+                raise  # a bad INITIAL config is fatal, like the reference
+            self._mtime = mt  # don't re-parse the same bad file every tick
+            return False
+        self.cfg = cfg
+        self._mtime = mt
+        self.generation += 1
+        return True
+
+    def __call__(self, files):
+        import ray.data
+
+        from ..pipelines.builder import _apply_stages
+
+        ds = ray.data.read_parquet(
+            files, columns=self.cfg.source.columns or None
+        )
+        return _apply_stages(ds, self.cfg)
+
+
 def tail_run(
     input_glob: str,
     out_dir: str,
@@ -56,6 +118,10 @@ def tail_run(
     last_exported: dict | None = None
     while True:
         stop = stop_file is not None and os.path.exists(stop_file)
+        if hasattr(pipeline_fn, "refresh"):
+            # config hot-reload point (ConfigWatcher): once per tick,
+            # before this tick's partitions run
+            pipeline_fn.refresh()
         files = sorted(glob.glob(input_glob))
         if files:
             last = run_partitioned(
