@@ -2195,6 +2195,67 @@ def q_trace_assemble(sf_dir: str):
     return trace_assemble(spans)
 
 
+def q_trace_assemble_flat(sf_dir: str):
+    """Oracle-gated projection of the assembled traces: the nested
+    emit form itself is rows-only (nested lists have no stable SQL
+    hash), but its CONTENT is exactly SQL-checkable — per-trace span
+    count and the pipe-joined causal name sequence (string_agg ORDER BY
+    span_idx). Derived FROM the nested output, so the oracle gates the
+    assembly, not a parallel derivation."""
+    import pyarrow.compute as _pc
+
+    nested = q_trace_assemble(sf_dir)
+
+    def flat(t: pa.Table) -> pa.Table:
+        names = t["span_names"]
+        if isinstance(names, pa.ChunkedArray):
+            names = names.combine_chunks()
+        return pa.table(
+            {
+                "trace_id": t["trace_id"],
+                "n_spans": _pc.cast(
+                    _pc.list_value_length(names), pa.int64()
+                ),
+                "names": _pc.binary_join(names, "|"),
+            }
+        )
+
+    return nested.map_batches(flat, batch_format="pyarrow")
+
+
+def q_dedup_clusters_exact(sf_dir: str):
+    """The distributed connected-components operator under a FULL
+    oracle: components over the EXACT blocked-Jaccard pair set (the
+    same pair rule the ``jaccard_pairs`` oracle verifies), mirrored in
+    SQL by a recursive-CTE transitive closure with min-reachable-id
+    labels. Gates the min-label propagation itself — `dedup_clusters`
+    stays as the production composition over MinHash candidates."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import (
+        connected_components,
+        jaccard_pairs_blocked,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pairs = jaccard_pairs_blocked(docs, block_col="lang", threshold=0.5)
+    nodes = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return connected_components(pairs, nodes)
+
+
+def q_langid_pred(sf_dir: str):
+    """Language-ID under a full oracle: the stopword-profile argmax
+    (LangIdStage) minus the float confidence column — per-language
+    regex match counts and the first-max tie rule are exactly
+    mirrorable in SQL (len(regexp_extract_all) + an ordered CASE
+    cascade). ``langid`` keeps the full output incl. confidence."""
+    return q_langid(sf_dir).select_columns(["doc_id", "lang", "lang_pred"])
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition quality signal: dominant 2-gram share
     per document (boilerplate / degenerate-repetition gate)."""
@@ -3555,6 +3616,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "span_details": q_span_details,
     "trace_groups": q_trace_groups,
     "trace_assemble": q_trace_assemble,
+    "trace_assemble_flat": q_trace_assemble_flat,
     "latency_histogram": q_latency_histogram,
     "histogram_exemplars": q_histogram_exemplars,
     "exp_histogram": q_exp_histogram,
@@ -3677,6 +3739,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "langid": q_langid,
+    "langid_pred": q_langid_pred,
     "fingerprint": q_fingerprint,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -3685,6 +3748,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_frames": q_media_frames,
     "media_ann": q_media_ann,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_exact": q_dedup_clusters_exact,
     "near_dup_keep": q_near_dup_keep,
     "corpus_stats": q_corpus_stats,
     "text_codec": q_text_codec,
@@ -3774,6 +3838,54 @@ def oracle_sql() -> dict[str, str]:
             "WHERE cast(len(list_intersect(a.words, b.words)) AS double) / "
             "cast(len(list_distinct(list_concat(a.words, b.words))) AS double)"
             " >= 0.5"
+        ),
+        # components over the exact pair set: recursive transitive
+        # closure, label = min reachable doc_id (isolated docs are
+        # their own rep)
+        "dedup_clusters_exact": (
+            "WITH RECURSIVE d AS (SELECT doc_id, lang, "
+            "list_distinct(regexp_split_to_array(text, '\\s+')) AS words "
+            "FROM documents), "
+            "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+            "WHERE cast(len(list_intersect(a.words, b.words)) AS double) / "
+            "cast(len(list_distinct(list_concat(a.words, b.words))) AS "
+            "double) >= 0.5), "
+            "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs), "
+            "reach(a, b) AS (SELECT a, b FROM edges "
+            "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+            "SELECT n.doc_id, cast(coalesce(least(min(r.b), n.doc_id), "
+            "n.doc_id) AS bigint) AS cluster_rep "
+            "FROM documents n LEFT JOIN reach r ON r.a = n.doc_id "
+            "GROUP BY n.doc_id"
+        ),
+        "trace_assemble_flat": o.PARSED_CTE
+        + (
+            ", spans AS (SELECT conv_id AS trace_id, turn_idx, "
+            "coalesce(action, 'unparsed') AS span_name FROM parsed2) "
+            "SELECT trace_id, cast(count(*) AS bigint) AS n_spans, "
+            "string_agg(span_name, '|' ORDER BY turn_idx) AS names "
+            "FROM spans GROUP BY trace_id"
+        ),
+        # the LangIdStage argmax, first-max tie rule as an ordered CASE
+        # cascade over per-language stopword match counts
+        "langid_pred": (
+            "WITH s AS (SELECT doc_id, lang, "
+            r"len(regexp_extract_all(text, '\b(the|and|of|is)\b')) AS c_en, "
+            r"len(regexp_extract_all(text, '\b(el|la|de|que)\b')) AS c_es, "
+            r"len(regexp_extract_all(text, '\b(der|die|und|das)\b')) AS c_de, "
+            r"len(regexp_extract_all(text, '\b(le|la|et|les)\b')) AS c_fr, "
+            r"len(regexp_extract_all(text, '\b(de|le|shi|bu)\b')) AS c_zh "
+            "FROM documents) "
+            "SELECT doc_id, lang, CASE "
+            "WHEN c_en IS NULL THEN NULL "  # null text -> null prediction
+            "WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr "
+            "AND c_en >= c_zh THEN 'en' "
+            "WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es' "
+            "WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de' "
+            "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS lang_pred "
+            "FROM s"
         ),
         "sessionize": (
             "WITH e AS (SELECT user_id, ts, event_id, "

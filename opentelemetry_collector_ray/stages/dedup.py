@@ -805,7 +805,22 @@ def jaccard_pairs_blocked(
 ) -> ray.data.Dataset:
     """Exact pairwise word-set (1-gram) Jaccard within each block —
     SQL-mirrorable ground truth. O(block²) by construction; the block
-    key bounds the quadratic term (the documented skew assumption)."""
+    key bounds the quadratic term (the documented skew assumption).
+
+    Null semantics mirror the SQL form exactly: a null block key never
+    joins (SQL equi-join drops NULLs) and a null text has NULL words →
+    NULL jaccard → fails the threshold — both row classes leave the
+    pair computation entirely (and Ray's sort-based groupby cannot
+    order None beside str anyway; null-parity gate finding, r4)."""
+
+    def _drop_null_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.filter(
+            _pc.and_(_pc.is_valid(t[block_col]), _pc.is_valid(t["text"]))
+        )
+
+    docs = docs.map_batches(_drop_null_keys, batch_format="pyarrow")
 
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")

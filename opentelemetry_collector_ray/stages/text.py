@@ -184,9 +184,18 @@ class LangIdStage:
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         langs = list(self.patterns)
+        # null text → null prediction (count_substring_regex propagates
+        # null, and a null-text row has no signal to score; a blind
+        # to_numpy() here crashed on the first null — null-parity
+        # gate finding, r4)
+        valid = np.asarray(
+            pc.is_valid(text).to_numpy(zero_copy_only=False), dtype=bool
+        )
         scores = np.stack(
             [
-                pc.count_substring_regex(text, self.patterns[lang]).to_numpy()
+                pc.fill_null(
+                    pc.count_substring_regex(text, self.patterns[lang]), 0
+                ).to_numpy(zero_copy_only=False)
                 for lang in langs
             ],
             axis=1,
@@ -194,10 +203,14 @@ class LangIdStage:
         totals = scores.sum(axis=1)
         best = scores.argmax(axis=1)
         pred = np.asarray(langs, dtype=object)[best]
+        pred[~valid] = None
         conf = np.where(totals > 0, scores.max(axis=1) / np.maximum(totals, 1), 0.0)
         return batch.append_column(
             "lang_pred", pa.array(pred, type=pa.string())
-        ).append_column("lang_conf", pa.array(conf, type=pa.float64()))
+        ).append_column(
+            "lang_conf",
+            pa.array(conf, type=pa.float64(), mask=~valid),
+        )
 
 
 # ------------------------------------------------------- fingerprint

@@ -109,6 +109,12 @@ QUERIES = [
     "chat_jsonl_roundtrip",
     "ottl_transform",
     "ottl_map_transform",
+    # round-4 oracle promotions (null text/lang/action paths)
+    "trace_assemble_flat",
+    "dedup_clusters_exact",
+    "langid_pred",
+    "telemetry_export",
+    "jaccard_pairs",  # shares the null-key drop with dedup_clusters_exact
 ]
 
 
