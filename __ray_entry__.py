@@ -2840,6 +2840,23 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, value="user_id", k=512, top=20)
 
 
+def q_heavy_hitters_exact(sf_dir: str):
+    """The Misra-Gries exactness contract under a FULL oracle: with
+    k ≥ distinct cardinality no decrement ever fires, so est_count is
+    the exact frequency and max_err is 0 — here over event_type (5
+    distinct, k=64), oracle = plain GROUP BY counts. `heavy_hitters`
+    keeps the genuinely-approximate high-cardinality tier
+    (user_id, k=512) pinned by its pytest bound."""
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.sketch import heavy_hitters
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type"]
+    )
+    return heavy_hitters(ds, value="event_type", k=64, top=20)
+
+
 def q_hll_distinct(sf_dir: str):
     """HyperLogLog approximate distinct users per event_type —
     mergeable-sketch combiner (rows-only; accuracy pinned in tests)."""
@@ -2897,6 +2914,39 @@ def q_tdigest_quantiles(sf_dir: str):
         {
             "q": [int(round(q * 1000)) for q in qs],
             "est_milli": (np.floor(est * 1000)).astype(np.int64),
+        }
+    )
+
+
+def q_tdigest_exact_small(sf_dir: str):
+    """The t-digest exactness contract under a FULL oracle: when n is
+    far below the digest capacity (n=25 nation keys vs δ=200), the k1
+    merge rule never fires, every centroid stays a singleton, and the
+    inverse-CDF read-out reduces to np.interp over mid-weight
+    positions — which the oracle mirrors step-for-step in SQL double
+    arithmetic (same operation order, so the milli-floored estimates
+    are bit-identical). `tdigest_quantiles` keeps the genuinely
+    approximate tier pinned by its pytest accuracy bound."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.sketch import (
+        build_tdigest,
+        tdigest_quantile,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+    )
+    m, w = build_tdigest(ds, value="n_nationkey", delta=200.0)
+    assert (w == 1.0).all(), "exact-small contract violated: merged centroid"
+    qs = (0.25, 0.5, 0.9)
+    est = tdigest_quantile(m, w, qs)
+    return pd.DataFrame(
+        {
+            "q": [int(round(q * 1000)) for q in qs],
+            "est_milli": np.floor(est * 1000).astype(np.int64),
         }
     )
 
@@ -3609,7 +3659,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_distinct": q_hll_distinct,
     "countmin_counts": q_countmin_counts,
     "tdigest_quantiles": q_tdigest_quantiles,
+    "tdigest_exact_small": q_tdigest_exact_small,
     "heavy_hitters": q_heavy_hitters,
+    "heavy_hitters_exact": q_heavy_hitters_exact,
     "bloom_dedup": q_bloom_dedup,
     "spans": q_spans,
     "span_stats": q_span_stats,
@@ -3886,6 +3938,43 @@ def oracle_sql() -> dict[str, str]:
             "WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de' "
             "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS lang_pred "
             "FROM s"
+        ),
+        # singleton-centroid t-digest == np.interp over mid-weight
+        # positions; mirrored in the same double-arithmetic order
+        "tdigest_exact_small": (
+            "WITH s AS (SELECT cast(n_nationkey AS double) AS x, "
+            "row_number() OVER (ORDER BY n_nationkey) AS i, "
+            "cast(count(*) OVER () AS double) AS n FROM nation), "
+            "qs(qm) AS (VALUES (250), (500), (900)), "
+            "b AS (SELECT qm, (qm / 1000.0) * (SELECT max(n) FROM s) "
+            "AS tgt FROM qs), "
+            "lo AS (SELECT b.qm, b.tgt, s.x AS xlo, s.i - 0.5 AS clo "
+            "FROM b JOIN s ON s.i - 0.5 <= b.tgt "
+            "QUALIFY row_number() OVER (PARTITION BY b.qm "
+            "ORDER BY s.i DESC) = 1), "
+            "hi AS (SELECT b.qm, s.x AS xhi, s.i - 0.5 AS chi "
+            "FROM b JOIN s ON s.i - 0.5 >= b.tgt "
+            "QUALIFY row_number() OVER (PARTITION BY b.qm "
+            "ORDER BY s.i ASC) = 1), "
+            "est AS (SELECT b.qm, CASE "
+            "WHEN b.tgt <= (SELECT min(i) - 0.5 FROM s) "
+            "THEN (SELECT x FROM s WHERE i = 1) "
+            "WHEN b.tgt >= (SELECT max(i) - 0.5 FROM s) "
+            "THEN (SELECT x FROM s ORDER BY i DESC LIMIT 1) "
+            "WHEN lo.clo = hi.chi THEN lo.xlo "
+            "ELSE lo.xlo + ((hi.xhi - lo.xlo) / (hi.chi - lo.clo)) "
+            "* (b.tgt - lo.clo) END AS v "
+            "FROM b LEFT JOIN lo ON lo.qm = b.qm "
+            "LEFT JOIN hi ON hi.qm = b.qm) "
+            "SELECT qm AS q, cast(floor(v * 1000) AS bigint) AS est_milli "
+            "FROM est"
+        ),
+        # Misra-Gries exact-when-k>=cardinality: plain counts, no error
+        "heavy_hitters_exact": (
+            "SELECT cast(event_type AS varchar) AS item, "
+            "cast(count(*) AS bigint) AS est_count, "
+            "cast(0 AS bigint) AS max_err "
+            "FROM events WHERE event_type IS NOT NULL GROUP BY event_type"
         ),
         "sessionize": (
             "WITH e AS (SELECT user_id, ts, event_id, "

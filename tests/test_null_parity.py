@@ -115,6 +115,7 @@ QUERIES = [
     "langid_pred",
     "telemetry_export",
     "jaccard_pairs",  # shares the null-key drop with dedup_clusters_exact
+    "heavy_hitters_exact",  # value_counts-dropna == WHERE NOT NULL
 ]
 
 
