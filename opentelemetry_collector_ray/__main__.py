@@ -1,14 +1,18 @@
 """CLI entry — the ``otelcol`` command analogue (otelcol/command.go →
 Collector.Run, otelcol/collector.go:208-255), batch semantics: load
 YAML config, build the DAG, run to the sinks, print the run report.
-No hot-reload (batch jobs rebuild; otelcol/collector.go:191-204's
-watch→rebuild loop has no meaning when a run terminates).
+One-shot ``run``/``service`` rebuild instead of hot-reloading; the
+long-running ``tail`` service DOES hot-reload its config between ticks
+(otelcol/collector.go:191-204 Watch analogue, state/tailer.py
+ConfigWatcher) and can export per-tick self-telemetry.
 
 Usage::
 
     python -m opentelemetry_collector_ray run pipeline.yaml
     python -m opentelemetry_collector_ray validate pipeline.yaml
     python -m opentelemetry_collector_ray resume <out_dir> --inputs 'glob' [-p N]
+    python -m opentelemetry_collector_ray tail pipeline.yaml \\
+        --inputs 'spool/*.parquet' --out out/ [--telemetry-out tel/]
 """
 
 from __future__ import annotations
@@ -55,6 +59,23 @@ def main(argv: list[str] | None = None) -> int:
     resp.add_argument("out_dir")
     resp.add_argument("--inputs", required=True, help="glob of input parquet files")
     resp.add_argument("-p", "--partitions", type=int, default=8)
+
+    tailp = sub.add_parser(
+        "tail",
+        help="long-running poll-process service: YAML stage chain over "
+        "an input glob with checkpoint ledger, config hot-reload "
+        "(collector.go Watch analogue) and per-tick self-telemetry",
+    )
+    tailp.add_argument("config")
+    tailp.add_argument("--inputs", required=True, help="glob of input parquet")
+    tailp.add_argument("--out", required=True, help="partitioned output dir")
+    tailp.add_argument("-p", "--partitions", type=int, default=8)
+    tailp.add_argument("--poll", type=float, default=1.0)
+    tailp.add_argument("--stop-file", default=None)
+    tailp.add_argument("--max-ticks", type=int, default=None)
+    tailp.add_argument(
+        "--telemetry-out", default=None, help="OTLP metrics wire dir"
+    )
 
     cmpp = sub.add_parser(
         "compact", help="compact a sink directory's small parquet files"
@@ -116,6 +137,27 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     _ray_session()
+    if args.cmd == "tail":
+        from .state.tailer import ConfigWatcher, tail_run
+
+        try:
+            watcher = ConfigWatcher(args.config)
+        except ConfigError as e:
+            print(f"invalid: {e}", file=sys.stderr)
+            return 1
+        stats = tail_run(
+            args.inputs,
+            args.out,
+            watcher,
+            num_partitions=args.partitions,
+            poll_interval=args.poll,
+            stop_file=args.stop_file,
+            max_ticks=args.max_ticks,
+            telemetry_out=args.telemetry_out,
+        )
+        print(json.dumps({**stats, "config_generation": watcher.generation}))
+        return 0
+
     if args.cmd == "service":
         from .pipelines.builder import run_service
 

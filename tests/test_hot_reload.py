@@ -117,3 +117,43 @@ def test_bad_reload_keeps_previous_config(tmp_path):
     _write_cfg(cfg_path, "v3")
     assert watcher.refresh() is True
     assert watcher.generation == 2
+
+
+def test_tail_cli_in_process(ray_session, tmp_path, capsys):
+    """The `tail` CLI command end-to-end: YAML chain over a glob with
+    ledger + telemetry, run through main() under the existing Ray
+    session (the _ray_session guard)."""
+    import json
+
+    from opentelemetry_collector_ray.__main__ import main
+    from opentelemetry_collector_ray.fixtures import write_transcript_corpus
+
+    src = str(tmp_path / "src")
+    write_transcript_corpus(src, 20, files=2)
+    cfg = str(tmp_path / "pipe.yaml")
+    _write_cfg(cfg, "cli")
+    rc = main(
+        [
+            "tail",
+            cfg,
+            "--inputs",
+            src + "/*.parquet",
+            "--out",
+            str(tmp_path / "out"),
+            "--max-ticks",
+            "1",
+            "-p",
+            "2",
+            "--telemetry-out",
+            str(tmp_path / "tel"),
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["ticks"] == 1 and report["config_generation"] == 1
+    assert report["total_rows"] > 0
+    assert os.listdir(str(tmp_path / "tel"))
+    # invalid config → clean failure
+    bad = str(tmp_path / "bad.yaml")
+    open(bad, "w").write("pipeline:\n  stages: []\n")
+    assert main(["tail", bad, "--inputs", "x", "--out", "y"]) == 1
