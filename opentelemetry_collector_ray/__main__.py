@@ -142,7 +142,9 @@ def main(argv: list[str] | None = None) -> int:
 
         try:
             watcher = ConfigWatcher(args.config)
-        except ConfigError as e:
+        except Exception as e:
+            # initial config must load; unparsable YAML raises yaml
+            # errors, a missing path OSError — all are "invalid" here
             print(f"invalid: {e}", file=sys.stderr)
             return 1
         stats = tail_run(

@@ -203,16 +203,15 @@ def build_source(cfg: PipelineConfig) -> ray.data.Dataset:
         paths = src.paths
         if src.storage_options:
             # configauth parity: per-source credentials become the
-            # filesystem constructor's kwargs (sources/wirefs registry)
+            # filesystem constructor's kwargs (sources/wirefs registry).
+            # One filesystem is resolved from the first path and every
+            # entry must live on it (strip_scheme documents the
+            # mixed-scheme assumption).
             from ..sources import wirefs
 
-            fs, first = wirefs.resolve_fs(
-                paths[0], None, src.storage_options
-            )
+            fs, _ = wirefs.resolve_fs(paths[0], None, src.storage_options)
             kwargs["filesystem"] = fs
-            paths = [wirefs.resolve_fs(p, fs)[1] if "://" not in p else
-                     p.split("://", 1)[1] for p in paths]
-            paths[0] = first
+            paths = [wirefs.strip_scheme(p) for p in paths]
         return ray.data.read_parquet(paths, **kwargs)
     if src.type == "events_transcripts":
         from ..sources.transcripts import transcripts_from_events
@@ -232,12 +231,16 @@ def run_service(spec: dict | str) -> dict:
     cfgs = load_service_config(spec)
 
     def skey(cfg):
+        import json as _json
+
         return (
             cfg.source.type,
             tuple(cfg.source.paths or []),
             cfg.source.sf_dir,
             tuple(cfg.source.columns or []),
-            tuple(sorted((cfg.source.storage_options or {}).items())),
+            # canonical-JSON so NESTED option dicts (valid per config
+            # validation) stay hashable (review finding, r4)
+            _json.dumps(cfg.source.storage_options or {}, sort_keys=True),
         )
 
     # shared sources: a lazy Dataset re-executes its read per consumer,

@@ -109,28 +109,47 @@ def atomic_write_parquet(
 def _atomic_write_parquet_fs(
     ds: ray.data.Dataset, fs, out_dir: str, **kwargs
 ) -> int:
-    """Non-local variant of the stage+swap: write into a ``.tmp-``
-    sibling on the same filesystem, count, replace. ``fs.move`` is an
+    """Non-local variant of the stage+swap, with the SAME previous-
+    data-preserving discipline as the local two-rename path: stage into
+    ``.tmp-``, move the live sink aside to ``.old-``, publish, delete
+    the old copy — a crash between the two moves strands the previous
+    good sink in ``.old-`` where the next attempt's recovery puts it
+    back (deleting the live sink before publishing would lose BOTH
+    generations on a crash; review finding, r4). ``fs.move`` is an
     atomic rename only where the store supports it; see the caller's
     docstring for the object-store caveat."""
     import uuid as _uuid
 
     parent, base = os.path.split(out_dir.rstrip("/"))
     attempt = f"{os.getpid()}-{_uuid.uuid4().hex[:8]}"
-    tmp = f"{parent}/.tmp-{base}-{attempt}" if parent else f".tmp-{base}-{attempt}"
-    # clean any prior attempt's debris (never matches live sink names)
+    prefix = f"{parent}/." if parent else "."
+    tmp = f"{prefix}tmp-{base}-{attempt}"
+    old = f"{prefix}old-{base}-{attempt}"
+    # recovery + debris clean (mirrors _recover_and_clean): a mid-swap
+    # crash left out_dir missing and the good data in some .old-
+    olds = []
     for info in fs.get_file_info(
         pafs.FileSelector(parent or ".", recursive=False, allow_not_found=True)
     ):
         name = info.path.rsplit("/", 1)[-1]
-        if name.startswith(f".tmp-{base}-"):
+        if name.startswith(f".old-{base}-"):
+            olds.append(info.path)
+        elif name.startswith(f".tmp-{base}-"):
             fs.delete_dir(info.path)
+    olds.sort()
+    if olds and fs.get_file_info(out_dir).type == pafs.FileType.NotFound:
+        fs.move(olds[0], out_dir)
+        olds = olds[1:]
+    for p in olds:
+        fs.delete_dir(p)
     fs.create_dir(tmp, recursive=True)
     ds.write_parquet(tmp, filesystem=fs, **kwargs)
     rows = ray.data.read_parquet(tmp, filesystem=fs).count()
     if fs.get_file_info(out_dir).type != pafs.FileType.NotFound:
-        fs.delete_dir(out_dir)
+        fs.move(out_dir, old)
     fs.move(tmp, out_dir)
+    if fs.get_file_info(old).type != pafs.FileType.NotFound:
+        fs.delete_dir(old)
     return int(rows)
 
 

@@ -108,12 +108,17 @@ def _str(col) -> np.ndarray:
     return np.asarray(col.to_numpy(zero_copy_only=False), dtype=object)
 
 
-def _require_non_null_keys(t: pa.Table, cols=("conv_id", "role")) -> None:
+def _require_non_null_keys(
+    t: pa.Table, cols=("conv_id", "role", "turn_idx")
+) -> None:
     """OTLP identity (trace/span IDs, scope names) derives from these
-    columns via numpy string ops that stringify null to 'None' —
-    minting bogus-but-valid IDs instead of propagating null. The
-    transcripts derivation guarantees non-null; EXTERNAL callers must
-    fail loudly, not emit 'None'-keyed spans (ADVICE r3)."""
+    columns via numpy ops that corrupt nulls instead of propagating
+    them — string columns stringify null to 'None', and turn_idx goes
+    through ``.astype(np.int64)`` where NaN becomes INT64_MIN (the
+    CLAUDE.md quirk) and would mint a bogus-but-valid
+    -9223372036854775808 turn identity. The transcripts derivation
+    guarantees non-null; EXTERNAL callers must fail loudly (ADVICE r3
+    + review finding r4)."""
     for c in cols:
         if c in t.column_names:
             nulls = pc.sum(pc.cast(pc.is_null(t[c]), pa.int64())).as_py()
@@ -121,8 +126,8 @@ def _require_non_null_keys(t: pa.Table, cols=("conv_id", "role")) -> None:
                 raise ValueError(
                     f"nest_otlp*: column {c!r} has {nulls} null value(s); "
                     "OTLP identity keys derive from it and null would "
-                    "stringify to 'None'. Filter or fill nulls before "
-                    "marshaling."
+                    "corrupt to 'None'/INT64_MIN. Filter or fill nulls "
+                    "before marshaling."
                 )
 
 
@@ -553,19 +558,37 @@ class _NdjsonDecode:
         return pa.concat_tables(tables, promote_options="permissive")
 
 
-def _any_compressed(paths) -> bool:
+def _any_compressed(paths, filesystem=None) -> bool:
     """True when any input entry carries a wire-compression suffix.
     Handles a directory string, a single file string, and a LIST of
     either (a bare list of .gz paths previously fell through to
-    read_json on compressed bytes)."""
+    read_json on compressed bytes). Directory listings go through the
+    SAME filesystem the read will use — an os.listdir against the
+    local cwd mis-detected remote/SubTree dirs as uncompressed
+    (review finding, r4)."""
     import os
+
+    import pyarrow.fs as pafs
 
     entries = [paths] if isinstance(paths, str) else list(paths)
     for p in entries:
-        if isinstance(p, str) and os.path.isdir(p):
-            if any(n.endswith((".gz", ".zst")) for n in os.listdir(p)):
+        if not isinstance(p, str):
+            continue
+        if p.endswith((".gz", ".zst")):
+            return True
+        if filesystem is not None or "://" in p:
+            fs, path = wirefs.resolve_fs(p, filesystem)
+            info = fs.get_file_info(path)
+            if info.type == pafs.FileType.Directory and any(
+                f.path.endswith((".gz", ".zst"))
+                for f in fs.get_file_info(
+                    pafs.FileSelector(path, recursive=False)
+                )
+            ):
                 return True
-        elif isinstance(p, str) and p.endswith((".gz", ".zst")):
+        elif os.path.isdir(p) and any(
+            n.endswith((".gz", ".zst")) for n in os.listdir(p)
+        ):
             return True
     return False
 
@@ -573,8 +596,9 @@ def _any_compressed(paths) -> bool:
 def _ndjson_requests(paths, filesystem=None) -> ray.data.Dataset:
     """Dataset of request trees from NDJSON files, transparently
     handling wire compression (sniffed off the file extensions across
-    ALL entries — dir listings, single files, and lists alike)."""
-    if not _any_compressed(paths):
+    ALL entries — dir listings, single files, and lists alike, on the
+    read's own filesystem)."""
+    if not _any_compressed(paths, filesystem):
         return ray.data.read_json(paths, filesystem=filesystem)
     return ray.data.read_binary_files(
         paths, include_paths=True, filesystem=filesystem

@@ -28,6 +28,18 @@ Three disciplines, all motivated by real failure modes:
   128-bit content key, not a security boundary; Python ``hash()`` is
   per-process randomized and unusable for this (see CLAUDE.md).
 
+  Contract note: content identity is the ONLY identity — two
+  *different* writer batches that are byte-identical (a corpus whose
+  full multi-thousand-row framed request payloads repeat exactly,
+  e.g. synthetic heartbeat data) collapse onto one file, so read-back
+  rows can undercount the writer's returned request total. This is
+  deliberate: any batch-distinguishing salt would break lineage
+  idempotency — Ray re-executes a LOST block under a new task id, and
+  a salted name would duplicate every re-executed request. Exact
+  whole-payload duplicates are the at-least-once delivery dedup any
+  OTLP backend performs; corpora made of literal repeats should set
+  ``rows_per_request`` so requests span distinct data.
+
 * **Multi-request framing** — one file per Export request is ~10^8
   files at 10^12 rows, a small-files disaster for any object store.
   Binary-protobuf sinks frame ``requests_per_file`` requests into one
@@ -98,11 +110,33 @@ def resolve_fs(
         entry = _SCHEME_FS.get(scheme)
         if callable(entry):
             return entry(**(storage_options or {})), rest
-        if storage_options and entry is not None:
+        if storage_options:
+            if entry is None:
+                # credentials that silently fall through to from_uri
+                # would connect under the AMBIENT identity — loud
+                # failure beats auth-at-a-distance (review finding, r4)
+                raise ValueError(
+                    f"storage_options given but scheme {scheme!r} has no "
+                    "registered filesystem factory; use "
+                    "wirefs.register_scheme or pass filesystem= explicitly"
+                )
             return getattr(pafs, entry)(**storage_options), rest
         fs, path = pafs.FileSystem.from_uri(uri)
         return fs, path
+    if storage_options:
+        raise ValueError(
+            "storage_options require a scheme:// URI or an explicit "
+            f"filesystem; got local path {uri!r}"
+        )
     return pafs.LocalFileSystem(), os.path.abspath(uri)
+
+
+def strip_scheme(path: str) -> str:
+    """``scheme://rest`` → ``rest``; scheme-less paths pass through.
+    For path LISTS that share one resolved filesystem (every entry
+    must live on that same filesystem — mixed schemes are the
+    caller's error)."""
+    return path.split("://", 1)[1] if "://" in path else path
 
 
 def prepare_dir(fs: pafs.FileSystem, path: str, overwrite: bool = True) -> None:

@@ -55,20 +55,28 @@ class ConfigWatcher:
 
     def refresh(self) -> bool:
         """Re-resolve the config iff the file changed; returns whether
-        a reload happened. A config that fails validation mid-run
-        keeps the previous good config (the reference logs and keeps
-        serving on a bad reload; failing the whole tail loop on a
-        half-saved edit would be worse)."""
-        from ..pipelines.config import ConfigError, load_config
+        a reload happened. ANY mid-run failure — invalid spec,
+        half-saved YAML that doesn't even parse, or the file briefly
+        missing during an editor's atomic save — keeps the previous
+        good config (the reference logs and keeps serving on a bad
+        reload; killing the tail loop on a half-saved edit would be
+        worse). Only a bad INITIAL config is fatal."""
+        from ..pipelines.config import load_config
 
-        mt = os.stat(self.config_path).st_mtime_ns
+        initial = self.cfg is None
+        try:
+            mt = os.stat(self.config_path).st_mtime_ns
+        except OSError:
+            if initial:
+                raise
+            return False  # file mid-save/missing: keep serving, retry next tick
         if mt == self._mtime:
             return False
         try:
             cfg = load_config(self.config_path, self.env)
-        except ConfigError:
-            if self.cfg is None:
-                raise  # a bad INITIAL config is fatal, like the reference
+        except Exception:
+            if initial:
+                raise
             self._mtime = mt  # don't re-parse the same bad file every tick
             return False
         self.cfg = cfg

@@ -157,3 +157,18 @@ def test_tail_cli_in_process(ray_session, tmp_path, capsys):
     bad = str(tmp_path / "bad.yaml")
     open(bad, "w").write("pipeline:\n  stages: []\n")
     assert main(["tail", bad, "--inputs", "x", "--out", "y"]) == 1
+
+
+def test_reload_survives_unparsable_yaml_and_missing_file(tmp_path):
+    """A half-saved edit (unparsable YAML) or an editor's transient
+    unlink must not kill the tail service (review finding, r4)."""
+    cfg_path = str(tmp_path / "pipe.yaml")
+    _write_cfg(cfg_path, "v1")
+    watcher = ConfigWatcher(cfg_path)
+    open(cfg_path, "w").write("pipeline: [\n")  # not even YAML
+    os.utime(cfg_path, ns=(os.stat(cfg_path).st_mtime_ns + 1,) * 2)
+    assert watcher.refresh() is False and watcher.generation == 1
+    os.unlink(cfg_path)  # transiently missing
+    assert watcher.refresh() is False and watcher.generation == 1
+    _write_cfg(cfg_path, "v2")  # save completes
+    assert watcher.refresh() is True and watcher.generation == 2

@@ -249,3 +249,17 @@ def test_nest_rejects_null_identity_keys():
     )
     with pytest.raises(ValueError, match="role.*null"):
         nest_otlp_batch(bad_role)
+
+
+def test_nest_rejects_null_turn_idx():
+    """turn_idx is an identity column too: NaN -> astype(int64) ->
+    INT64_MIN would mint a bogus-but-valid turn identity (review
+    finding, r4)."""
+    import pytest
+
+    t = _transcript_batch()
+    bad = t.set_column(
+        1, "turn_idx", pa.array([0, None, 1, 0], type=pa.int32())
+    )
+    with pytest.raises(ValueError, match="turn_idx.*null"):
+        nest_otlp_batch(bad)

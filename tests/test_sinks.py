@@ -130,3 +130,52 @@ def test_sorted_writes_with_file_coalescing(tmp_path):
         t = pq.read_table(f).to_pandas()
         key = list(zip(t["conv_id"], t["turn_idx"]))
         assert key == sorted(key), f"file {f} not internally ordered"
+
+
+def test_fs_sink_swap_preserves_previous_generation(ray_session, tmp_path):
+    """Non-local stage+swap keeps the previous sink recoverable: a
+    crash between move-aside and publish leaves .old-, which the next
+    attempt restores (review finding, r4 — deleting the live sink
+    before publishing would lose both generations)."""
+    import pyarrow as pa
+    import pyarrow.fs as pafs
+
+    from opentelemetry_collector_ray.sinks.writers import (
+        atomic_write_parquet,
+    )
+
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    t1 = pa.table({"x": [1, 2, 3]})
+    n = atomic_write_parquet(ray.data.from_arrow(t1), "sink", filesystem=sub)
+    assert n == 3
+    # simulate the mid-swap crash state: live sink moved aside, publish
+    # never happened
+    os.rename(str(tmp_path / "sink"), str(tmp_path / ".old-sink-999-dead"))
+    # next attempt must first RESTORE the old generation, then replace
+    t2 = pa.table({"x": [7, 8]})
+    n2 = atomic_write_parquet(ray.data.from_arrow(t2), "sink", filesystem=sub)
+    assert n2 == 2
+    got = ray.data.read_parquet(str(tmp_path / "sink")).to_pandas()
+    assert sorted(got["x"]) == [7, 8]
+    # no stranded debris
+    assert not [
+        d for d in os.listdir(tmp_path) if d.startswith((".old-", ".tmp-"))
+    ]
+
+
+def test_fs_sink_recovery_restores_old_when_no_new_write(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.fs as pafs
+
+    from opentelemetry_collector_ray.sinks.writers import (
+        atomic_write_parquet,
+    )
+
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    t1 = pa.table({"x": [1, 2, 3]})
+    atomic_write_parquet(ray.data.from_arrow(t1), "sink", filesystem=sub)
+    os.rename(str(tmp_path / "sink"), str(tmp_path / ".old-sink-999-dead"))
+    # recovery alone: the next attempt starts by putting the old data
+    # back before writing (here we just re-run the same write)
+    n = atomic_write_parquet(ray.data.from_arrow(t1), "sink", filesystem=sub)
+    assert n == 3

@@ -166,3 +166,34 @@ def test_compressed_file_list_sniffing(ray_session, tmp_path):
     assert paths
     back = read_otlp_logs_json(paths).to_pandas()
     assert len(back) == 6
+
+
+def test_storage_options_never_silently_dropped():
+    """Credentials that can't reach a filesystem constructor must fail
+    loudly — a fall-through to from_uri or a local path would connect
+    under the ambient identity (review finding, r4)."""
+    with pytest.raises(ValueError, match="no .* factory|no registered"):
+        wirefs.resolve_fs("unknownscheme://x/y", None, {"token": "t"})
+    with pytest.raises(ValueError, match="local path"):
+        wirefs.resolve_fs("/plain/local", None, {"token": "t"})
+    # explicit filesystem still wins (options pre-baked by the caller)
+    fs, p = wirefs.resolve_fs("/plain/local", pafs.LocalFileSystem())
+    assert isinstance(fs, pafs.LocalFileSystem) and p == "/plain/local"
+
+
+def test_compressed_sniff_through_subtree_fs(ray_session, tmp_path):
+    """Wire-compressed NDJSON behind an explicit filesystem handle must
+    route through the decompress path — os.listdir against the local
+    cwd mis-detected it (review finding, r4)."""
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    t = _transcripts(6)
+    n = write_otlp_logs_json(
+        ray.data.from_arrow(t),
+        "wire/gz",
+        compression="gzip",
+        rows_per_request=2,
+        filesystem=sub,
+    )
+    assert n == 3
+    back = read_otlp_logs_json("wire/gz", filesystem=sub).to_pandas()
+    assert len(back) == 6
