@@ -2229,7 +2229,16 @@ def q_dedup_clusters_exact(sf_dir: str):
     same pair rule the ``jaccard_pairs`` oracle verifies), mirrored in
     SQL by a recursive-CTE transitive closure with min-reachable-id
     labels. Gates the min-label propagation itself — `dedup_clusters`
-    stays as the production composition over MinHash candidates."""
+    stays as the production composition over MinHash candidates.
+
+    Runs over the deterministic 1/10 doc subset (doc_id % 10 == 0,
+    the contamination-scan idiom): the synthetic corpus is so heavily
+    near-duplicated that the FULL exact pair graph reaches avg degree
+    ~900 at sf0.1 — a dense graph neither the propagation rounds nor
+    the oracle's transitive closure should chew as a per-round gate;
+    the subset keeps both sides O(small) at every sf while gating the
+    identical code path."""
+    import pyarrow.compute as _pc
     import ray.data
 
     from opentelemetry_collector_ray.stages.dedup import (
@@ -2237,13 +2246,19 @@ def q_dedup_clusters_exact(sf_dir: str):
         jaccard_pairs_blocked,
     )
 
+    def tenth(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_np.asarray(ids) % 10 == 0))
+
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
+    ).map_batches(tenth, batch_format="pyarrow")
     pairs = jaccard_pairs_blocked(docs, block_col="lang", threshold=0.5)
     nodes = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    )
+    ).map_batches(tenth, batch_format="pyarrow")
     return connected_components(pairs, nodes)
 
 
@@ -3357,6 +3372,48 @@ def q_telemetry_export(sf_dir: str):
     )
 
 
+def q_telemetry_prom(sf_dir: str):
+    """The LITERAL initPrometheus surface (service/telemetry.go:96):
+    the same counter snapshot as ``telemetry_export``, rendered as
+    Prometheus text exposition format (# TYPE counter + labeled
+    samples), scraped back through the engine's own parser — equal to
+    the obs_counters oracle. The original instrument name rides an
+    `instrument` label because prometheus name sanitization is
+    lossy."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from opentelemetry_collector_ray.pipelines.logs import sink_counts
+    from opentelemetry_collector_ray.state import metrics as m
+    from opentelemetry_collector_ray.state.telemetry import (
+        export_telemetry,
+        parse_prometheus,
+    )
+
+    per_sink = sink_counts(_enriched(sf_dir))
+    accepted = int(per_sink.loc[per_sink["sink"] != "errors", "n"].sum())
+    snapshot = {m.receiver_accepted(): accepted}
+    for _, r in per_sink.iterrows():
+        snapshot[m.exporter_sent(str(r["sink"]))] = int(r["n"])
+    out = f"/tmp/otel_ray_telemetry_prom_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    export_telemetry(
+        snapshot, out, ts_unix_nano=1_700_000_000_000_000_000, wire="prom"
+    )
+    merged: dict[str, int] = {}
+    for f in sorted(_glob.glob(out + "/telemetry-*.prom")):
+        merged.update(parse_prometheus(open(f).read()))
+    return pd.DataFrame(
+        {
+            "name": sorted(merged),
+            "value": [int(merged[k]) for k in sorted(merged)],
+        }
+    )
+
+
 def q_media_decode_real(sf_dir: str):
     """REAL image decode in the actor pool — no fake path: a
     deterministic mixed-format corpus (PPM / BMP / zlib-compressed
@@ -3646,6 +3703,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "otlp_ingest_pipeline": q_otlp_ingest_pipeline,
     "chat_jsonl_roundtrip": q_chat_jsonl_roundtrip,
     "telemetry_export": q_telemetry_export,
+    "telemetry_prom": q_telemetry_prom,
     "media_decode_real": q_media_decode_real,
     "boilerplate_lines": q_boilerplate_lines,
     "dsir_weights": q_dsir_weights,
@@ -3897,7 +3955,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_exact": (
             "WITH RECURSIVE d AS (SELECT doc_id, lang, "
             "list_distinct(regexp_split_to_array(text, '\\s+')) AS words "
-            "FROM documents), "
+            "FROM documents WHERE doc_id % 10 = 0), "
             "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id "
             "WHERE cast(len(list_intersect(a.words, b.words)) AS double) / "
@@ -3909,7 +3967,8 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
             "SELECT n.doc_id, cast(coalesce(least(min(r.b), n.doc_id), "
             "n.doc_id) AS bigint) AS cluster_rep "
-            "FROM documents n LEFT JOIN reach r ON r.a = n.doc_id "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) n "
+            "LEFT JOIN reach r ON r.a = n.doc_id "
             "GROUP BY n.doc_id"
         ),
         "trace_assemble_flat": o.PARSED_CTE
@@ -4407,6 +4466,14 @@ def oracle_sql() -> dict[str, str]:
         "chat_jsonl_roundtrip": o.TRANSCRIPTS_CTE
         + "SELECT conv_id, turn_idx, role, text FROM transcripts",
         "telemetry_export": o.ROUTED_CTE
+        + (
+            "SELECT 'receiver/accepted_log_records' AS name, "
+            "count(*) AS value FROM transcripts "
+            "UNION ALL "
+            "SELECT 'exporter/' || sink || '/sent_log_records' AS name, "
+            "count(*) AS value FROM routed GROUP BY sink"
+        ),
+        "telemetry_prom": o.ROUTED_CTE
         + (
             "SELECT 'receiver/accepted_log_records' AS name, "
             "count(*) AS value FROM transcripts "

@@ -214,7 +214,7 @@ class TelemetryConfig:
     metrics, including the engine's own metrics readers."""
 
     out_dir: str
-    wire: str = "json"  # json | pb
+    wire: str = "json"  # json | pb | prom (Prometheus text exposition)
     compression: str | None = None  # gzip | zstd
 
 
@@ -384,8 +384,10 @@ def load_config(
         if not tl.get("out_dir"):
             raise ConfigError("telemetry needs out_dir")
         wire = tl.get("wire", "json")
-        if wire not in {"json", "pb"}:
-            raise ConfigError(f"unknown telemetry wire: {wire!r} (json|pb)")
+        if wire not in {"json", "pb", "prom"}:
+            raise ConfigError(
+                f"unknown telemetry wire: {wire!r} (json|pb|prom)"
+            )
         comp = tl.get("compression")
         if comp is not None and comp not in {"gzip", "zstd", "none"}:
             raise ConfigError(

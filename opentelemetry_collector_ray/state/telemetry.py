@@ -119,10 +119,57 @@ def export_telemetry(
             wirefs.frame_requests([encode_metrics_request(tree)]), compression
         )
         ext = ".binpb" + _COMPRESS_EXT.get(compression or "", "")
+    elif wire == "prom":
+        # Prometheus text exposition — the reference's actual
+        # initPrometheus wire; timestamp-free by design (a scrape
+        # endpoint serves current values), so re-exports of the same
+        # snapshot collapse regardless of ts_unix_nano
+        payload = compress_payload(
+            render_prometheus(snapshot).encode(), compression
+        )
+        ext = ".prom" + _COMPRESS_EXT.get(compression or "", "")
     else:
-        raise ValueError(f"unknown telemetry wire: {wire!r} (json|pb)")
+        raise ValueError(f"unknown telemetry wire: {wire!r} (json|pb|prom)")
     name = wirefs.content_name("telemetry", payload, ext)
     return wirefs.atomic_write(fs, dir_path, name, payload)
+
+
+def _prom_name(name: str) -> str:
+    """Counter name → Prometheus metric name: non-[a-zA-Z0-9_:] chars
+    become '_' (the reference's prometheus exporter applies the same
+    sanitization to instrument names)."""
+    import re
+
+    return re.sub(r"[^a-zA-Z0-9_:]", "_", name)
+
+
+def render_prometheus(snapshot: dict[str, int]) -> str:
+    """Counter snapshot → Prometheus text exposition format — the
+    literal service/telemetry.go:96 initPrometheus surface. Each
+    counter renders as a `# TYPE <name> counter` line plus a sample
+    carrying the ORIGINAL instrument name as an `instrument` label
+    (sanitization is lossy — 'a/b' and 'a_b' collide — so the label
+    preserves the exact obsreport name for round-tripping)."""
+    lines = []
+    for name, value in sorted(snapshot.items()):
+        pn = _prom_name(name)
+        lines.append(f"# TYPE {pn} counter")
+        lines.append(f'{pn}{{instrument="{name}"}} {int(value)}')
+    return "\n".join(lines) + "\n"
+
+
+def parse_prometheus(text: str) -> dict[str, int]:
+    """Inverse of :func:`render_prometheus` (for scrape-side reads and
+    the oracle gate): returns {original instrument name: value}."""
+    import re
+
+    out: dict[str, int] = {}
+    sample = re.compile(r'^[a-zA-Z0-9_:]+\{instrument="([^"]+)"\} (-?\d+)$')
+    for line in text.splitlines():
+        m = sample.match(line)
+        if m:
+            out[m.group(1)] = int(m.group(2))
+    return out
 
 
 def export_run_telemetry(

@@ -173,3 +173,27 @@ def test_export_run_telemetry_merges_shards(ray_session, tmp_path):
     assert got == {"processor/parse/accepted": 12}
     for s in shards:
         ray.kill(s)
+
+
+def test_prometheus_wire_roundtrip(tmp_path):
+    """The literal initPrometheus surface: text exposition render +
+    scrape-side parse are inverses; sanitized names carry the original
+    instrument as a label (sanitization is lossy)."""
+    from opentelemetry_collector_ray.state.telemetry import (
+        parse_prometheus,
+        render_prometheus,
+    )
+
+    text = render_prometheus(SNAP)
+    assert "# TYPE receiver_accepted_log_records counter" in text
+    assert 'instrument="receiver/accepted_log_records"' in text
+    assert parse_prometheus(text) == SNAP
+    # name-sanitization collisions stay distinguishable via the label
+    tricky = {"a/b": 1, "a_b": 2}
+    assert parse_prometheus(render_prometheus(tricky)) == tricky
+    # export path lands a .prom file, idempotently (timestamp-free)
+    out = str(tmp_path / "prom")
+    p1 = export_telemetry(SNAP, out, TS, wire="prom")
+    p2 = export_telemetry(SNAP, out, TS + 5, wire="prom")
+    assert p1 == p2 and p1.endswith(".prom")
+    assert parse_prometheus(open(p1).read()) == SNAP
