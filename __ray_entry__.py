@@ -234,6 +234,19 @@ def q_tail_sample(sf_dir: str):
     return tail_sample(spans_d, keep_mod=20)
 
 
+def q_tail_sample_policies(sf_dir: str):
+    """The tailsamplingprocessor policy SET under composite first-match
+    precedence (status_code > latency > string_attribute >
+    probabilistic): one row per sampled trace with the policy that
+    took it — whole-trace decisions via the sharded co-group, integer
+    comparisons throughout so the oracle agrees bit-exactly."""
+    from opentelemetry_collector_ray.stages.signals import (
+        tail_sample_policies,
+    )
+
+    return tail_sample_policies(_parsed(sf_dir))
+
+
 def q_vocab_topk(sf_dir: str):
     """Vocabulary building: global top-100 tokens by frequency
     (WordCount with the combiner shape)."""
@@ -3787,6 +3800,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rate_limit": q_rate_limit,
     "gauge_last": q_gauge_last,
     "tail_sample": q_tail_sample,
+    "tail_sample_policies": q_tail_sample_policies,
     "vocab_topk": q_vocab_topk,
     "redact": q_redact,
     "curate": q_curate,
@@ -4665,6 +4679,25 @@ def oracle_sql() -> dict[str, str]:
             "count(*) OVER (PARTITION BY conv_id) AS tot, "
             "cast(substr(conv_id, 6) AS bigint) % 20 AS m FROM parsed2) "
             "WHERE e5 > tot OR m = 0"
+        ),
+        "tail_sample_policies": o.PARSED_CTE
+        + (
+            ", t AS (SELECT conv_id AS trace_id, "
+            "cast(count(*) AS bigint) AS n_spans, "
+            "sum(CASE WHEN coalesce(level, '') = 'ERROR' THEN 1 ELSE 0 "
+            "END) AS errs, "
+            "max(latency_ms) AS max_lat, "
+            "sum(CASE WHEN coalesce(action, '') = 'purchase' THEN 1 "
+            "ELSE 0 END) AS attrs, "
+            "cast(substr(conv_id, 6) AS bigint) % 3 AS m "
+            "FROM parsed2 GROUP BY conv_id) "
+            "SELECT trace_id, n_spans, CASE "
+            "WHEN 5 * errs > n_spans THEN 'status_code' "
+            "WHEN max_lat >= 280 THEN 'latency' "
+            "WHEN 6 * attrs > n_spans THEN 'string_attribute' "
+            "WHEN m = 0 THEN 'probabilistic' END AS policy "
+            "FROM t WHERE 5 * errs > n_spans OR max_lat >= 280 "
+            "OR 6 * attrs > n_spans OR m = 0"
         ),
         "vocab_topk": (
             "WITH t AS (SELECT unnest(regexp_extract_all(text, '\\S+')) "

@@ -185,6 +185,83 @@ def tail_sample(
     return sharded_group_map(span_details, ["trace_id"], per_shard)
 
 
+def tail_sample_policies(
+    parsed: ray.data.Dataset,
+    *,
+    latency_threshold_ms: int = 280,
+    attr_action: str = "purchase",
+    keep_mod: int = 3,
+) -> ray.data.Dataset:
+    """The tailsamplingprocessor POLICY SET (contrib
+    processor/tailsamplingprocessor: status_code, latency,
+    string_attribute, probabilistic composed under the composite
+    policy's first-match precedence): per COMPLETE trace, record which
+    policy sampled it —
+
+    1. ``status_code``  — error-heavy trace (5·errors > spans, the
+       integer rate rule ``tail_sample`` established)
+    2. ``latency``      — max span latency ≥ threshold
+    3. ``string_attribute`` — attr-heavy trace (6·matches > spans)
+    4. ``probabilistic`` — deterministic 1/keep_mod on the trace id
+
+    Thresholds are tuned so every policy fires on the synthetic corpus
+    (any-match rules saturate: with ~66 spans/trace nearly every trace
+    contains one ERROR and one purchase).
+
+    Output: one row per SAMPLED trace (trace_id, n_spans, policy).
+    Same sharded co-group as ``tail_sample`` — the decision sees the
+    whole trace. All comparisons are integer/first-match so the SQL
+    oracle agrees bit-exactly; null level/action compare unequal and a
+    null-only latency group falls through (NaN-max vs NULL-max both
+    fail the ≥)."""
+    from ..functions.shard import sharded_group_map
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("trace_id", sort=False)
+        agg = pd.DataFrame(
+            {
+                "n_spans": grp["turn_idx"].size(),
+                "errs": grp["level"]
+                .apply(lambda s: int(s.eq("ERROR").sum()))
+                .astype(np.int64),
+                "max_lat": grp["latency_ms"].max(),
+                "attrs": grp["action"]
+                .apply(lambda s: int(s.eq(attr_action).sum()))
+                .astype(np.int64),
+            }
+        )
+        agg = agg.reset_index()
+        m = agg["trace_id"].str.slice(5).astype(np.int64) % keep_mod
+        n = agg["n_spans"].to_numpy()
+        policy = np.select(
+            [
+                5 * agg["errs"].to_numpy() > n,
+                (agg["max_lat"] >= latency_threshold_ms).to_numpy(),
+                6 * agg["attrs"].to_numpy() > n,
+                (m == 0).to_numpy(),
+            ],
+            ["status_code", "latency", "string_attribute", "probabilistic"],
+            default=None,
+        )
+        agg["policy"] = policy
+        keep = agg["policy"].notna()
+        out = agg.loc[keep, ["trace_id", "n_spans", "policy"]]
+        return out.astype({"n_spans": "int64"})
+
+    return sharded_group_map(
+        parsed.map_batches(
+            lambda t: t.select(
+                ["conv_id", "turn_idx", "level", "action", "latency_ms"]
+            ).rename_columns(
+                ["trace_id", "turn_idx", "level", "action", "latency_ms"]
+            ),
+            batch_format="pyarrow",
+        ),
+        ["trace_id"],
+        per_shard,
+    )
+
+
 ZERO_BUCKET = -100  # sentinel for the ExponentialHistogram zero_count slot
 
 
