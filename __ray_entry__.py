@@ -3210,16 +3210,24 @@ def q_otlp_metrics_histogram(sf_dir: str):
 
     dps = read_otlp_metrics_hist_json(_otlp_metrics_wire(sf_dir))
 
+    from ray.data.aggregate import Max, Min
+
     keys = ["service", "scope_name", "conv_id"]
     vals = ["count", "sum_ms", "b0", "b1", "b2", "b3"]
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(keys).aggregate([(v, "sum") for v in vals])
-        return g.rename_columns(keys + [f"_{v}" for v in vals])
+        g = t.group_by(keys).aggregate(
+            [(v, "sum") for v in vals] + [("min_ms", "min"), ("max_ms", "max")]
+        )
+        return g.rename_columns(
+            keys + [f"_{v}" for v in vals] + ["_min_ms", "_max_ms"]
+        )
 
     merged = dps.map_batches(partial, batch_format="pyarrow")
     return merged.groupby(keys).aggregate(
-        *[Sum(f"_{v}", alias_name=v) for v in vals]
+        *[Sum(f"_{v}", alias_name=v) for v in vals],
+        Min("_min_ms", alias_name="min_ms"),
+        Max("_max_ms", alias_name="max_ms"),
     )
 
 
@@ -4451,6 +4459,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT service, scope_name, conv_id, "
             'cast(count(*) AS bigint) AS "count", '
             "cast(sum(latency_ms) AS bigint) AS sum_ms, "
+            "cast(min(latency_ms) AS bigint) AS min_ms, "
+            "cast(max(latency_ms) AS bigint) AS max_ms, "
             "cast(sum(CASE WHEN latency_ms <= 10 THEN 1 ELSE 0 END) "
             "AS bigint) AS b0, "
             "cast(sum(CASE WHEN latency_ms > 10 AND latency_ms <= 50 "

@@ -74,6 +74,10 @@ _HDP = pa.struct(
         pa.field("sum", pa.float64()),
         pa.field("bucketCounts", pa.list_(pa.string())),
         pa.field("explicitBounds", pa.list_(pa.float64())),
+        # optional double min/max (HistogramDataPoint fields 11/12):
+        # partials merge by min-of-mins / max-of-maxes downstream
+        pa.field("min", pa.float64()),
+        pa.field("max", pa.float64()),
     ]
 )
 _HIST = pa.struct(
@@ -303,6 +307,12 @@ def nest_otlp_metrics_batch(t: pa.Table) -> pa.Table:
     h_sums = (
         np.add.reduceat(lat_i, h_start) if n_h else np.empty(0, np.int64)
     )
+    h_mins = (
+        np.minimum.reduceat(lat_i, h_start) if n_h else np.empty(0, np.int64)
+    )
+    h_maxs = (
+        np.maximum.reduceat(lat_i, h_start) if n_h else np.empty(0, np.int64)
+    )
     nb = len(HIST_BOUNDS) + 1
     # OTLP bucket i counts values <= explicit_bounds[i] (last = +inf)
     b_idx = np.searchsorted(np.asarray(HIST_BOUNDS), lat_i, side="left")
@@ -335,6 +345,8 @@ def nest_otlp_metrics_batch(t: pa.Table) -> pa.Table:
             pa.array(h_sums.astype(np.float64), type=pa.float64()),
             bucket_counts,
             bounds,
+            pa.array(h_mins.astype(np.float64), type=pa.float64()),
+            pa.array(h_maxs.astype(np.float64), type=pa.float64()),
         ],
         names=[
             "attributes",
@@ -343,6 +355,8 @@ def nest_otlp_metrics_batch(t: pa.Table) -> pa.Table:
             "sum",
             "bucketCounts",
             "explicitBounds",
+            "min",
+            "max",
         ],
     ).cast(_HDP)
     h_off = np.searchsorted(
@@ -737,6 +751,8 @@ def flatten_otlp_metrics_hist_batch(t: pa.Table) -> pa.Table:
         "conv_id": pa.array([], type=pa.string()),
         "count": pa.array([], type=pa.int64()),
         "sum_ms": pa.array([], type=pa.int64()),
+        "min_ms": pa.array([], type=pa.int64()),
+        "max_ms": pa.array([], type=pa.int64()),
     }
     for i in range(len(HIST_BOUNDS) + 1):
         empty_cols[f"b{i}"] = pa.array([], type=pa.int64())
@@ -761,6 +777,10 @@ def flatten_otlp_metrics_hist_batch(t: pa.Table) -> pa.Table:
     sum_ms = pc.cast(
         pc.fill_null(_opt_field(dps, "sum", pa.float64()), 0.0), pa.int64()
     )
+    # min/max are optional doubles; keep NULL where absent (older wire
+    # files) — partials merge by min/max so a fill would corrupt
+    min_ms = pc.cast(_opt_field(dps, "min", pa.float64()), pa.int64())
+    max_ms = pc.cast(_opt_field(dps, "max", pa.float64()), pa.int64())
     buckets = _opt_field(dps, "bucketCounts", pa.list_(pa.string()))
     nb = len(HIST_BOUNDS) + 1
     # genuine OTel exports carry per-datapoint explicitBounds of any
@@ -796,6 +816,8 @@ def flatten_otlp_metrics_hist_batch(t: pa.Table) -> pa.Table:
         "conv_id": pa.array(conv_id, type=pa.string()),
         "count": count,
         "sum_ms": sum_ms,
+        "min_ms": min_ms,
+        "max_ms": max_ms,
     }
     for i in range(nb):
         cols[f"b{i}"] = pa.array(b_np[:, i], type=pa.int64())
@@ -937,6 +959,10 @@ def flatten_otlp_metrics_summary_batch(t: pa.Table) -> pa.Table:
     sum_ms = pc.cast(
         pc.fill_null(_opt_field(dps, "sum", pa.float64()), 0.0), pa.int64()
     )
+    # min/max are optional doubles; keep NULL where absent (older wire
+    # files) — partials merge by min/max so a fill would corrupt
+    min_ms = pc.cast(_opt_field(dps, "min", pa.float64()), pa.int64())
+    max_ms = pc.cast(_opt_field(dps, "max", pa.float64()), pa.int64())
     # first-match per quantile across the quantileValues list
     ql = _opt_field(dps, "quantileValues", pa.list_(_VAQ))
     q_parent = pc.list_parent_indices(ql).to_numpy(zero_copy_only=False)

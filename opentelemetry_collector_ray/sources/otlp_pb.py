@@ -417,6 +417,12 @@ def _classes() -> dict:
     _field(hdp, "attributes", 9, T.TYPE_MESSAGE, repeated=True,
            type_name=pfx + "KeyValue")
     _field(hdp, "flags", 10, T.TYPE_UINT32)
+    # `optional double min = 11` / `max = 12` (published schema) —
+    # synthetic oneofs for explicit presence, like sum
+    hdp.oneof_decl.add().name = "_min"
+    _field(hdp, "min", 11, T.TYPE_DOUBLE, oneof=1)
+    hdp.oneof_decl.add().name = "_max"
+    _field(hdp, "max", 12, T.TYPE_DOUBLE, oneof=2)
     eh = met.message_type.add()
     eh.name = "ExponentialHistogram"
     _field(eh, "data_points", 1, T.TYPE_MESSAGE, repeated=True,
