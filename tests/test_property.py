@@ -270,3 +270,52 @@ def test_chat_jsonl_nest_flatten_identity(t):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(flat, src)
+
+
+# ----------------------------------------------- round-4 wire framing
+
+
+@given(st.lists(st.binary(max_size=2000), max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_frame_unframe_roundtrip(blobs):
+    from opentelemetry_collector_ray.sources.wirefs import (
+        frame_requests,
+        unframe_requests,
+    )
+
+    assert unframe_requests(frame_requests(blobs)) == blobs
+
+
+@given(st.binary(min_size=1, max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_unframe_bare_payload_is_identity(raw):
+    from opentelemetry_collector_ray.sources.wirefs import (
+        FRAME_MAGIC,
+        unframe_requests,
+    )
+
+    if raw.startswith(FRAME_MAGIC):
+        return  # framed-looking bytes are the framed case
+    assert unframe_requests(raw) == [raw]
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([3, 4]),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_random_shapes(w, h, seed, channels):
+    import numpy as np
+
+    from opentelemetry_collector_ray.stages.imagecodec import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    got = decode_png(encode_png(img))
+    assert got.shape == (h, w, 3)
+    assert (got == img[:, :, :3]).all()
