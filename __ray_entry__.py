@@ -608,6 +608,36 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_fingerprint_exact(sf_dir: str):
+    """The polynomial rolling hash under a FULL oracle: fingerprint =
+    Σ byte_i·257^(L−1−i) mod 2³¹−1 is exactly the Horner recurrence
+    acc←(acc·257+byte) mod p, which DuckDB 1.0 expresses with
+    list_transform(range)+unicode(substr) and list_reduce. Code points
+    equal bytes on the ASCII corpus (a non-ASCII char would hash-
+    mismatch and the gate would say so). Null/empty text → 0 on both
+    sides. Values are < 2³¹ so the int64 cast is lossless;
+    ``fingerprint`` keeps the uint64 production column."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import fingerprint_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_i64(t: pa.Table) -> pa.Table:
+        t = fingerprint_batch(t)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint": _pc.cast(t["fingerprint"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(to_i64, batch_format="pyarrow")
+
+
 def q_lsh_topk(sf_dir: str):
     import ray.data
 
@@ -3873,6 +3903,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "langid": q_langid,
     "langid_pred": q_langid_pred,
     "fingerprint": q_fingerprint,
+    "fingerprint_exact": q_fingerprint_exact,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "semdedup": q_semdedup,
@@ -4049,6 +4080,16 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN hi ON hi.qm = b.qm) "
             "SELECT qm AS q, cast(floor(v * 1000) AS bigint) AS est_milli "
             "FROM est"
+        ),
+        # Horner form of the polynomial rolling hash; unicode(substr)
+        # == byte on the ASCII corpus
+        "fingerprint_exact": (
+            "SELECT doc_id, CASE WHEN text IS NULL OR length(text) = 0 "
+            "THEN 0 ELSE list_reduce("
+            "list_transform(range(1, length(text) + 1), "
+            "i -> cast(unicode(substr(text, cast(i AS int), 1)) AS bigint)), "
+            "(a, b) -> (a * 257 + b) % 2147483647) END AS fingerprint "
+            "FROM documents"
         ),
         # Misra-Gries exact-when-k>=cardinality: plain counts, no error
         "heavy_hitters_exact": (

@@ -117,6 +117,7 @@ QUERIES = [
     "jaccard_pairs",  # shares the null-key drop with dedup_clusters_exact
     "heavy_hitters_exact",  # value_counts-dropna == WHERE NOT NULL
     "tail_sample_policies",  # null level/action/latency in policy rules
+    "fingerprint_exact",  # null/empty text -> 0 on both sides
 ]
 
 
