@@ -48,6 +48,16 @@ def _as_list_array(col) -> pa.ListArray:
     return col
 
 
+def _full_object(n: int, value) -> np.ndarray:
+    """Object array of ``value`` repeated ``n`` times. NOT ``np.full``:
+    np.full routes a str scalar through a U-dtype intermediate even for
+    ``dtype=object``, silently stripping trailing ``\\x00`` (hypothesis
+    found upsert of ``'\\x00'`` landing as ``''``)."""
+    out = np.empty(n, dtype=object)
+    out[:] = value
+    return out
+
+
 def _parts(arr: pa.ListArray, n: int):
     """(keys, values, parents) of every entry, as numpy; null lists
     contribute no entries (== empty map)."""
@@ -117,9 +127,9 @@ def _append_rows(k, v, p, n, key: str, values, rows: np.ndarray):
     ``rows``, after the row's existing entries (stable merge by
     parent)."""
     if np.isscalar(values) or values is None:
-        values = np.full(n, values, dtype=object)
+        values = _full_object(n, values)
     values = np.asarray(values, dtype=object)
-    ak = np.concatenate([k, np.full(len(rows), key, dtype=object)])
+    ak = np.concatenate([k, _full_object(len(rows), key)])
     av = np.concatenate([v, values[rows]])
     ap = np.concatenate([p, rows.astype(np.int64)])
     # stable sort by parent keeps existing entry order, appends last
@@ -153,7 +163,7 @@ def map_update(col, key: str, values) -> pa.ListArray:
     n = len(arr)
     k, v, p = _parts(arr, n)
     if np.isscalar(values) or values is None:
-        values = np.full(n, values, dtype=object)
+        values = _full_object(n, values)
     values = np.asarray(values, dtype=object)
     hit = k == key
     v = v.copy()

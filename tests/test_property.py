@@ -5,7 +5,7 @@ randomized inputs INCLUDING nulls, empty strings, and empty maps."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from opentelemetry_collector_ray.stages.maps import (
@@ -41,6 +41,7 @@ def _to_py(arr):
 
 @settings(max_examples=60, deadline=None)
 @given(_maps, _keys, _vals)
+@example(rows=[[]], key="a", val="\x00")  # np.full U-dtype NUL-strip regression
 def test_map_upsert_matches_dict_model(rows, key, val):
     got = _to_py(map_upsert(_to_arrow(rows), key, val))
     for row, out in zip(rows, got):
