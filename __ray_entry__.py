@@ -2950,6 +2950,126 @@ def q_countmin_counts(sf_dir: str):
     return countmin_query(cm, vocab)
 
 
+def q_countmin_exact(sf_dir: str):
+    """The Count-Min ESTIMATE itself under a FULL oracle (not just
+    exact-when-small): the affine tier hashes with
+    h_d(x) = ((a_d·(x mod p) + b_d) mod p) mod width, p = 2³¹−1, which
+    DuckDB evaluates in exact integer arithmetic — so the oracle
+    reproduces every collision over-count bit-for-bit
+    (min over depth rows of the bucket sums, absent bucket = 0).
+    width=64 on ~150 distinct users GUARANTEES collisions: the gate is
+    verifying genuinely approximate answers, not a degenerate exact
+    case. Probes cover [0, 200) — absent items included, whose
+    over-counts the oracle also mirrors. `countmin_counts` keeps the
+    production siphash tier (rows-only, pytest-bounded)."""
+    import numpy as np
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.sketch import (
+        build_countmin_affine,
+        countmin_query_affine,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    cm = build_countmin_affine(ds, value="user_id", width=64, depth=3)
+    return countmin_query_affine(cm, np.arange(200, dtype=np.int64))
+
+
+def q_bloom_exact(sf_dir: str):
+    """Bloom-filter membership under a FULL oracle, false positives
+    included: affine bit positions (same SQL-exact two-level congruential
+    family as `countmin_exact`) over a 384-bit filter of the even user_ids;
+    every distinct user_id is probed. Odd users that collide into
+    all-set bits flag as maybe_present=1 — the oracle computes the
+    identical bit set and reproduces each false positive.
+    `bloom_dedup` keeps the production siphash tier (rows-only,
+    no-false-negative + FP-rate pinned in pytest)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.sketch import (
+        bloom_contains_affine,
+        build_bloom_affine,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    even = ds.map_batches(
+        lambda t: t.filter(
+            _pc.equal(_pc.bit_wise_and(t["user_id"], 1), 0)
+        ),
+        batch_format="pyarrow",
+    )
+    bits = build_bloom_affine(even, value="user_id", m_bits=384, hashes=3)
+    probes = np.array(
+        sorted(
+            u for u in ds.unique("user_id") if u is not None and u >= 0
+        ),
+        dtype=np.int64,
+    )
+    ok = bloom_contains_affine(bits, probes, m_bits=384, hashes=3)
+    return pd.DataFrame({"item": probes, "maybe_present": ok.astype(np.int64)})
+
+
+def q_kmv_exact_small(sf_dir: str):
+    """The KMV/bottom-k exactness contract under a FULL oracle: with
+    fewer than k distinct hashes the sketch IS the distinct value set,
+    so distinct counts and the sketch-intersection Jaccard are exact
+    (Beyer et al.'s estimator degenerates to truth). Even/odd event_id
+    halves → user_id sets (~150 distinct ≪ k=4096; deterministic
+    fixed-key siphash, so the no-64-bit-collision condition is stable
+    run to run and verified by this very gate). jaccard_milli is
+    integer math on both sides (1000·|A∩B| // |A∪B|) — no float
+    rounding to diverge. `corpus_overlap` keeps the genuinely
+    approximate tier (rows-only, pytest error bounds)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.sketch import (
+        kmv_distinct,
+        kmv_sketch,
+    )
+
+    k = 4096
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def half(want: int):
+        # event_id % 61 slices (pc.modulo doesn't exist in this
+        # pyarrow — numpy on the int64 column; an arrow int64 column
+        # with nulls surfaces as float64-with-NaN, and NaN % 61 == want
+        # is False, so null event_ids drop on both sides like the
+        # oracle's WHERE). Sparse enough that the two user sets only
+        # partially overlap (~0.45 Jaccard at sf0.01), so the oracle
+        # checks a non-degenerate value.
+        def f(t: pa.Table) -> pa.Table:
+            import numpy as _np
+
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            with _np.errstate(invalid="ignore"):
+                mask = eid % 61 == want
+            mask &= _pc.is_valid(t["user_id"]).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(mask)).select(["user_id"])
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    sa = kmv_sketch(half(0), value="user_id", k=k)
+    sb = kmv_sketch(half(1), value="user_id", k=k)
+    union = np.unique(np.concatenate([sa, sb]))[:k]
+    inter = int((np.isin(union, sa) & np.isin(union, sb)).sum())
+    return pd.DataFrame(
+        {
+            "distinct_even": [kmv_distinct(sa, k)],
+            "distinct_odd": [kmv_distinct(sb, k)],
+            "jaccard_milli": [1000 * inter // max(len(union), 1)],
+        }
+    )
+
+
 def q_tdigest_quantiles(sf_dir: str):
     """t-digest approximate q50/q90/q99/q999 of the continuous
     events.value — mergeable k1-scale digest, the unbounded-value
@@ -3772,6 +3892,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_exact": q_heavy_hitters_exact,
     "bloom_dedup": q_bloom_dedup,
+    "countmin_exact": q_countmin_exact,
+    "bloom_exact": q_bloom_exact,
+    "kmv_exact_small": q_kmv_exact_small,
     "spans": q_spans,
     "span_stats": q_span_stats,
     "span_details": q_span_details,
@@ -4092,6 +4215,59 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         # Misra-Gries exact-when-k>=cardinality: plain counts, no error
+        # Affine-hash sketch tier: h_d(x) = ((a_d*(x%p)+b_d)%p)%m with
+        # p = 2^31-1 — constants mirrored from sketch._AFFINE_PARAMS;
+        # the oracle reproduces the APPROXIMATE answer exactly
+        # (collisions, over-counts, false positives included).
+        "countmin_exact": (
+            "WITH params(d, a, b) AS (VALUES (0, 1000003, 12345), "
+            "(1, 999983, 54321), (2, 1000033, 98765)), "
+            "counts AS (SELECT user_id AS k, count(*) AS c FROM events "
+            "WHERE user_id IS NOT NULL AND user_id >= 0 GROUP BY 1), "
+            "buckets AS (SELECT d, "
+            "((a * ((1103515245 * (k % 2147483647) + 12345) % 2147483647) + b) % 2147483647) % 64 AS pos, "
+            "sum(c) AS bc FROM counts CROSS JOIN params GROUP BY 1, 2), "
+            "probes AS (SELECT CAST(range AS BIGINT) AS item FROM range(0, 200)), "
+            "pb AS (SELECT item, d, "
+            "((a * ((1103515245 * (item % 2147483647) + 12345) % 2147483647) + b) % 2147483647) % 64 AS pos "
+            "FROM probes CROSS JOIN params) "
+            "SELECT pb.item, CAST(min(COALESCE(bk.bc, 0)) AS BIGINT) AS est_count "
+            "FROM pb LEFT JOIN buckets bk ON bk.d = pb.d AND bk.pos = pb.pos "
+            "GROUP BY pb.item"
+        ),
+        "bloom_exact": (
+            "WITH params(d, a, b) AS (VALUES (0, 1000003, 12345), "
+            "(1, 999983, 54321), (2, 1000033, 98765)), "
+            "build AS (SELECT DISTINCT user_id AS k FROM events "
+            "WHERE user_id IS NOT NULL AND user_id >= 0 AND user_id % 2 = 0), "
+            "bits AS (SELECT DISTINCT "
+            "((a * ((1103515245 * (k % 2147483647) + 12345) % 2147483647) + b) % 2147483647) % 384 AS pos "
+            "FROM build CROSS JOIN params), "  # ONE shared bit array: any hash row may set a probe's bit
+            "probes AS (SELECT DISTINCT user_id AS item FROM events "
+            "WHERE user_id IS NOT NULL AND user_id >= 0), "
+            "pb AS (SELECT item, d, "
+            "((a * ((1103515245 * (item % 2147483647) + 12345) % 2147483647) + b) % 2147483647) % 384 AS pos "
+            "FROM probes CROSS JOIN params) "
+            "SELECT pb.item, CAST(CASE WHEN bool_and(bits.pos IS NOT NULL) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS maybe_present "
+            "FROM pb LEFT JOIN bits ON bits.pos = pb.pos "
+            "GROUP BY pb.item"
+        ),
+        # KMV exact-when-small: sketches ARE the distinct sets; integer
+        # milli-Jaccard on both sides (1000*|A∩B| // |A∪B|)
+        "kmv_exact_small": (
+            "WITH a AS (SELECT DISTINCT user_id AS k FROM events "
+            "WHERE event_id % 61 = 0 AND user_id IS NOT NULL), "
+            "b AS (SELECT DISTINCT user_id AS k FROM events "
+            "WHERE event_id % 61 = 1 AND user_id IS NOT NULL), "
+            "i AS (SELECT count(*) AS c FROM a JOIN b USING (k)), "
+            "u AS (SELECT count(*) AS c FROM "
+            "(SELECT k FROM a UNION SELECT k FROM b)) "
+            "SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS distinct_even, "
+            "CAST((SELECT count(*) FROM b) AS BIGINT) AS distinct_odd, "
+            "CAST(1000 * i.c // greatest(u.c, 1) AS BIGINT) AS jaccard_milli "
+            "FROM i, u"
+        ),
         "heavy_hitters_exact": (
             "SELECT cast(event_type AS varchar) AS item, "
             "cast(count(*) AS bigint) AS est_count, "

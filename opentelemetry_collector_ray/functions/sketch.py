@@ -532,3 +532,129 @@ def kmv_jaccard(sa: np.ndarray, sb: np.ndarray, k: int) -> float:
     in_b = np.isin(union, sb)
     denom = max(len(union), 1)
     return float((in_a & in_b).sum()) / denom
+
+
+# ------------------------------- SQL-mirrorable affine-hash tier
+#
+# The production sketches above hash with pandas' keyed siphash —
+# fast, well-mixed, but opaque to SQL. This tier swaps the hash for an
+# affine map over the Mersenne prime p = 2^31-1:
+#
+#     h_d(x) = ((a_d * (x mod p) + b_d) mod p) mod m
+#
+# which DuckDB evaluates EXACTLY in integer arithmetic, so the whole
+# approximate answer — collisions, over-counts, false positives and
+# all — gets a full hash-matching oracle (same promotion pattern as
+# fingerprint_exact's Horner mirror). The (a_d, b_d) constants are
+# mirrored verbatim in oracle SQL; never change one side alone.
+# Integer-key only (the mirror needs the key representable in SQL);
+# keys must be non-negative (numpy and SQL disagree on negative mod).
+
+_AFFINE_P = 2147483647
+_AFFINE_PARAMS = (
+    (1000003, 12345),
+    (999983, 54321),
+    (1000033, 98765),
+    (1000037, 13579),
+)
+
+
+_AFFINE_G = (1103515245, 12345)  # MINSTD-style scramble step
+
+
+def affine_buckets(keys: np.ndarray, d: int, m: int) -> np.ndarray:
+    """Bucket index per key for hash row ``d``. Two congruential
+    levels: g(x) = (G_a·(x mod p) + G_b) mod p scrambles first — on a
+    small consecutive-integer key domain a SINGLE affine level is
+    injective mod m (collisions would be row-independent: zero Bloom
+    false positives, degenerate Count-Min minima), but g wraps mod p
+    many times even for x < 2¹⁶, so the per-row map is genuinely
+    mixing. Exact int64 math throughout: G_a < 2³¹ and a_d < 2²⁰ keep
+    every product under 2⁶² — DuckDB's BIGINT reproduces each step."""
+    a, b = _AFFINE_PARAMS[d]
+    p = np.int64(_AFFINE_P)
+    k = np.asarray(keys, dtype=np.int64) % p
+    g = (np.int64(_AFFINE_G[0]) * k + np.int64(_AFFINE_G[1])) % p
+    return ((np.int64(a) * g + np.int64(b)) % p) % np.int64(m)
+
+
+def build_countmin_affine(
+    ds: ray.data.Dataset, *, value: str, width: int = 64, depth: int = 3
+) -> np.ndarray:
+    """Count-Min build identical in structure to ``build_countmin``
+    (per-block depth×width partials, elementwise-sum merge) but with
+    the SQL-mirrorable affine hash over an integer key column. Null
+    and negative keys are skipped — the oracle filters the same rows."""
+    if depth > len(_AFFINE_PARAMS):
+        raise ValueError(f"depth > {len(_AFFINE_PARAMS)} affine rows available")
+
+    def partial(t: pa.Table) -> pa.Table:
+        cm = np.zeros((depth, width), dtype=np.int64)
+        vals = t[value].to_numpy(zero_copy_only=False)
+        vals = vals[pd.notna(vals)].astype(np.int64)
+        vals = vals[vals >= 0]
+        for d in range(depth):
+            np.add.at(cm[d], affine_buckets(vals, d, width), 1)
+        return pa.table({"_cm": pa.array([cm.tobytes()], type=pa.binary())})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for blob in parts["_cm"]:
+        merged += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+    return merged
+
+
+def countmin_query_affine(cm: np.ndarray, items: np.ndarray) -> pd.DataFrame:
+    """Point-query the affine Count-Min: (item, est_count), est = min
+    over hash rows — exactly the oracle's min(COALESCE(bucket_sum, 0))."""
+    depth, width = cm.shape
+    items = np.asarray(items, dtype=np.int64)
+    est = np.full(len(items), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        est = np.minimum(est, cm[d, affine_buckets(items, d, width)])
+    return pd.DataFrame({"item": items, "est_count": est})
+
+
+def build_bloom_affine(
+    ds: ray.data.Dataset, *, value: str, m_bits: int = 512, hashes: int = 3
+) -> np.ndarray:
+    """Bloom build (per-block bitmaps, OR merge — same mergeable shape
+    as ``build_bloom``) with affine bit positions so membership —
+    including every false positive — is reproducible in SQL."""
+    if hashes > len(_AFFINE_PARAMS):
+        raise ValueError(f"hashes > {len(_AFFINE_PARAMS)} affine rows available")
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        vals = t[value].to_numpy(zero_copy_only=False)
+        vals = vals[pd.notna(vals)].astype(np.int64)
+        vals = vals[vals >= 0]
+        if len(vals):
+            pos = np.concatenate(
+                [affine_buckets(vals, d, m_bits) for d in range(hashes)]
+            )
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pa.table({"_bloom": pa.array([bits.tobytes()], type=pa.binary())})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for blob in parts["_bloom"]:
+        merged |= np.frombuffer(blob, dtype=np.uint8)
+    return merged
+
+
+def bloom_contains_affine(
+    bits: np.ndarray, items: np.ndarray, *, m_bits: int, hashes: int
+) -> np.ndarray:
+    """Membership probe: True iff every affine position's bit is set
+    (the usual no-false-negative / some-false-positive contract)."""
+    items = np.asarray(items, dtype=np.int64)
+    ok = np.ones(len(items), dtype=bool)
+    for d in range(hashes):
+        pos = affine_buckets(items, d, m_bits)
+        ok &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    return ok

@@ -120,6 +120,13 @@ QUERIES = [
     "fingerprint_exact",  # null/empty text -> 0 on both sides
 ]
 
+# The affine sketch tier keys on events.user_id/event_id — columns the
+# shared rule set deliberately leaves intact (the transcripts
+# derivation CONTRACT is non-null user_id; injecting nulls there makes
+# 20 transcript-tier queries fail loudly by design, see
+# sources/transcripts.py). These three get their own fixture below.
+UID_NULL_QUERIES = ["countmin_exact", "bloom_exact", "kmv_exact_small"]
+
 
 @pytest.fixture(scope="module")
 def null_sf(tmp_path_factory):
@@ -166,6 +173,54 @@ def _to_df(res):
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def uid_null_sf(tmp_path_factory):
+    """events copy with user_id nulled on event_id % 29 == 9 (and, on
+    a second stripe, event_id itself nulled) — the columns the shared
+    fixture must leave intact for the transcript tier."""
+    out = str(tmp_path_factory.mktemp("uid_null_sf"))
+    for tbl in TABLES:
+        t = pq.read_table(f"{SRC}/{tbl}.parquet")
+        if tbl == "events":
+            import numpy as np
+
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            for col, mask in (
+                ("user_id", (ids % 29) == 9),
+                ("event_id", (ids % 31) == 4),
+            ):
+                idx = t.column_names.index(col)
+                vals = t[col].to_pandas().where(~mask, other=None)
+                t = t.set_column(
+                    idx, col, pa.array(vals, type=t.schema.field(col).type)
+                )
+        pq.write_table(t, os.path.join(out, f"{tbl}.parquet"))
+    return out
+
+
+@pytest.mark.parametrize("name", UID_NULL_QUERIES)
+def test_uid_null_parity(ray_session, uid_null_sf, entry_mod, name):
+    ray_df = _to_df(entry_mod.queries()[name](uid_null_sf))
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{uid_null_sf}/{tbl}.parquet')"
+        )
+    oracle_df = con.sql(entry_mod.oracle_sql()[name]).df()
+    a, b = _canon(ray_df), _canon(oracle_df)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
+    mism = (a != b).any(axis=1)
+    if mism.any():
+        i = int(mism.idxmax())
+        raise AssertionError(
+            f"{name}: first mismatching row {i}:\n"
+            f"ray:    {a.iloc[i].to_dict()}\n"
+            f"oracle: {b.iloc[i].to_dict()}"
+        )
 
 
 @pytest.mark.parametrize("name", QUERIES)

@@ -241,3 +241,94 @@ def test_kmv_distinct_and_jaccard_accuracy():
     # exact when the set fits the sketch
     small = ray.data.from_pandas(pd.DataFrame({"v": np.arange(100)}))
     assert kmv_distinct(kmv_sketch(small, value="v", k=512), 512) == 100
+
+
+# ----------------------------------- SQL-mirrorable affine-hash tier
+
+
+def test_affine_buckets_match_duckdb_integer_math():
+    """The affine tier's whole point: DuckDB reproduces every bucket.
+    Mirrors the oracle expression for keys spanning small ids, the
+    modulus boundary, and > 2^31 — any drift here breaks the
+    countmin_exact / bloom_exact gate queries."""
+    import duckdb
+
+    from opentelemetry_collector_ray.functions.sketch import (
+        _AFFINE_G,
+        _AFFINE_P,
+        _AFFINE_PARAMS,
+        affine_buckets,
+    )
+
+    keys = np.array([0, 1, 149, 2147483646, 2147483647, 10**12, 7**15])
+    ga, gb = _AFFINE_G
+    for m in (64, 384):
+        for d, (a, b) in enumerate(_AFFINE_PARAMS[:3]):
+            got = affine_buckets(keys, d, m)
+            want = duckdb.sql(
+                f"SELECT ((({a} * (({ga} * (k % {_AFFINE_P}) + {gb}) "
+                f"% {_AFFINE_P}) + {b}) % {_AFFINE_P}) % {m}) AS pos "
+                f"FROM (SELECT unnest(CAST({list(map(int, keys))} AS "
+                f"BIGINT[])) AS k)"
+            ).fetchnumpy()["pos"]
+            assert np.array_equal(got, want), (d, m)
+
+
+def test_countmin_affine_never_undercounts_and_rows_disagree():
+    """Contract of the oracle-gated variant: estimates ≥ truth for
+    present keys, and the scrambled family gives row-DEPENDENT
+    collisions (min over rows actually varies — the single-level
+    affine family degenerated to identical rows on consecutive ids)."""
+    from opentelemetry_collector_ray.functions.sketch import (
+        affine_buckets,
+        build_countmin_affine,
+        countmin_query_affine,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 150, size=5000)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(4)
+    cm = build_countmin_affine(ds, value="k", width=64, depth=3)
+    true = pd.Series(keys).value_counts()
+    est = countmin_query_affine(cm, np.arange(150)).set_index("item")[
+        "est_count"
+    ]
+    for k, c in true.items():
+        assert est[k] >= c
+    per_row = np.stack(
+        [cm[d, affine_buckets(np.arange(150), d, 64)] for d in range(3)]
+    )
+    assert (per_row.min(axis=0) != per_row.max(axis=0)).any()
+
+
+def test_bloom_affine_membership_contract():
+    """No false negatives ever; false positives exist at this sizing
+    (the gate would be vacuous without them) and are reproduced by the
+    same shared-bit-array rule the oracle uses."""
+    from opentelemetry_collector_ray.functions.sketch import (
+        affine_buckets,
+        bloom_contains_affine,
+        build_bloom_affine,
+    )
+
+    members = np.arange(0, 150, 2)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": members})).repartition(3)
+    bits = build_bloom_affine(ds, value="k", m_bits=384, hashes=3)
+    got = bloom_contains_affine(
+        bits, np.arange(150), m_bits=384, hashes=3
+    )
+    assert got[members].all()  # no false negatives
+    odd = np.arange(1, 150, 2)
+    fps = got[odd]
+    assert fps.any() and not fps.all()
+    # shared-array semantics: membership == every position's bit set,
+    # regardless of which hash row set it
+    bitset = set()
+    for d in range(3):
+        bitset.update(affine_buckets(members, d, 384).tolist())
+    for x in odd:
+        want = all(
+            int(affine_buckets(np.array([x]), d, 384)[0]) in bitset
+            for d in range(3)
+        )
+        assert bool(got[x]) == want
