@@ -574,6 +574,26 @@ def q_simhash(sf_dir: str):
     )
 
 
+def q_simhash_exact(sf_dir: str):
+    """SimHash under a FULL oracle: the 31-bit poly tier's every step —
+    whitespace tokenization, Horner code-point token hash mod 2³¹−1,
+    per-bit occurrence-majority vote (ties set), bit packing — is
+    mirrored in DuckDB (regexp_split_to_array → list_reduce →
+    bit-shift sums), so each document's signature hash-matches SQL,
+    near-dup collisions included. `simhash` keeps the production
+    64-bit siphash tier (rows-only, pinned by Hamming tests)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import simhash_poly_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        simhash_poly_batch, batch_format="pyarrow", batch_size=1024
+    ).select_columns(["doc_id", "simhash"])
+
+
 def q_langid(sf_dir: str):
     import ray.data
 
@@ -4023,6 +4043,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
+    "simhash_exact": q_simhash_exact,
     "langid": q_langid,
     "langid_pred": q_langid_pred,
     "fingerprint": q_fingerprint,
@@ -4203,6 +4224,26 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN hi ON hi.qm = b.qm) "
             "SELECT qm AS q, cast(floor(v * 1000) AS bigint) AS est_milli "
             "FROM est"
+        ),
+        # 31-bit SimHash mirrored end-to-end: tokenize, Horner token
+        # hash, per-bit occurrence-majority (ties set), bit packing
+        "simhash_exact": (
+            "WITH tok AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(text, '[ \t\n\r]+'), "
+            "t -> length(t) > 0)) AS t FROM documents "
+            "WHERE text IS NOT NULL), "
+            "th AS (SELECT doc_id, list_reduce(list_transform("
+            "range(1, length(t) + 1), "
+            "i -> CAST(unicode(substr(t, CAST(i AS int), 1)) AS BIGINT)), "
+            "(a, b) -> (a * 257 + b) % 2147483647) AS h FROM tok), "
+            "bits AS (SELECT doc_id, j, "
+            "sum((h >> CAST(j AS INT)) & 1) AS ones, count(*) AS n "
+            "FROM th CROSS JOIN range(0, 31) r(j) GROUP BY 1, 2), "
+            "sig AS (SELECT doc_id, sum(CASE WHEN 2 * ones >= n "
+            "THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS s "
+            "FROM bits GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(sig.s, 0) AS BIGINT) AS simhash "
+            "FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id"
         ),
         # Horner form of the polynomial rolling hash; unicode(substr)
         # == byte on the ASCII corpus

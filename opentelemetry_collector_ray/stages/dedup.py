@@ -30,6 +30,8 @@ scalar per round).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -532,6 +534,76 @@ class SimHashStage:
             sig_bits = (votes * 2 >= counts).astype(np.uint64)
             sigs = (sig_bits * self.bits[None, :]).sum(axis=1, dtype=np.uint64)
         return batch.append_column("simhash", pa.array(sigs, type=pa.uint64()))
+
+
+# SQL-mirrorable SimHash tier: every arithmetic step below is exactly
+# expressible in DuckDB (the simhash_exact oracle), unlike the
+# production SimHashStage's siphash word hashes. Tokens are runs of
+# non-[ \t\n\r] (regexp_split_to_array mirror); each token hashes by
+# the Horner code-point polynomial acc <- (acc*257 + codepoint) mod
+# 2^31-1 (same recurrence the fingerprint_exact oracle mirrors via
+# list_reduce — a single-element list returns the element, matching
+# acc starting at 0); signature bit j is the majority vote of token
+# hash bits j over TOKEN OCCURRENCES (duplicates counted, ties set),
+# packed into 31 bits.
+_SIMHASH_POLY_P = np.int64(2147483647)
+_SIMHASH_POLY_BITS = 31
+_SIMHASH_WS = re.compile(r"[ \t\n\r]+")
+
+
+def _horner_token_hashes(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized Horner code-point hash per token: one utf-32 encode
+    of the joined token text, then maxlen column passes of masked
+    int64 math (acc*257 + cp < 2^39 — exact, as in DuckDB BIGINT)."""
+    if not len(tokens):
+        return np.empty(0, np.int64)
+    joined = "\x00".join(tokens.tolist())
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    lens = np.fromiter((len(t) for t in tokens), np.int64, count=len(tokens))
+    starts = np.zeros(len(tokens), np.int64)
+    np.cumsum(lens[:-1] + 1, out=starts[1:])
+    acc = np.zeros(len(tokens), np.int64)
+    for col in range(int(lens.max())):
+        live = lens > col
+        idx = np.minimum(starts + col, len(cp) - 1)
+        acc = np.where(live, (acc * 257 + cp[idx]) % _SIMHASH_POLY_P, acc)
+    return acc
+
+
+def simhash_poly_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append ``simhash``: the 31-bit SQL-mirrorable SimHash. Token
+    hashes are computed once per UNIQUE token in the batch (factorize
+    gather — corpora repeat tokens heavily), bit votes via the same
+    unpackbits + reduceat idiom as SimHashStage. Null / empty /
+    whitespace-only text → 0 (the oracle's COALESCE row)."""
+    texts = batch[col].to_pylist()
+    toks_per_doc = [
+        [t for t in _SIMHASH_WS.split(s) if t] if s else [] for s in texts
+    ]
+    counts = np.fromiter(
+        (len(w) for w in toks_per_doc), np.int64, count=len(texts)
+    )
+    sig = np.zeros(len(texts), np.int64)
+    flat = [t for ts in toks_per_doc for t in ts]
+    if flat:
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        th = _horner_token_hashes(np.asarray(uniq, dtype=object))[codes]
+        bitmat = np.unpackbits(
+            th.astype(np.uint64).view(np.uint8).reshape(-1, 8),
+            axis=1,
+            bitorder="little",
+        ).astype(np.int64)[:, :_SIMHASH_POLY_BITS]
+        offsets = np.zeros(len(texts) + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        nonempty = counts > 0
+        votes = np.add.reduceat(bitmat, offsets[:-1][nonempty], axis=0)
+        bits = (2 * votes >= counts[nonempty][:, None]).astype(np.int64)
+        sig[nonempty] = (
+            bits << np.arange(_SIMHASH_POLY_BITS, dtype=np.int64)[None, :]
+        ).sum(axis=1)
+    return batch.append_column("simhash", pa.array(sig, type=pa.int64()))
 
 
 # ------------------------------------------- duplicate clusters

@@ -118,6 +118,7 @@ QUERIES = [
     "heavy_hitters_exact",  # value_counts-dropna == WHERE NOT NULL
     "tail_sample_policies",  # null level/action/latency in policy rules
     "fingerprint_exact",  # null/empty text -> 0 on both sides
+    "simhash_exact",  # null/whitespace-only text -> 0 on both sides
 ]
 
 # The affine sketch tier keys on events.user_id/event_id — columns the

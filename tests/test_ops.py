@@ -2603,3 +2603,32 @@ def test_real_png_codec_roundtrip_filters_and_parity():
     bad = sig + chunk(b"IHDR", bad_ihdr) + chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="interlaced"):
         decode_png(bad)
+
+
+def test_simhash_poly_near_dup_hamming(ray_session):
+    """The SQL-mirrorable 31-bit SimHash keeps the semantic property
+    the production 64-bit tier is used for: a one-word edit moves few
+    signature bits, an unrelated doc moves many."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.stages.dedup import simhash_poly_batch
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy")
+    far = "entirely different words about ships and harbors " * 8
+    t = simhash_poly_batch(
+        pa.table({"doc_id": [0, 1, 2], "text": [base, near, far]})
+    )
+    s = t["simhash"].to_numpy()
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(s[0], s[1]) < ham(s[0], s[2])
+    assert ham(s[0], s[1]) <= 8
+    # degenerate inputs -> 0, matching the oracle's COALESCE row
+    z = simhash_poly_batch(
+        pa.table({"doc_id": [0, 1, 2], "text": [None, "", " \t\n "]})
+    )
+    assert z["simhash"].to_numpy().tolist() == [0, 0, 0]
