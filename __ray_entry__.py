@@ -594,6 +594,93 @@ def q_simhash_exact(sf_dir: str):
     ).select_columns(["doc_id", "simhash"])
 
 
+def q_minhash_exact(sf_dir: str):
+    """MinHash signatures under a FULL oracle: word-trigram shingle
+    hashes (Horner over the Horner word hashes, mod 2³¹−1) through 8
+    SQL-exact affine permutations, min per (doc, perm) — DuckDB
+    reproduces every signature value, so the core of the near-dup
+    pipeline's candidate generation is hash-gated, not just
+    recall-tested. Docs with < 3 tokens emit no rows on either side.
+    `minhash_pairs` keeps the production siphash tier (rows-only,
+    recall-vs-exact pinned)."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import minhash_poly_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        minhash_poly_batch, batch_format="pyarrow", batch_size=1024
+    )
+
+
+def q_lsh_buckets_exact(sf_dir: str):
+    """LSH banding under a FULL oracle WITHOUT the candidate-pair
+    explosion (the dedup_clusters_exact lesson — dup-heavy corpora
+    make pair sets O(dense)): bands of r=2 permutations, bucket key =
+    (mh_even·B + mh_odd) mod p, report (band, bucket, n_docs) for
+    buckets holding ≥ 2 docs. Counts, never pairs — the banding logic
+    is verified, the output stays linear in docs."""
+    import numpy as np
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.dedup import (
+        _MH_POLY_B,
+        _MH_POLY_PERMS,
+        _SIMHASH_POLY_P,
+        minhash_poly_batch,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def buckets(t: pa.Table) -> pa.Table:
+        # minhash_poly_batch emits each doc's 8 perm rows contiguously
+        # WITHIN this same batch, so banding here never splits a doc
+        long = minhash_poly_batch(t)
+        mh = long["minhash"].to_numpy(zero_copy_only=False)
+        doc = long["doc_id"].to_numpy(zero_copy_only=False)
+        perm = long["perm"].to_numpy(zero_copy_only=False)
+        nb = len(_MH_POLY_PERMS) // 2
+        wide_doc = doc[perm == 0]
+        cols = [mh[perm == i] for i in range(len(_MH_POLY_PERMS))]
+        out_doc, out_band, out_bucket = [], [], []
+        for b in range(nb):
+            bucket = (cols[2 * b] * _MH_POLY_B + cols[2 * b + 1]) % (
+                _SIMHASH_POLY_P
+            )
+            out_doc.append(wide_doc)
+            out_band.append(np.full(len(wide_doc), b, dtype=np.int64))
+            out_bucket.append(bucket)
+        return pa.table(
+            {
+                "band": pa.array(
+                    np.concatenate(out_band) if out_band else [],
+                    type=pa.int64(),
+                ),
+                "bucket": pa.array(
+                    np.concatenate(out_bucket) if out_bucket else [],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    g = (
+        ds.map_batches(buckets, batch_format="pyarrow", batch_size=1024)
+        .groupby(["band", "bucket"])
+        .count()
+        .rename_columns({"count()": "n_docs"})
+    )
+    import pyarrow.compute as _pc
+
+    return g.map_batches(
+        lambda t: t.filter(_pc.greater_equal(t["n_docs"], 2)),
+        batch_format="pyarrow",
+    )
+
+
 def q_langid(sf_dir: str):
     import ray.data
 
@@ -4044,6 +4131,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "simhash_exact": q_simhash_exact,
+    "minhash_exact": q_minhash_exact,
+    "lsh_buckets_exact": q_lsh_buckets_exact,
     "langid": q_langid,
     "langid_pred": q_langid_pred,
     "fingerprint": q_fingerprint,
@@ -4244,6 +4333,46 @@ def oracle_sql() -> dict[str, str]:
             "FROM bits GROUP BY doc_id) "
             "SELECT d.doc_id, CAST(COALESCE(sig.s, 0) AS BIGINT) AS simhash "
             "FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id"
+        ),
+        # MinHash poly tier: trigram shingles = Horner over word
+        # Horner hashes; 8 affine permutations, min per (doc, perm)
+        "minhash_exact": (
+            "WITH tok AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '[ \\t\\n\\r]+'), "
+            "t -> length(t) > 0) AS ts FROM documents WHERE text IS NOT NULL), "
+            "th AS (SELECT doc_id, list_transform(ts, t -> list_reduce(list_transform(range(1, length(t) + 1), "
+            "i -> CAST(unicode(substr(t, CAST(i AS int), 1)) AS BIGINT)), "
+            "(a, b) -> (a * 257 + b) % 2147483647)) AS hs FROM tok WHERE len(ts) >= 3), "
+            "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) - 1), "
+            "i -> (((hs[CAST(i AS int)] * 1000003 + hs[CAST(i + 1 AS int)]) % 2147483647) * 1000003 "
+            "+ hs[CAST(i + 2 AS int)]) % 2147483647)) AS s FROM th), "
+            "perms(d, a, b) AS (VALUES (0, 1000003, 12345), (1, 999983, 54321), (2, 1000033, 98765), (3, 1000037, 13579), (4, 1000039, 24680), (5, 1000081, 86420), (6, 1000099, 11111), (7, 1000117, 77777)) "
+            "SELECT doc_id, CAST(d AS BIGINT) AS perm, "
+            "CAST(min((a * s + b) % 2147483647) AS BIGINT) AS minhash "
+            "FROM sh CROSS JOIN perms GROUP BY 1, 2"
+        ),
+        # banding over the same signatures: r=2 bands, bucket key =
+        # (mh_even*B + mh_odd) mod p, COUNTS only (never pairs)
+        "lsh_buckets_exact": (
+            "WITH tok AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(text, '[ \\t\\n\\r]+'), "
+            "t -> length(t) > 0) AS ts FROM documents WHERE text IS NOT NULL), "
+            "th AS (SELECT doc_id, list_transform(ts, t -> list_reduce(list_transform(range(1, length(t) + 1), "
+            "i -> CAST(unicode(substr(t, CAST(i AS int), 1)) AS BIGINT)), "
+            "(a, b) -> (a * 257 + b) % 2147483647)) AS hs FROM tok WHERE len(ts) >= 3), "
+            "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(hs) - 1), "
+            "i -> (((hs[CAST(i AS int)] * 1000003 + hs[CAST(i + 1 AS int)]) % 2147483647) * 1000003 "
+            "+ hs[CAST(i + 2 AS int)]) % 2147483647)) AS s FROM th), "
+            "perms(d, a, b) AS (VALUES (0, 1000003, 12345), (1, 999983, 54321), (2, 1000033, 98765), (3, 1000037, 13579), (4, 1000039, 24680), (5, 1000081, 86420), (6, 1000099, 11111), (7, 1000117, 77777)), "
+            "mh AS (SELECT doc_id, d, min((a * s + b) % 2147483647) AS minhash "
+            "FROM sh CROSS JOIN perms GROUP BY 1, 2), "
+            "sig AS (SELECT doc_id, b, "
+            "(max(CASE WHEN d = 2 * b THEN minhash END) * 1000003 "
+            "+ max(CASE WHEN d = 2 * b + 1 THEN minhash END)) % 2147483647 "
+            "AS bucket FROM mh CROSS JOIN range(0, 4) r(b) GROUP BY 1, 2) "
+            "SELECT CAST(b AS BIGINT) AS band, CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM sig GROUP BY 1, 2 "
+            "HAVING count(*) >= 2"
         ),
         # Horner form of the polynomial rolling hash; unicode(substr)
         # == byte on the ASCII corpus

@@ -606,6 +606,84 @@ def simhash_poly_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(sig, type=pa.int64()))
 
 
+# SQL-mirrorable MinHash tier (same contract as the simhash poly tier
+# above: the production MinHashStage keeps its siphash quality; this
+# tier trades hash quality for a bit-exact DuckDB mirror of the WHOLE
+# signature/banding computation). Shingle hash = Horner over the word
+# Horner hashes: sh = ((w1·B + w2) mod p · B + w3) mod p with
+# B = 1000003; permutation d: (a_d·sh + b_d) mod p, min per doc. Docs
+# with fewer than n tokens emit no signature rows (the oracle's
+# len(ts) >= n filter).
+_MH_POLY_B = np.int64(1000003)
+_MH_POLY_PERMS = (
+    (1000003, 12345),
+    (999983, 54321),
+    (1000033, 98765),
+    (1000037, 13579),
+    (1000039, 24680),
+    (1000081, 86420),
+    (1000099, 11111),
+    (1000117, 77777),
+)
+
+
+def minhash_poly_batch(
+    batch: pa.Table, col: str = "text", n: int = 3
+) -> pa.Table:
+    """(doc_id, perm, minhash) long-format signatures for every doc
+    with ≥ n tokens. One factorize + Horner pass for word hashes, one
+    vectorized rolling combine for shingles, minimum.reduceat per
+    (doc, perm) — no per-shingle Python."""
+    texts = batch[col].to_pylist()
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    toks_per_doc = [
+        [t for t in _SIMHASH_WS.split(s) if t] if s else [] for s in texts
+    ]
+    counts = np.fromiter(
+        (len(w) for w in toks_per_doc), np.int64, count=len(texts)
+    )
+    flat = [t for ts in toks_per_doc for t in ts]
+    p = _SIMHASH_POLY_P
+    out_doc, out_perm, out_min = [], [], []
+    if flat:
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        wh = _horner_token_hashes(np.asarray(uniq, dtype=object))[codes]
+        m = max(len(wh) - n + 1, 0)
+        if m:
+            doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+            acc = wh[:m].copy()
+            for j in range(1, n):
+                acc = (acc * _MH_POLY_B + wh[j : m + j]) % p
+            valid = doc_idx[:m] == doc_idx[n - 1 : n - 1 + m]
+            sh, d = acc[valid], doc_idx[:m][valid]
+            # d is sorted; per-doc segment starts for reduceat
+            starts = np.nonzero(
+                np.concatenate([[True], d[1:] != d[:-1]])
+            )[0]
+            docs = d[starts]
+            for pi, (a, b) in enumerate(_MH_POLY_PERMS):
+                ph = (np.int64(a) * sh + np.int64(b)) % p
+                mins = np.minimum.reduceat(ph, starts)
+                out_doc.append(ids[docs])
+                out_perm.append(np.full(len(docs), pi, dtype=np.int64))
+                out_min.append(mins)
+    if not out_doc:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "perm": pa.array([], type=pa.int64()),
+                "minhash": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
+            "perm": pa.array(np.concatenate(out_perm)),
+            "minhash": pa.array(np.concatenate(out_min)),
+        }
+    )
+
+
 # ------------------------------------------- duplicate clusters
 
 

@@ -119,6 +119,8 @@ QUERIES = [
     "tail_sample_policies",  # null level/action/latency in policy rules
     "fingerprint_exact",  # null/empty text -> 0 on both sides
     "simhash_exact",  # null/whitespace-only text -> 0 on both sides
+    "minhash_exact",  # null text emits no signature rows on both sides
+    "lsh_buckets_exact",
 ]
 
 # The affine sketch tier keys on events.user_id/event_id — columns the

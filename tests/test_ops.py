@@ -2632,3 +2632,27 @@ def test_simhash_poly_near_dup_hamming(ray_session):
         pa.table({"doc_id": [0, 1, 2], "text": [None, "", " \t\n "]})
     )
     assert z["simhash"].to_numpy().tolist() == [0, 0, 0]
+
+
+def test_minhash_poly_signature_semantics(ray_session):
+    """The SQL-mirrorable MinHash keeps the estimator property: near-dup
+    docs agree on most permutation minima, unrelated docs on few; docs
+    under 3 tokens emit no rows (the oracle's len(ts) >= 3)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.stages.dedup import minhash_poly_batch
+
+    base = " ".join(f"w{i:03d}" for i in range(48))
+    near = base.replace("w020", "kappa", 1)
+    far = " ".join(f"x{i:03d}" for i in range(48))
+    t = minhash_poly_batch(
+        pa.table(
+            {"doc_id": [0, 1, 2, 3], "text": [base, near, far, "too short"]}
+        )
+    ).to_pandas()
+    assert set(t.doc_id) == {0, 1, 2}  # 2-token doc emits nothing
+    sig = t.pivot(index="doc_id", columns="perm", values="minhash")
+    agree = lambda a, b: int((sig.loc[a] == sig.loc[b]).sum())
+    assert agree(0, 1) > agree(0, 2)
+    assert agree(0, 1) >= 5  # one edit in 48 distinct words: J~0.88
