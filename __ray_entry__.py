@@ -3057,6 +3057,29 @@ def q_countmin_counts(sf_dir: str):
     return countmin_query(cm, vocab)
 
 
+def q_hll_registers_exact(sf_dir: str):
+    """HyperLogLog at the REGISTER level under a FULL oracle: with the
+    SQL-exact affine hash, register index = low 6 bits, rho =
+    trailing-zero count of the remaining 25 bits + 1 (bit_count((sub &
+    -sub) - 1) + 1 in DuckDB — trailing zeros have the same geometric
+    law as the classic leading zeros). Per-block maxima merge
+    elementwise, exactly like the production HLL; the oracle GROUP BY
+    max reproduces all 64 registers. The float estimate read-out stays
+    on the production tier (`hll_distinct`, pytest-bounded) — register
+    state is the mergeable object a 256-node run actually ships."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.sketch import build_hll_affine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    regs = build_hll_affine(ds, value="user_id", p_bits=6)
+    return pd.DataFrame(
+        {"register": np.arange(64, dtype=np.int64), "rho": regs}
+    )
+
+
 def q_countmin_exact(sf_dir: str):
     """The Count-Min ESTIMATE itself under a FULL oracle (not just
     exact-when-small): the affine tier hashes with
@@ -3999,6 +4022,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_exact": q_heavy_hitters_exact,
     "bloom_dedup": q_bloom_dedup,
+    "hll_registers_exact": q_hll_registers_exact,
     "countmin_exact": q_countmin_exact,
     "bloom_exact": q_bloom_exact,
     "kmv_exact_small": q_kmv_exact_small,
@@ -4389,6 +4413,20 @@ def oracle_sql() -> dict[str, str]:
         # p = 2^31-1 — constants mirrored from sketch._AFFINE_PARAMS;
         # the oracle reproduces the APPROXIMATE answer exactly
         # (collisions, over-counts, false positives included).
+        "hll_registers_exact": (
+            "WITH h AS (SELECT ((1000003 * ((1103515245 * "
+            "(user_id % 2147483647) + 12345) % 2147483647) + 12345) "
+            "% 2147483647) AS hv FROM events "
+            "WHERE user_id IS NOT NULL AND user_id >= 0), "
+            "rr AS (SELECT hv % 64 AS register, "
+            "CASE WHEN (hv >> 6) = 0 THEN 26 "
+            "ELSE bit_count(((hv >> 6) & -(hv >> 6)) - 1) + 1 END AS rho "
+            "FROM h), "
+            "regs AS (SELECT register, max(rho) AS rho FROM rr GROUP BY 1) "
+            "SELECT CAST(r.range AS BIGINT) AS register, "
+            "CAST(COALESCE(regs.rho, 0) AS BIGINT) AS rho "
+            "FROM range(0, 64) r LEFT JOIN regs ON regs.register = r.range"
+        ),
         "countmin_exact": (
             "WITH params(d, a, b) AS (VALUES (0, 1000003, 12345), "
             "(1, 999983, 54321), (2, 1000033, 98765)), "

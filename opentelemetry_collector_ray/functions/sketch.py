@@ -571,11 +571,17 @@ def affine_buckets(keys: np.ndarray, d: int, m: int) -> np.ndarray:
     many times even for x < 2¹⁶, so the per-row map is genuinely
     mixing. Exact int64 math throughout: G_a < 2³¹ and a_d < 2²⁰ keep
     every product under 2⁶² — DuckDB's BIGINT reproduces each step."""
+    return affine_hash(keys, d) % np.int64(m)
+
+
+def affine_hash(keys: np.ndarray, d: int) -> np.ndarray:
+    """Full 31-bit hash for row ``d`` (before the bucket modulus) —
+    the HLL register tier splits it into index and rho bits."""
     a, b = _AFFINE_PARAMS[d]
     p = np.int64(_AFFINE_P)
     k = np.asarray(keys, dtype=np.int64) % p
     g = (np.int64(_AFFINE_G[0]) * k + np.int64(_AFFINE_G[1])) % p
-    return ((np.int64(a) * g + np.int64(b)) % p) % np.int64(m)
+    return (np.int64(a) * g + np.int64(b)) % p
 
 
 def build_countmin_affine(
@@ -658,3 +664,51 @@ def bloom_contains_affine(
         pos = affine_buckets(items, d, m_bits)
         ok &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
     return ok
+
+
+def build_hll_affine(
+    ds: ray.data.Dataset, *, value: str, p_bits: int = 6
+) -> np.ndarray:
+    """HLL registers with the SQL-mirrorable hash: index = low p_bits
+    of the 31-bit affine hash, rho = trailing-zero count of the
+    remaining bits + 1 (all-zero remainder → full width + 1) —
+    trailing instead of the classic leading zeros, same geometric
+    distribution, and expressible as bit_count((sub & -sub) - 1) + 1
+    in DuckDB. Mergeable exactly like the production HLL: per-block
+    register maxima, elementwise max combine."""
+    m = 1 << p_bits
+    sub_bits = 31 - p_bits
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.int64)
+        vals = t[value].to_numpy(zero_copy_only=False)
+        vals = vals[pd.notna(vals)].astype(np.int64)
+        vals = vals[vals >= 0]
+        if len(vals):
+            h = affine_hash(vals, 0)
+            idx = h % np.int64(m)
+            sub = h >> np.int64(p_bits)
+            rho = np.where(
+                sub == 0,
+                sub_bits + 1,
+                _popcount64((sub & -sub) - 1) + 1,
+            )
+            np.maximum.at(regs, idx, rho)
+        return pa.table({"_hll": pa.array([regs.tobytes()], type=pa.binary())})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    merged = np.zeros(m, dtype=np.int64)
+    for blob in parts["_hll"]:
+        merged = np.maximum(merged, np.frombuffer(blob, dtype=np.int64))
+    return merged
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for non-negative int64 (numpy < 2 has no
+    bit_count ufunc): unpackbits over the little-endian byte view."""
+    x = np.ascontiguousarray(x, dtype=np.int64)
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+        axis=1
+    ).astype(np.int64)

@@ -128,7 +128,12 @@ QUERIES = [
 # derivation CONTRACT is non-null user_id; injecting nulls there makes
 # 20 transcript-tier queries fail loudly by design, see
 # sources/transcripts.py). These three get their own fixture below.
-UID_NULL_QUERIES = ["countmin_exact", "bloom_exact", "kmv_exact_small"]
+UID_NULL_QUERIES = [
+    "countmin_exact",
+    "bloom_exact",
+    "kmv_exact_small",
+    "hll_registers_exact",
+]
 
 
 @pytest.fixture(scope="module")

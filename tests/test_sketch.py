@@ -332,3 +332,36 @@ def test_bloom_affine_membership_contract():
             for d in range(3)
         )
         assert bool(got[x]) == want
+
+
+def test_hll_affine_registers_partition_invariant_and_meaningful():
+    """Register maxima are a mergeable object: any block layout and
+    any duplication give identical state, and a superset of keys can
+    only raise registers (exact laws — estimator QUALITY is the
+    production `hll_distinct` tier's job; the affine tier trades
+    hash-distribution quality for the SQL mirror)."""
+    from opentelemetry_collector_ray.functions.sketch import (
+        build_hll_affine,
+    )
+
+    keys = np.arange(150)
+    a = build_hll_affine(
+        ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(1),
+        value="k",
+        p_bits=6,
+    )
+    b = build_hll_affine(
+        ray.data.from_pandas(
+            pd.DataFrame({"k": np.concatenate([keys, keys[::2]])})
+        ).repartition(7),
+        value="k",
+        p_bits=6,
+    )
+    assert np.array_equal(a, b)  # layout + duplicate insensitive
+    sup = build_hll_affine(
+        ray.data.from_pandas(pd.DataFrame({"k": np.arange(1000)})),
+        value="k",
+        p_bits=6,
+    )
+    assert (sup >= a).all() and (sup > a).any()  # superset monotone
+    assert a.max() > 1 and (a > 0).sum() >= 32  # non-degenerate state
