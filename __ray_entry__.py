@@ -2412,6 +2412,24 @@ def q_dedup_clusters_exact(sf_dir: str):
     return connected_components(pairs, nodes)
 
 
+def q_near_dup_keep_exact(sf_dir: str):
+    """Keep-one-per-cluster under a FULL oracle: the min-id
+    representative rule applied to the exact-Jaccard components of
+    `dedup_clusters_exact` — kept docs are exactly those equal to
+    their component minimum, which the recursive-CTE closure filters
+    with one WHERE. Gates the final materialization rule;
+    `near_dup_keep` stays as the production MinHash composition."""
+    import pyarrow.compute as _pc
+
+    labels = q_dedup_clusters_exact(sf_dir)
+    return labels.map_batches(
+        lambda t: t.filter(
+            _pc.equal(t["doc_id"], t["cluster_rep"])
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_langid_pred(sf_dir: str):
     """Language-ID under a full oracle: the stopword-profile argmax
     (LangIdStage) minus the float confidence column — per-language
@@ -4158,6 +4176,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "minhash_exact": q_minhash_exact,
     "lsh_buckets_exact": q_lsh_buckets_exact,
     "langid": q_langid,
+    "near_dup_keep_exact": q_near_dup_keep_exact,
     "langid_pred": q_langid_pred,
     "fingerprint": q_fingerprint,
     "fingerprint_exact": q_fingerprint_exact,
@@ -4280,6 +4299,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) n "
             "LEFT JOIN reach r ON r.a = n.doc_id "
             "GROUP BY n.doc_id"
+        ),
+        # keep-one = labels where doc_id == component min (same CTE)
+        "near_dup_keep_exact": (
+            "WITH RECURSIVE d AS (SELECT doc_id, lang, "
+            "list_distinct(regexp_split_to_array(text, '\\s+')) AS words "
+            "FROM documents WHERE doc_id % 10 = 0), "
+            "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+            "WHERE cast(len(list_intersect(a.words, b.words)) AS double) / "
+            "cast(len(list_distinct(list_concat(a.words, b.words))) AS "
+            "double) >= 0.5), "
+            "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs), "
+            "reach(a, b) AS (SELECT a, b FROM edges "
+            "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+            "labels AS (SELECT n.doc_id, cast(coalesce(least(min(r.b), "
+            "n.doc_id), n.doc_id) AS bigint) AS cluster_rep "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) n "
+            "LEFT JOIN reach r ON r.a = n.doc_id GROUP BY n.doc_id) "
+            "SELECT doc_id FROM labels WHERE doc_id = cluster_rep"
         ),
         "trace_assemble_flat": o.PARSED_CTE
         + (

@@ -112,6 +112,7 @@ QUERIES = [
     # round-4 oracle promotions (null text/lang/action paths)
     "trace_assemble_flat",
     "dedup_clusters_exact",
+    "near_dup_keep_exact",
     "langid_pred",
     "telemetry_export",
     "jaccard_pairs",  # shares the null-key drop with dedup_clusters_exact
