@@ -3277,6 +3277,36 @@ def q_tdigest_exact_small(sf_dir: str):
     )
 
 
+def q_grouped_tdigest_exact_small(sf_dir: str):
+    """The GROUPED t-digest tier under the same exactness contract as
+    `tdigest_exact_small`: 5 nations per region ≪ δ=200 keeps every
+    per-group centroid a singleton, so each group's inverse-CDF
+    read-out is np.interp over mid-weight positions — mirrored
+    per-group in SQL (PARTITION BY region) with identical double op
+    order; milli-floored estimates are bit-identical.
+    `grouped_tdigest` keeps the genuinely approximate tier."""
+    import numpy as np
+    import ray.data
+
+    from opentelemetry_collector_ray.functions.sketch import (
+        grouped_tdigest_quantiles,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_regionkey", "n_nationkey"]
+    )
+    out = grouped_tdigest_quantiles(
+        ds,
+        group="n_regionkey",
+        value="n_nationkey",
+        qs=(0.25, 0.5, 0.9),
+        delta=200.0,
+    )
+    out["q"] = (out["q"] * 1000).round().astype(np.int64)
+    out["est_milli"] = np.floor(out["value_est"] * 1000).astype(np.int64)
+    return out[["n_regionkey", "q", "est_milli"]]
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-dup pairs (cos ≥ 0.4, id_a < id_b) —
     broadcast matrix, streamed batches, exact."""
@@ -4037,6 +4067,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "countmin_counts": q_countmin_counts,
     "tdigest_quantiles": q_tdigest_quantiles,
     "tdigest_exact_small": q_tdigest_exact_small,
+    "grouped_tdigest_exact_small": q_grouped_tdigest_exact_small,
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_exact": q_heavy_hitters_exact,
     "bloom_dedup": q_bloom_dedup,
@@ -4349,6 +4380,41 @@ def oracle_sql() -> dict[str, str]:
         ),
         # singleton-centroid t-digest == np.interp over mid-weight
         # positions; mirrored in the same double-arithmetic order
+        # the grouped tier: same singleton-centroid np.interp mirror,
+        # PARTITION BY region
+        "grouped_tdigest_exact_small": (
+            "WITH s AS (SELECT n_regionkey AS g, "
+            "cast(n_nationkey AS double) AS x, "
+            "row_number() OVER (PARTITION BY n_regionkey "
+            "ORDER BY n_nationkey) AS i, "
+            "cast(count(*) OVER (PARTITION BY n_regionkey) AS double) AS n "
+            "FROM nation), "
+            "qs(qm) AS (VALUES (250), (500), (900)), "
+            "b AS (SELECT g, n, qm, (qm / 1000.0) * n AS tgt "
+            "FROM (SELECT DISTINCT g, n FROM s) CROSS JOIN qs), "
+            "lo AS (SELECT b.g, b.qm, s.x AS xlo, s.i - 0.5 AS clo "
+            "FROM b JOIN s ON s.g = b.g AND s.i - 0.5 <= b.tgt "
+            "QUALIFY row_number() OVER (PARTITION BY b.g, b.qm "
+            "ORDER BY s.i DESC) = 1), "
+            "hi AS (SELECT b.g, b.qm, s.x AS xhi, s.i - 0.5 AS chi "
+            "FROM b JOIN s ON s.g = b.g AND s.i - 0.5 >= b.tgt "
+            "QUALIFY row_number() OVER (PARTITION BY b.g, b.qm "
+            "ORDER BY s.i ASC) = 1), "
+            "fx AS (SELECT g, x FROM s WHERE i = 1), "
+            "lx AS (SELECT g, x FROM s WHERE i = n), "
+            "est AS (SELECT b.g, b.qm, CASE "
+            "WHEN b.tgt <= 0.5 THEN fx.x "
+            "WHEN b.tgt >= b.n - 0.5 THEN lx.x "
+            "WHEN lo.clo = hi.chi THEN lo.xlo "
+            "ELSE lo.xlo + ((hi.xhi - lo.xlo) / (hi.chi - lo.clo)) "
+            "* (b.tgt - lo.clo) END AS v "
+            "FROM b LEFT JOIN lo ON lo.g = b.g AND lo.qm = b.qm "
+            "LEFT JOIN hi ON hi.g = b.g AND hi.qm = b.qm "
+            "LEFT JOIN fx ON fx.g = b.g LEFT JOIN lx ON lx.g = b.g) "
+            "SELECT cast(g AS bigint) AS n_regionkey, "
+            "cast(qm AS bigint) AS q, "
+            "cast(floor(v * 1000) AS bigint) AS est_milli FROM est"
+        ),
         "tdigest_exact_small": (
             "WITH s AS (SELECT cast(n_nationkey AS double) AS x, "
             "row_number() OVER (ORDER BY n_nationkey) AS i, "
