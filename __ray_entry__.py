@@ -2248,6 +2248,35 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(docs, budget=2048)
 
 
+def q_pack_sequences_exact(sf_dir: str):
+    """Greedy sequence packing under a FULL oracle: with shards=1 the
+    hash shard vanishes (h % 1 = 0) and packing is the plain greedy
+    walk in doc_id order — a linear recursive CTE reproduces the
+    (close-when-over-budget, oversized-doc-gets-own-pack) state
+    machine row for row; token counts are the same RE2 '\\S+' count on
+    both sides (null text → 0 tokens, still packed). `pack_sequences`
+    keeps the production 64-shard tier whose determinism/quality
+    bounds are pytest-pinned."""
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = pack_sequences(docs, budget=2048, shards=1)
+
+    def flat(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["doc_ids"] = df["doc_ids"].map(
+            lambda l: "|".join(str(int(x)) for x in l)
+        )
+        return df
+
+    return out.map_batches(flat, batch_format="pandas")
+
+
 def q_head_sample(sf_dir: str):
     """Head-based probabilistic sampling: stateless deterministic
     trace-id hash keep rule (1/10), no trace assembly needed."""
@@ -4169,6 +4198,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "chunks": q_chunks,
     "dup_spans": q_dup_spans,
     "pack_sequences": q_pack_sequences,
+    "pack_sequences_exact": q_pack_sequences_exact,
     "attributes_where": q_attributes_where,
     "repetition": q_repetition,
     "salted_counts": q_salted_counts,
@@ -4414,6 +4444,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cast(g AS bigint) AS n_regionkey, "
             "cast(qm AS bigint) AS q, "
             "cast(floor(v * 1000) AS bigint) AS est_milli FROM est"
+        ),
+        # greedy packing state machine as a linear recursive CTE
+        "pack_sequences_exact": (
+            "WITH RECURSIVE d AS (SELECT doc_id, "
+            "coalesce(len(regexp_extract_all(text, '\\S+')), 0) AS n, "
+            "row_number() OVER (ORDER BY doc_id) AS i FROM documents), "
+            "st(i, doc_id, n, seq, cum) AS ("
+            "SELECT i, doc_id, n, 0, n FROM d WHERE i = 1 "
+            "UNION ALL "
+            "SELECT d.i, d.doc_id, d.n, "
+            "CASE WHEN st.cum + d.n > 2048 THEN st.seq + 1 ELSE st.seq END, "
+            "CASE WHEN st.cum + d.n > 2048 THEN d.n ELSE st.cum + d.n END "
+            "FROM st JOIN d ON d.i = st.i + 1) "
+            "SELECT cast(seq AS bigint) AS pack_id, "
+            "cast(count(*) AS bigint) AS n_docs, "
+            "cast(sum(n) AS bigint) AS n_tokens, "
+            "string_agg(cast(doc_id AS varchar), '|' ORDER BY doc_id) "
+            "AS doc_ids FROM st GROUP BY seq"
         ),
         "tdigest_exact_small": (
             "WITH s AS (SELECT cast(n_nationkey AS double) AS x, "

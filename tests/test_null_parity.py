@@ -120,6 +120,7 @@ QUERIES = [
     "tail_sample_policies",  # null level/action/latency in policy rules
     "fingerprint_exact",  # null/empty text -> 0 on both sides
     "simhash_exact",  # null/whitespace-only text -> 0 on both sides
+    "pack_sequences_exact",  # null text -> 0 tokens, still packed
     "minhash_exact",  # null text emits no signature rows on both sides
     "lsh_buckets_exact",
 ]
