@@ -2277,6 +2277,49 @@ def q_pack_sequences_exact(sf_dir: str):
     return out.map_batches(flat, batch_format="pandas")
 
 
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich 2016): one corpus
+    word-count reduction, then deterministic merge rounds (max count,
+    lexicographic ties) over the unique-word table — hybrid driver /
+    distributed loop per stages/bpe.py. Rows-only: the iterative merge
+    recurrence has no SQL form; exactness is pinned by the naive-
+    reference parity and path-equality tests in test_bpe."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.bpe import bpe_train
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return bpe_train(docs, merges=32, min_count=2)
+
+
+def q_bpe_apply(sf_dir: str):
+    """Tokenize the corpus with the merges learned on it — the learned
+    ranks broadcast once (ray.put) and resolved per actor; per-doc
+    token counts out. Rows-only: pinned by the apply-reproduces-
+    training-segmentation contract test."""
+    import ray
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.bpe import (
+        BpeApplyStage,
+        bpe_train,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = bpe_train(docs, merges=32, min_count=2)
+    ref = ray.put(merges)
+    return docs.map_batches(
+        BpeApplyStage,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+    ).select_columns(["doc_id", "n_bpe_real"])
+
+
 def q_head_sample(sf_dir: str):
     """Head-based probabilistic sampling: stateless deterministic
     trace-id hash keep rule (1/10), no trace assembly needed."""
@@ -4198,6 +4241,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "chunks": q_chunks,
     "dup_spans": q_dup_spans,
     "pack_sequences": q_pack_sequences,
+    "bpe_train": q_bpe_train,
+    "bpe_apply": q_bpe_apply,
     "pack_sequences_exact": q_pack_sequences_exact,
     "attributes_where": q_attributes_where,
     "repetition": q_repetition,
