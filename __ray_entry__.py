@@ -2404,6 +2404,56 @@ def q_metrics_generation(sf_dir: str):
     return metrics_generation(_enriched(sf_dir), group="route")
 
 
+def q_metrics_transform(sf_dir: str):
+    """metricstransform processor (contrib): rename a metric, update a
+    label value, scale datapoints ×1000 (ms→µs, integer-exact), then
+    aggregate away the dropped labels — one stateless vectorized pass
+    + the standard combiner merge."""
+    import pyarrow.compute as pc
+
+    from opentelemetry_collector_ray.stages.signals import metrics_transform
+
+    def to_series(t: pa.Table) -> pa.Table:
+        name = pc.binary_join_element_wise(
+            "latency.", t["action"].combine_chunks()
+            if isinstance(t["action"], pa.ChunkedArray)
+            else t["action"],
+            "",
+        )
+        return pa.table(
+            {
+                "metric_name": name,
+                "service": t["service"],
+                "route": t["route"],
+                "value": t["latency_ms"],
+            }
+        )
+
+    series = _enriched(sf_dir).map_batches(to_series, batch_format="pyarrow")
+    out = metrics_transform(
+        series,
+        metric_col="metric_name",
+        value="value",
+        rename={"latency.error": "latency.fault"},
+        relabel={"service": {"web": "frontend"}},
+        scale=1000,
+        keep=("service",),
+    )
+
+    # float64 sum on BOTH sides: values are integral µs so the double
+    # is exact, and a NULL-sum group (all-null datapoints) lands as
+    # NaN/NULL with the same dtype in Ray and DuckDB (a BIGINT-with-
+    # NULL column degrades to float64 in pandas only on the oracle
+    # side — the null-parity gate caught the asymmetry).
+    def cast_sum(t: pa.Table) -> pa.Table:
+        idx = t.column_names.index("sum_value")
+        return t.set_column(
+            idx, "sum_value", pc.cast(t["sum_value"], pa.float64())
+        )
+
+    return out.map_batches(cast_sum, batch_format="pyarrow")
+
+
 def q_trace_assemble(sf_dir: str):
     """groupbytrace emit form: assembled per-trace span lists as nested
     Arrow list columns (rows-only — nested lists have no stable SQL
@@ -3984,6 +4034,31 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(docs, target=target)
 
 
+def q_dsir_exact(sf_dir: str):
+    """The DSIR pipeline shape under a FULL oracle (affine-tier idiom):
+    same two dense bucket-model reductions + broadcast score table +
+    gather/segment-sum as ``dsir_weights``, but with the SQL-mirrorable
+    Horner token hash and the unsmoothed integer bucket-count
+    difference as the score, so DuckDB reproduces every weight exactly
+    (the float log-ratio is why ``dsir_weights`` itself is rows-only).
+    Target = the 'en' slice, raw = all documents, 64 buckets."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import dsir_exact
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    target = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")).select(
+            ["doc_id", "text"]
+        ),
+        batch_format="pyarrow",
+    )
+    return dsir_exact(docs, target=target, buckets=64)
+
+
 def q_attributes_map(sf_dir: str):
     """Open-ended map-typed attributes (pcommon.Map parity,
     pdata/pcommon/map.go:76-160): build a map column from the JSON
@@ -4128,6 +4203,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "media_decode_real": q_media_decode_real,
     "boilerplate_lines": q_boilerplate_lines,
     "dsir_weights": q_dsir_weights,
+    "dsir_exact": q_dsir_exact,
     "attributes_map": q_attributes_map,
     "ottl_map_where": q_ottl_map_where,
     "sliding_window": q_sliding_window,
@@ -4234,6 +4310,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "service_graph": q_service_graph,
     "delta_rate": q_delta_rate,
     "metrics_generation": q_metrics_generation,
+    "metrics_transform": q_metrics_transform,
     "lm_score": q_lm_score,
     "perplexity_buckets": q_perplexity_buckets,
     "temperature_mix": q_temperature_mix,
@@ -4605,6 +4682,30 @@ def oracle_sql() -> dict[str, str]:
             "i -> cast(unicode(substr(text, cast(i AS int), 1)) AS bigint)), "
             "(a, b) -> (a * 257 + b) % 2147483647) END AS fingerprint "
             "FROM documents"
+        ),
+        # DSIR shape under a full oracle: Horner token hash % 64
+        # buckets, integer bucket-count-difference scoring (the float
+        # log-ratio keeps dsir_weights itself rows-only). diff joins on
+        # raw-corpus buckets only — every scored token is, by
+        # construction, in the raw model.
+        "dsir_exact": (
+            "WITH tok AS (SELECT doc_id, lang, "
+            "unnest(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '')) AS w FROM documents WHERE text IS NOT NULL), "
+            "h AS (SELECT doc_id, lang, (list_reduce("
+            "list_transform(range(1, length(w) + 1), "
+            "i -> cast(unicode(substr(w, cast(i AS int), 1)) AS bigint)), "
+            "(a, b) -> (a * 257 + b) % 2147483647)) % 64 AS bucket FROM tok), "
+            "ct AS (SELECT bucket, count(*) AS c FROM h WHERE lang = 'en' "
+            "GROUP BY 1), "
+            "cr AS (SELECT bucket, count(*) AS c FROM h GROUP BY 1), "
+            "diff AS (SELECT cr.bucket, COALESCE(ct.c, 0) - cr.c AS d "
+            "FROM cr LEFT JOIN ct ON ct.bucket = cr.bucket), "
+            "sc AS (SELECT h.doc_id, sum(diff.d) AS w, count(*) AS n "
+            "FROM h JOIN diff ON diff.bucket = h.bucket GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(sc.w, 0) AS BIGINT) AS dsir_weight_int, "
+            "CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_tokens "
+            "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"
         ),
         # Misra-Gries exact-when-k>=cardinality: plain counts, no error
         # Affine-hash sketch tier: h_d(x) = ((a_d*(x%p)+b_d)%p)%m with
@@ -5686,6 +5787,21 @@ def oracle_sql() -> dict[str, str]:
             "cast((sum(CASE WHEN coalesce(level, '') = 'ERROR' "
             "THEN 1 ELSE 0 END) * 1000000) // count(*) AS bigint) "
             "AS error_rate_ppm FROM enriched GROUP BY route"
+        ),
+        # metricstransform: rename + relabel + integer scale, then
+        # aggregate onto (metric_name, service). Null action -> null
+        # metric_name group kept on both sides; null latency skipped by
+        # the sum, counted by the count.
+        "metrics_transform": o.ENRICHED_CTE
+        + (
+            ", dp AS (SELECT CASE WHEN 'latency.' || action = "
+            "'latency.error' THEN 'latency.fault' "
+            "ELSE 'latency.' || action END AS metric_name, "
+            "CASE service WHEN 'web' THEN 'frontend' ELSE service END "
+            "AS service, latency_ms * 1000 AS value FROM enriched) "
+            "SELECT metric_name, service, count(*) AS n_points, "
+            "CAST(sum(value) AS DOUBLE) AS sum_value "
+            "FROM dp GROUP BY 1, 2"
         ),
         "repetition": (
             "WITH t AS (SELECT doc_id, "

@@ -602,6 +602,73 @@ def metrics_generation(
     return merged.map_batches(generate, batch_format="pyarrow")
 
 
+def metrics_transform(
+    series: ray.data.Dataset,
+    *,
+    metric_col: str = "metric_name",
+    value: str = "value",
+    rename: dict[str, str] | None = None,
+    relabel: dict[str, dict[str, str]] | None = None,
+    scale: int = 1,
+    keep: tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """The contrib metricstransformprocessor: rename metrics
+    (include→new_name mapping), update label VALUES per label key,
+    scale datapoint values by a constant, then aggregate away every
+    label not in ``keep`` (aggregation_type: sum, with the point count
+    kept alongside — the merge any downstream mean needs).
+
+    Shape: ONE stateless vectorized pass does all three value edits
+    (each mapping is a tiny ``pc.index_in`` + ``take`` + ``coalesce``
+    dictionary probe — no per-row Python, the mapping rides inside the
+    fused task), then the standard combiner merge (per-batch Arrow
+    partials → one tiny uniform groupby on (metric, kept labels));
+    the wide corpus is never shuffled. ``scale`` is integer so the
+    transformed values stay int64-exact in both engines (the contrib
+    processor's experimental_scale on int datapoints). Unmapped names
+    and null labels pass through unchanged (a null never matches a
+    mapping key); null values stay null — skipped by the sum, counted
+    by the count (SQL semantics via grouped_stats)."""
+    from ..functions.agg import grouped_stats
+
+    rename = rename or {}
+    relabel = relabel or {}
+
+    def _replace(col, mapping: dict[str, str]):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        olds = pa.array(list(mapping), type=pa.string())
+        news = pa.array(list(mapping.values()), type=pa.string())
+        idx = pc.index_in(col, olds)
+        return pc.coalesce(pc.take(news, idx), col)
+
+    keys = [metric_col, *keep]
+
+    def xform(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        if rename:
+            cols[metric_col] = _replace(t[metric_col], rename)
+        for lbl, mapping in relabel.items():
+            if lbl in cols and mapping:
+                cols[lbl] = _replace(cols[lbl], mapping)
+        v = t[value]
+        if scale != 1:
+            v = pc.multiply_checked(
+                pc.cast(v, pa.int64()), pa.scalar(scale, pa.int64())
+            )
+        cols[value] = v
+        return pa.table(cols)
+
+    transformed = series.map_batches(xform, batch_format="pyarrow")
+    return grouped_stats(
+        transformed,
+        keys,
+        value,
+        count_alias="n_points",
+        sum_alias="sum_value",
+    )
+
+
 def trace_assemble(spans: ray.data.Dataset) -> ray.data.Dataset:
     """groupbytrace's EMIT form: one row per trace carrying the
     assembled span list as nested Arrow columns — span_idxs

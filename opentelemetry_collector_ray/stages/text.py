@@ -1504,3 +1504,115 @@ def dsir_weights(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+_DSIR_MOD = 2147483647  # 2^31-1, the fingerprint/minhash Horner modulus
+
+
+def _horner_token_buckets(text_col, buckets: int):
+    """Tokenize a string column on whitespace (empty boundary tokens
+    dropped, matching ``list_filter(string_split_regex(text,'\\s+'),
+    x -> x <> '')``) and hash each token with the Horner recurrence
+    acc←(acc·257+byte) mod 2³¹−1, then % ``buckets``. Fully vectorized:
+    bytes come straight from the flat Arrow buffer, and the Horner loop
+    runs once per token CHARACTER POSITION (max token length ~ tens),
+    not per token. Code points equal bytes on the ASCII corpus — the
+    same documented caveat as ``fingerprint_exact``. Returns
+    (bucket per token, parent doc index per token)."""
+    toks = pc.utf8_split_whitespace(pc.fill_null(text_col, ""))
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(nonempty)
+    parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    odt = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+    off = np.frombuffer(
+        flat.buffers()[1],
+        dtype=odt,
+        count=len(flat) + 1,
+        offset=flat.offset * np.dtype(odt).itemsize,
+    ).astype(np.int64)
+    data_buf = flat.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    lens = off[1:] - off[:-1]
+    starts = off[:-1]
+    acc = np.zeros(len(flat), dtype=np.int64)
+    for j in range(int(lens.max()) if len(lens) else 0):
+        m = lens > j
+        acc[m] = (acc[m] * 257 + data[starts[m] + j]) % _DSIR_MOD
+    return acc % buckets, parents
+
+
+def dsir_exact(
+    docs: "ray.data.Dataset",
+    *,
+    target: "ray.data.Dataset",
+    col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> "ray.data.Dataset":
+    """The DSIR pipeline SHAPE under a full SQL oracle (the affine-tier
+    idiom: same distributed machinery, integer surrogate scoring).
+    Identical to :func:`dsir_weights` — two dense per-bucket model
+    reductions (never a vocabulary shuffle), score table broadcast
+    once, vectorized gather + segment-sum per batch — but with (a) the
+    SQL-mirrorable Horner token hash instead of ``pd.util.hash_array``
+    and (b) the unsmoothed INTEGER bucket-count difference
+
+        weight_int(doc) = Σ_tokens ( count_target[h] − count_raw[h] )
+
+    instead of the smoothed float log-ratio mean, so every value is an
+    exact int64 and DuckDB reproduces the result bit-for-bit (log-prob
+    floats are why ``dsir_weights`` itself stays rows-only). Ranking
+    behaviour is the same family: target-heavy buckets score positive.
+    """
+    import ray as _ray
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h, _ = _horner_token_buckets(text, buckets)
+        return pa.table(
+            {"counts": pa.array([np.bincount(h, minlength=buckets)])}
+        )
+
+    def model(ds) -> np.ndarray:
+        parts = ds.map_batches(
+            count_partial, batch_format="pyarrow"
+        ).to_pandas()["counts"]
+        total = np.zeros(buckets, dtype=np.int64)
+        for p in parts:
+            total += np.asarray(p, dtype=np.int64)
+        return total
+
+    diff = model(target) - model(docs)
+    dref = _ray.put(diff)
+
+    def score(t: pa.Table) -> pa.Table:
+        d = _ray.get(dref)
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h, parents = _horner_token_buckets(text, buckets)
+        n = len(t)
+        sums = np.zeros(n, dtype=np.int64)
+        counts = np.zeros(n, dtype=np.int64)
+        if len(h):
+            np.add.at(sums, parents, d[h])
+            counts = np.bincount(parents, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "dsir_weight_int": pa.array(sums, type=pa.int64()),
+                "n_tokens": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -123,6 +123,8 @@ QUERIES = [
     "pack_sequences_exact",  # null text -> 0 tokens, still packed
     "minhash_exact",  # null text emits no signature rows on both sides
     "lsh_buckets_exact",
+    "dsir_exact",  # null text -> 0 tokens/weight; null lang out of target
+    "metrics_transform",  # null action -> null metric group; null value sum
 ]
 
 # The affine sketch tier keys on events.user_id/event_id — columns the

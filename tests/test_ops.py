@@ -2199,6 +2199,64 @@ def test_cross_doc_line_dedup_partition_invariance():
     assert out2["n_boilerplate_lines"].sum() == 0
 
 
+def test_dsir_exact_horner_buckets_and_edges():
+    """The oracle twin's token hasher: Horner recurrence parity with a
+    reference per-byte loop, empty/whitespace/null text yields zero
+    tokens, and weights are target-positive on target-like docs."""
+    import pyarrow as _pa
+
+    from opentelemetry_collector_ray.stages.text import (
+        _DSIR_MOD,
+        _horner_token_buckets,
+        dsir_exact,
+    )
+
+    col = _pa.array(["  alpha  beta ", "", None, "x"])
+    buckets, parents = _horner_token_buckets(col, 64)
+
+    def ref(tok):
+        acc = 0
+        for b in tok.encode():
+            acc = (acc * 257 + b) % _DSIR_MOD
+        return acc % 64
+
+    assert parents.tolist() == [0, 0, 3]
+    assert buckets.tolist() == [ref("alpha"), ref("beta"), ref("x")]
+
+    target = _pa.table(
+        {"doc_id": [100], "text": ["alpha beta alpha beta"]}
+    )
+    raw = _pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["alpha beta", "xyzzy qwerty"],
+        }
+    )
+    out = (
+        dsir_exact(
+            ray.data.from_arrow(raw).repartition(2),
+            target=ray.data.from_arrow(target),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # weights are exact integers: Σ tokens (ct[bucket] - cr[bucket]),
+    # expectation computed over the same bucketing (collision-safe)
+    ct, cr = {}, {}
+    for tok in "alpha beta alpha beta".split():
+        ct[ref(tok)] = ct.get(ref(tok), 0) + 1
+    for tok in "alpha beta xyzzy qwerty".split():
+        cr[ref(tok)] = cr.get(ref(tok), 0) + 1
+    exp = [
+        sum(ct.get(ref(t), 0) - cr.get(ref(t), 0) for t in doc.split())
+        for doc in ("alpha beta", "xyzzy qwerty")
+    ]
+    assert out["dsir_weight_int"].tolist() == exp
+    assert exp[0] > exp[1]
+    assert out["n_tokens"].tolist() == [2, 2]
+
+
 def test_dsir_weights_ranking_and_invariance():
     """DSIR importance weights: target-like docs outrank dissimilar
     ones, and weights are independent of partitioning (per-doc exact

@@ -245,6 +245,42 @@ def test_metrics_generation_error_ratio_ppm():
     assert out["error_rate_ppm"].tolist() == [333333, 0]
 
 
+def test_metrics_transform_rename_relabel_scale_aggregate():
+    from opentelemetry_collector_ray.stages.signals import metrics_transform
+
+    df = pd.DataFrame(
+        {
+            "metric_name": ["m.a", "m.a", "m.b", None, "m.a"],
+            "service": ["web", "infra", "web", "web", None],
+            "value": [1, 2, 3, 4, None],
+        }
+    )
+    out = (
+        metrics_transform(
+            ray.data.from_pandas(df).repartition(3),
+            rename={"m.a": "m.renamed"},
+            relabel={"service": {"web": "frontend"}},
+            scale=10,
+            keep=("service",),
+        )
+        .to_pandas()
+        .sort_values(["metric_name", "service"], na_position="last")
+        .reset_index(drop=True)
+    )
+    # unmapped m.b passes through; null metric/label/value survive;
+    # scale is integer-exact; the null value is counted but not summed
+    rows = {
+        (r.metric_name, r.service): (r.n_points, r.sum_value)
+        for r in out.itertuples()
+    }
+    assert rows[("m.renamed", "frontend")] == (1, 10)
+    assert rows[("m.renamed", "infra")] == (1, 20)
+    assert rows[("m.b", "frontend")] == (1, 30)
+    assert rows[(None, "frontend")] == (1, 40)
+    k = ("m.renamed", None)
+    assert rows[k][0] == 1 and pd.isna(rows[k][1])
+
+
 def test_histogram_exemplars_argmax_merge():
     import pandas as pd
 
