@@ -4059,6 +4059,22 @@ def q_dsir_exact(sf_dir: str):
     return dsir_exact(docs, target=target, buckets=64)
 
 
+def q_lm_hits_exact(sf_dir: str):
+    """The unigram-LM scoring machinery under a FULL oracle: top-256
+    vocab model (combiner reduction + blockwise partial top-k,
+    deterministic count-desc/token-asc ties), broadcast once, integer
+    hit-count scoring per document (OOV → 0) — the float log-prob mean
+    is why ``lm_score`` itself stays rows-only."""
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.text import lm_hits_exact
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return lm_hits_exact(docs, top=256)
+
+
 def q_attributes_map(sf_dir: str):
     """Open-ended map-typed attributes (pcommon.Map parity,
     pdata/pcommon/map.go:76-160): build a map column from the JSON
@@ -4204,6 +4220,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "boilerplate_lines": q_boilerplate_lines,
     "dsir_weights": q_dsir_weights,
     "dsir_exact": q_dsir_exact,
+    "lm_hits_exact": q_lm_hits_exact,
     "attributes_map": q_attributes_map,
     "ottl_map_where": q_ottl_map_where,
     "sliding_window": q_sliding_window,
@@ -4705,6 +4722,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM h JOIN diff ON diff.bucket = h.bucket GROUP BY 1) "
             "SELECT d.doc_id, CAST(COALESCE(sc.w, 0) AS BIGINT) AS dsir_weight_int, "
             "CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_tokens "
+            "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"
+        ),
+        # Unigram-LM machinery under a full oracle: top-256 vocab by
+        # (count desc, token asc), integer hit-count scoring, OOV -> 0.
+        "lm_hits_exact": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '')) AS w FROM documents WHERE text IS NOT NULL), "
+            "vocab AS (SELECT w, count(*) AS n FROM tok GROUP BY 1 "
+            "ORDER BY n DESC, w ASC LIMIT 256), "
+            "sc AS (SELECT t.doc_id, "
+            "sum(COALESCE(v.n, 0)) AS hits, "
+            "sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS oov "
+            "FROM tok t LEFT JOIN vocab v ON v.w = t.w GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(sc.hits, 0) AS BIGINT) AS lm_hits, "
+            "CAST(COALESCE(sc.oov, 0) AS BIGINT) AS n_oov "
             "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"
         ),
         # Misra-Gries exact-when-k>=cardinality: plain counts, no error

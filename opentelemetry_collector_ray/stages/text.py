@@ -1509,6 +1509,23 @@ def dsir_weights(
 _DSIR_MOD = 2147483647  # 2^31-1, the fingerprint/minhash Horner modulus
 
 
+def _ws_tokens(text_col):
+    """Whitespace tokens of a string column with empty boundary tokens
+    dropped — exactly ``list_filter(string_split_regex(text, '\\s+'),
+    x -> x <> '')`` in DuckDB (Arrow's split DOES emit empties at
+    leading/trailing whitespace; SQL's regex split does not). Returns
+    (flat non-empty token array, parent row index per token)."""
+    toks = pc.utf8_split_whitespace(pc.fill_null(text_col, ""))
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(nonempty)
+    parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, parents
+
+
 def _horner_token_buckets(text_col, buckets: int):
     """Tokenize a string column on whitespace (empty boundary tokens
     dropped, matching ``list_filter(string_split_regex(text,'\\s+'),
@@ -1519,14 +1536,7 @@ def _horner_token_buckets(text_col, buckets: int):
     not per token. Code points equal bytes on the ASCII corpus — the
     same documented caveat as ``fingerprint_exact``. Returns
     (bucket per token, parent doc index per token)."""
-    toks = pc.utf8_split_whitespace(pc.fill_null(text_col, ""))
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    nonempty = pc.greater(pc.utf8_length(flat), 0)
-    flat = flat.filter(nonempty)
-    parents = parents[nonempty.to_numpy(zero_copy_only=False)]
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
+    flat, parents = _ws_tokens(text_col)
     odt = np.int64 if pa.types.is_large_string(flat.type) else np.int32
     off = np.frombuffer(
         flat.buffers()[1],
@@ -1612,6 +1622,97 @@ def dsir_exact(
                 id_col: t[id_col],
                 "dsir_weight_int": pa.array(sums, type=pa.int64()),
                 "n_tokens": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def lm_hits_exact(
+    docs: "ray.data.Dataset",
+    *,
+    col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 256,
+) -> "ray.data.Dataset":
+    """The unigram-LM scoring machinery under a full SQL oracle (the
+    affine-tier idiom, see :func:`dsir_exact`). Same shape as
+    :func:`build_unigram_lm` + ``LMScoreStage`` — combiner token-count
+    reduction, deterministic blockwise partial top-k with a tiny driver
+    merge, model broadcast once via ``ray.put``, per-batch flat token
+    map + integer segment sums — but the score is the raw model COUNT
+    sum (OOV tokens contribute 0) instead of the float mean
+    log-probability, so DuckDB reproduces every value exactly:
+
+        lm_hits(doc) = Σ_tokens vocab_n[token]   (0 if out-of-vocab)
+        n_oov(doc)   = #tokens not in the top-``top`` vocabulary
+
+    Ties at the top-k boundary break on (count desc, token asc) — the
+    same rule as ``build_unigram_lm`` and ``ORDER BY n DESC, w LIMIT
+    k`` in the oracle. ``top`` defaults small (256) so the truncation
+    and OOV paths are genuinely exercised at test scales."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _ws_tokens(t[col])
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "_pc": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts_ds = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("_pc", alias_name="n"))
+    )
+
+    def block_top(t: pa.Table) -> pa.Table:
+        if len(t) <= top:
+            return t
+        df = t.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(df.head(top), preserve_index=False)
+
+    vocab = (
+        counts_ds.map_batches(block_top, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(top)
+    )
+    lookup = _pd.Series(
+        vocab["n"].to_numpy(dtype=np.int64),
+        index=vocab["token"].to_numpy(dtype=object),
+    )
+    lref = _ray.put(lookup)
+
+    def score(t: pa.Table) -> pa.Table:
+        lk = _ray.get(lref)
+        flat, parents = _ws_tokens(t[col])
+        n = len(t)
+        hits = np.zeros(n, dtype=np.int64)
+        oovs = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            mapped = (
+                _pd.Series(flat.to_numpy(zero_copy_only=False))
+                .map(lk)
+                .to_numpy(dtype=np.float64, na_value=np.nan)
+            )
+            oov_mask = np.isnan(mapped)
+            # vocab counts < 2^53, so the float round-trip is lossless
+            np.add.at(
+                hits, parents, np.nan_to_num(mapped).astype(np.int64)
+            )
+            np.add.at(oovs, parents, oov_mask.astype(np.int64))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "lm_hits": pa.array(hits, type=pa.int64()),
+                "n_oov": pa.array(oovs, type=pa.int64()),
             }
         )
 

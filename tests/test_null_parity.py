@@ -125,6 +125,7 @@ QUERIES = [
     "lsh_buckets_exact",
     "dsir_exact",  # null text -> 0 tokens/weight; null lang out of target
     "metrics_transform",  # null action -> null metric group; null value sum
+    "lm_hits_exact",  # null text -> 0 hits / 0 oov on both sides
 ]
 
 # The affine sketch tier keys on events.user_id/event_id — columns the

@@ -2257,6 +2257,40 @@ def test_dsir_exact_horner_buckets_and_edges():
     assert out["n_tokens"].tolist() == [2, 2]
 
 
+def test_lm_hits_exact_truncation_and_oov():
+    """top-k vocab truncation with deterministic ties, OOV→0 scoring,
+    and the null/empty-text zero path."""
+    import pyarrow as _pa
+
+    from opentelemetry_collector_ray.stages.text import lm_hits_exact
+
+    # counts: aa=3, bb=2, cc=2, dd=1 → top=2 keeps aa and bb
+    # (cc ties bb on count, loses on token asc)
+    docs = _pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "aa bb cc aa",
+                "aa bb cc dd",
+                None,
+                "",
+            ],
+        }
+    )
+    out = (
+        lm_hits_exact(
+            ray.data.from_arrow(docs).repartition(2), top=2
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1: aa(3) + bb(2) + cc(OOV 0) + aa(3) = 8, 1 oov
+    # doc 2: aa(3) + bb(2) + cc(0) + dd(0) = 5, 2 oov
+    assert out["lm_hits"].tolist() == [8, 5, 0, 0]
+    assert out["n_oov"].tolist() == [1, 2, 0, 0]
+
+
 def test_dsir_weights_ranking_and_invariance():
     """DSIR importance weights: target-like docs outrank dissimilar
     ones, and weights are independent of partitioning (per-doc exact
