@@ -637,6 +637,11 @@ def metrics_transform(
     def _replace(col, mapping: dict[str, str]):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        # an ALL-null block degrades the column to Arrow's null TYPE
+        # (the CLAUDE.md quirk); index_in then throws ArrowTypeError —
+        # and a null never matches a mapping key anyway
+        if pa.types.is_null(col.type):
+            return pc.cast(col, pa.string())
         olds = pa.array(list(mapping), type=pa.string())
         news = pa.array(list(mapping.values()), type=pa.string())
         idx = pc.index_in(col, olds)

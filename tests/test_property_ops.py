@@ -221,3 +221,108 @@ def test_budget_select_prefix_property(weights, budget, nparts):
             want.add(int(df["doc_id"].iloc[i]))
         run += int(df["n_chars"].iloc[i])
     assert got == want
+
+
+TOKTEXT = st.one_of(
+    st.none(),
+    st.from_regex(r"[ a-zA-Z0-9.,;!?-]{0,60}", fullmatch=True),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(TOKTEXT, min_size=1, max_size=30), st.sampled_from([7, 64]))
+def test_horner_token_buckets_matches_reference(text_list, buckets):
+    """The exact-twin token hasher (vectorized over character
+    positions, bytes straight off the Arrow buffer) equals a pure
+    per-byte Python loop for any ASCII text, null/empty included —
+    and is insensitive to a sliced (offset != 0) input array."""
+    from opentelemetry_collector_ray.stages.text import (
+        _DSIR_MOD,
+        _horner_token_buckets,
+    )
+
+    def ref(tok):
+        acc = 0
+        for b in tok.encode():
+            acc = (acc * 257 + b) % _DSIR_MOD
+        return acc % buckets
+
+    exp_buckets, exp_parents = [], []
+    for i, s in enumerate(text_list):
+        for w in (s or "").split():
+            exp_buckets.append(ref(w))
+            exp_parents.append(i)
+
+    col = pa.array(text_list, type=pa.string())
+    got_b, got_p = _horner_token_buckets(col, buckets)
+    assert got_b.tolist() == exp_buckets
+    assert got_p.tolist() == exp_parents
+
+    # sliced input: drop the first row, parents shift by one
+    if len(text_list) > 1:
+        got_b2, got_p2 = _horner_token_buckets(col.slice(1), buckets)
+        exp2 = [
+            (b, p - 1) for b, p in zip(exp_buckets, exp_parents) if p >= 1
+        ]
+        assert list(zip(got_b2.tolist(), got_p2.tolist())) == exp2
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["m.a", "m.b", None]),
+            st.sampled_from(["web", "infra", None]),
+            st.one_of(st.none(), st.integers(0, 1000)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 4),
+)
+def test_metrics_transform_matches_pandas_reference(rows, nparts):
+    """metricstransform == a pandas reference (rename → relabel →
+    scale → groupby sum/count with null keys kept) for any mix of
+    null metric names, null labels and null values, at any
+    partitioning."""
+    import pandas as pd
+
+    from opentelemetry_collector_ray.stages.signals import metrics_transform
+
+    df = pd.DataFrame(rows, columns=["metric_name", "service", "value"])
+    df["value"] = df["value"].astype("Int64")
+    got = (
+        metrics_transform(
+            ray.data.from_pandas(df).repartition(nparts),
+            rename={"m.a": "m.r"},
+            relabel={"service": {"web": "fe"}},
+            scale=3,
+            keep=("service",),
+        )
+        .to_pandas()
+    )
+    ref = df.copy()
+    ref["metric_name"] = ref["metric_name"].replace({"m.a": "m.r"})
+    ref["service"] = ref["service"].replace({"web": "fe"})
+    ref["value"] = ref["value"] * 3
+    grp = ref.groupby(["metric_name", "service"], dropna=False)["value"]
+    want = (
+        grp.agg([("n_points", "size"), ("sum_value", "sum")])
+        .reset_index()
+    )
+    # pandas sums an all-null group to 0; SQL (and the engine) keep NULL
+    nullsum = grp.apply(lambda s: s.notna().sum() == 0)
+    want.loc[nullsum.to_numpy(), "sum_value"] = pd.NA
+
+    def canon(d):
+        d = d.copy()
+        for c in d.columns:
+            d[c] = d[c].map(lambda x: "~" if pd.isna(x) else repr(int(x) if isinstance(x, (int, np.integer, float)) and not isinstance(x, bool) else x))
+        return (
+            d[sorted(d.columns)]
+            .sort_values(sorted(d.columns), kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    a, b = canon(got), canon(want)
+    assert a.equals(b), f"\n{a}\nvs\n{b}"
