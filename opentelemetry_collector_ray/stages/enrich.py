@@ -25,6 +25,11 @@ def _dict_lookup(
     default: str | None = None,
 ) -> pa.Array:
     """Vectorized dict join: values not in ``mapping`` map to ``default``."""
+    # an ALL-null block degrades the column to Arrow's null TYPE and
+    # index_in throws ArrowTypeError (CLAUDE.md quirk) — nulls map to
+    # default like any other non-key value
+    if pa.types.is_null(col.type):
+        return pa.array([default] * len(col), type=pa.string())
     keys = pa.array(list(mapping.keys()), type=pa.string())
     vals = list(mapping.values())
     if default is not None:

@@ -980,6 +980,12 @@ def severity_number_batch(
     c = batch[col]
     if isinstance(c, pa.ChunkedArray):
         c = c.combine_chunks()
+    # null-TYPED column (all-null block): index_in throws; unknown/null
+    # severity is 0 = UNSPECIFIED, same as the per-value null path
+    if pa.types.is_null(c.type):
+        return batch.append_column(
+            out, pa.array(np.zeros(len(c), dtype=np.int64))
+        )
     keys = pa.array(list(SEVERITY_NUMBER), pa.string())
     vals = pa.array(list(SEVERITY_NUMBER.values()) + [0], pa.int64())
     idx = pc.fill_null(pc.index_in(c, keys), len(SEVERITY_NUMBER))

@@ -89,3 +89,30 @@ def test_route_fanout():
     # per-turn text equality through the fanout (no mutation in flight)
     base = x.filter(pc.not_equal(x["sink"], "errors"))
     assert base.num_rows == e.num_rows
+
+
+def test_null_typed_block_dictionary_probes():
+    """An all-null block degrades its column to Arrow's null TYPE;
+    every index_in dictionary probe must pass it through instead of
+    throwing ArrowTypeError (found by the metrics_transform property
+    test; enrich and severity share the idiom)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.stages.enrich import enrich_batch
+    from opentelemetry_collector_ray.stages.signals import (
+        severity_number_batch,
+    )
+
+    t = pa.table(
+        {
+            "tool": pa.array([None, None], type=pa.null()),
+            "role": pa.array([None, None], type=pa.null()),
+            "level": pa.array([None, None], type=pa.null()),
+        }
+    )
+    e = enrich_batch(t)
+    assert e["service"].to_pylist() == ["unknown", "unknown"]
+    assert e["route"].to_pylist() == ["ingest", "ingest"]
+    s = severity_number_batch(t)
+    assert s["severity_number"].to_pylist() == [0, 0]
