@@ -637,22 +637,22 @@ def q_lsh_buckets_exact(sf_dir: str):
     )
 
     def buckets(t: pa.Table) -> pa.Table:
-        # minhash_poly_batch emits each doc's 8 perm rows contiguously
-        # WITHIN this same batch, so banding here never splits a doc
+        # minhash_poly_batch emits PERM-MAJOR blocks (all docs for perm
+        # 0, then perm 1, ...), each block in the same doc order — so
+        # mh[perm == i] slices align row-for-row across perms, and a
+        # doc's whole signature stays inside this one batch
         long = minhash_poly_batch(t)
         mh = long["minhash"].to_numpy(zero_copy_only=False)
-        doc = long["doc_id"].to_numpy(zero_copy_only=False)
         perm = long["perm"].to_numpy(zero_copy_only=False)
         nb = len(_MH_POLY_PERMS) // 2
-        wide_doc = doc[perm == 0]
+        n_docs_sig = int((perm == 0).sum())
         cols = [mh[perm == i] for i in range(len(_MH_POLY_PERMS))]
-        out_doc, out_band, out_bucket = [], [], []
+        out_band, out_bucket = [], []
         for b in range(nb):
             bucket = (cols[2 * b] * _MH_POLY_B + cols[2 * b + 1]) % (
                 _SIMHASH_POLY_P
             )
-            out_doc.append(wide_doc)
-            out_band.append(np.full(len(wide_doc), b, dtype=np.int64))
+            out_band.append(np.full(n_docs_sig, b, dtype=np.int64))
             out_bucket.append(bucket)
         return pa.table(
             {

@@ -32,8 +32,9 @@ engine adds beyond collector parity.
 
 ``bpe_apply`` is the inference side: the learned merge ranks broadcast
 once via ``ray.put`` and resolved per actor, applied word-by-word with
-the standard lowest-rank-first loop, memoized per unique word within
-each batch (corpora repeat words heavily).
+the standard lowest-rank-first loop, memoized per unique word for the
+actor's lifetime under a hard cap (corpora repeat words heavily; the
+cap keeps the unbounded vocabulary tail out of the actor heap).
 """
 
 from __future__ import annotations
@@ -256,8 +257,18 @@ def bpe_train(
 class BpeApplyStage:
     """Tokenize text with a learned merge table (actor pool: the merge
     ranks resolve from the object store ONCE in __init__). Standard
-    lowest-rank-first application per word, memoized per unique word —
-    appends ``n_bpe_real`` (token count) and ``bpe_tokens`` (list)."""
+    lowest-rank-first application per word, memoized per unique word
+    across the actor's lifetime with a hard cap (``MEMO_CAP``) so the
+    long tail of a web-scale vocabulary cannot grow the actor heap
+    unboundedly — appends ``n_bpe_real`` (token count) and
+    ``bpe_tokens`` (list)."""
+
+    # memo entries are (word → token list); a web-scale corpus has an
+    # unbounded long tail of unique words, so the cache is CAPPED per
+    # actor — when full it stops admitting, keeping the hot head (Zipf:
+    # the first ~1M distinct words cover almost all tokens) without
+    # growing for the actor's whole pool lifetime
+    MEMO_CAP = 1_000_000
 
     def __init__(self, merges_ref):
         table = (
@@ -285,7 +296,8 @@ class BpeApplyStage:
             if best is None:
                 break
             s = _merge_word(s, s[bi], s[bi + 1])
-        self._memo[word] = s
+        if len(self._memo) < self.MEMO_CAP:
+            self._memo[word] = s
         return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:

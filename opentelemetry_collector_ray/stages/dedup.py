@@ -656,17 +656,21 @@ def minhash_poly_batch(
                 acc = (acc * _MH_POLY_B + wh[j : m + j]) % p
             valid = doc_idx[:m] == doc_idx[n - 1 : n - 1 + m]
             sh, d = acc[valid], doc_idx[:m][valid]
-            # d is sorted; per-doc segment starts for reduceat
-            starts = np.nonzero(
-                np.concatenate([[True], d[1:] != d[:-1]])
-            )[0]
-            docs = d[starts]
-            for pi, (a, b) in enumerate(_MH_POLY_PERMS):
-                ph = (np.int64(a) * sh + np.int64(b)) % p
-                mins = np.minimum.reduceat(ph, starts)
-                out_doc.append(ids[docs])
-                out_perm.append(np.full(len(docs), pi, dtype=np.int64))
-                out_min.append(mins)
+            # d may be EMPTY even when m > 0: every doc under n tokens
+            # but batch total >= n (all cross-doc windows invalid) —
+            # starts would be [0] and d[starts] would IndexError
+            if len(d):
+                # d is sorted; per-doc segment starts for reduceat
+                starts = np.nonzero(
+                    np.concatenate([[True], d[1:] != d[:-1]])
+                )[0]
+                docs = d[starts]
+                for pi, (a, b) in enumerate(_MH_POLY_PERMS):
+                    ph = (np.int64(a) * sh + np.int64(b)) % p
+                    mins = np.minimum.reduceat(ph, starts)
+                    out_doc.append(ids[docs])
+                    out_perm.append(np.full(len(docs), pi, dtype=np.int64))
+                    out_min.append(mins)
     if not out_doc:
         return pa.table(
             {

@@ -218,16 +218,23 @@ def tail_sample_policies(
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         grp = g.groupby("trace_id", sort=False)
+        # vectorized per-trace counts (.eq → grouped sum), never a
+        # Python lambda per trace — same idiom as tail_sample
+        keys = g["trace_id"]
         agg = pd.DataFrame(
             {
                 "n_spans": grp["turn_idx"].size(),
-                "errs": grp["level"]
-                .apply(lambda s: int(s.eq("ERROR").sum()))
-                .astype(np.int64),
+                "errs": g["level"]
+                .eq("ERROR")
+                .astype(np.int64)
+                .groupby(keys, sort=False)
+                .sum(),
                 "max_lat": grp["latency_ms"].max(),
-                "attrs": grp["action"]
-                .apply(lambda s: int(s.eq(attr_action).sum()))
-                .astype(np.int64),
+                "attrs": g["action"]
+                .eq(attr_action)
+                .astype(np.int64)
+                .groupby(keys, sort=False)
+                .sum(),
             }
         )
         agg = agg.reset_index()

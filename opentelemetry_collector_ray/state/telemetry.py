@@ -143,18 +143,39 @@ def _prom_name(name: str) -> str:
     return re.sub(r"[^a-zA-Z0-9_:]", "_", name)
 
 
+def _prom_escape(v: str) -> str:
+    """Label-value escaping per the exposition format spec: backslash,
+    double-quote and newline must be escaped or a scraper misparses
+    the sample (and our own parse regex would drop it)."""
+    return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def _prom_unescape(v: str) -> str:
+    return (
+        v.replace("\\n", "\n").replace('\\"', '"').replace("\\\\", "\\")
+    )
+
+
 def render_prometheus(snapshot: dict[str, int]) -> str:
     """Counter snapshot → Prometheus text exposition format — the
-    literal service/telemetry.go:96 initPrometheus surface. Each
-    counter renders as a `# TYPE <name> counter` line plus a sample
-    carrying the ORIGINAL instrument name as an `instrument` label
+    literal service/telemetry.go:96 initPrometheus surface. Samples
+    carry the ORIGINAL instrument name as an `instrument` label
     (sanitization is lossy — 'a/b' and 'a_b' collide — so the label
-    preserves the exact obsreport name for round-tripping)."""
-    lines = []
+    preserves the exact obsreport name for round-tripping). Exactly
+    ONE `# TYPE <name> counter` line per sanitized metric name even
+    when instruments collide onto it — a real scraper rejects the
+    whole payload on a duplicate TYPE line — and label values are
+    spec-escaped."""
+    by_pn: dict[str, list[tuple[str, int]]] = {}
     for name, value in sorted(snapshot.items()):
-        pn = _prom_name(name)
+        by_pn.setdefault(_prom_name(name), []).append((name, int(value)))
+    lines = []
+    for pn in sorted(by_pn):
         lines.append(f"# TYPE {pn} counter")
-        lines.append(f'{pn}{{instrument="{name}"}} {int(value)}')
+        for name, value in by_pn[pn]:
+            lines.append(
+                f'{pn}{{instrument="{_prom_escape(name)}"}} {value}'
+            )
     return "\n".join(lines) + "\n"
 
 
@@ -164,11 +185,13 @@ def parse_prometheus(text: str) -> dict[str, int]:
     import re
 
     out: dict[str, int] = {}
-    sample = re.compile(r'^[a-zA-Z0-9_:]+\{instrument="([^"]+)"\} (-?\d+)$')
+    sample = re.compile(
+        r'^[a-zA-Z0-9_:]+\{instrument="((?:[^"\\]|\\.)*)"\} (-?\d+)$'
+    )
     for line in text.splitlines():
         m = sample.match(line)
         if m:
-            out[m.group(1)] = int(m.group(2))
+            out[_prom_unescape(m.group(1))] = int(m.group(2))
     return out
 
 

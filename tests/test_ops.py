@@ -2748,3 +2748,19 @@ def test_minhash_poly_signature_semantics(ray_session):
     agree = lambda a, b: int((sig.loc[a] == sig.loc[b]).sum())
     assert agree(0, 1) > agree(0, 2)
     assert agree(0, 1) >= 5  # one edit in 48 distinct words: J~0.88
+
+
+def test_minhash_poly_all_short_batch():
+    """A batch where every doc has < n tokens but the batch TOTAL is
+    >= n used to IndexError (empty per-doc segment array with a
+    hardcoded [0] start): all cross-doc shingle windows are invalid,
+    so the output must simply be empty."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_ray.stages.dedup import minhash_poly_batch
+
+    t = minhash_poly_batch(
+        pa.table({"doc_id": [1, 2], "text": ["a b", "c d"]})
+    )
+    assert t.num_rows == 0
+    assert t.column_names == ["doc_id", "perm", "minhash"]

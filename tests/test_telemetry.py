@@ -188,9 +188,17 @@ def test_prometheus_wire_roundtrip(tmp_path):
     assert "# TYPE receiver_accepted_log_records counter" in text
     assert 'instrument="receiver/accepted_log_records"' in text
     assert parse_prometheus(text) == SNAP
-    # name-sanitization collisions stay distinguishable via the label
+    # name-sanitization collisions stay distinguishable via the label,
+    # AND render exactly one TYPE line for the shared sanitized name
+    # (a scraper rejects a payload with duplicate TYPE lines)
     tricky = {"a/b": 1, "a_b": 2}
-    assert parse_prometheus(render_prometheus(tricky)) == tricky
+    rendered = render_prometheus(tricky)
+    assert parse_prometheus(rendered) == tricky
+    assert rendered.count("# TYPE a_b counter") == 1
+    # label values are spec-escaped: quotes/backslashes/newlines in an
+    # instrument name survive the round-trip instead of being dropped
+    weird = {'q"uote': 3, "back\\slash": 4, "new\nline": 5}
+    assert parse_prometheus(render_prometheus(weird)) == weird
     # export path lands a .prom file, idempotently (timestamp-free)
     out = str(tmp_path / "prom")
     p1 = export_telemetry(SNAP, out, TS, wire="prom")
