@@ -187,8 +187,45 @@ def run_scaling() -> dict:
     }
 
 
+def run_scaling_pair(lo_cpu: int, hi_cpu: int) -> dict:
+    """One N→kN pair only (`--scaling-pair 8,32`): interleaved
+    two-rounds-per-level min, same protocol as the primary pair in
+    ``run_scaling``. Cheap clean-window hunting for the secondary pair
+    on a noisy host — a full --scaling run costs ~4× as much wall time
+    as the one pair under test."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    runs = [run(lo_cpu), run(hi_cpu), run(lo_cpu), run(hi_cpu)]
+    lo = min(runs[0]["value"], runs[2]["value"])
+    hi = min(runs[1]["value"], runs[3]["value"])
+    return {
+        "metric": f"scaling_efficiency_{lo_cpu}_to_{hi_cpu}_cpus",
+        "value": round((lo / hi) / (hi_cpu / lo_cpu), 3),
+        "unit": "ratio",
+        f"sec_{lo_cpu}": lo,
+        f"sec_{hi_cpu}": hi,
+        f"sec_{lo_cpu}_runs": [runs[0]["value"], runs[2]["value"]],
+        f"sec_{hi_cpu}_runs": [runs[1]["value"], runs[3]["value"]],
+        "corpus_turns": runs[0]["corpus_turns"],
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-pair" in sys.argv:
+        spec = sys.argv[sys.argv.index("--scaling-pair") + 1]
+        lo_s, hi_s = spec.split(",")
+        print(json.dumps(run_scaling_pair(int(lo_s), int(hi_s))))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
