@@ -280,12 +280,24 @@ def _load_yaml(spec: dict | str) -> dict:
                     body = resp.read().decode("utf-8")
             except (urllib.error.URLError, OSError, ValueError) as e:
                 raise ConfigError(f"cannot fetch config URI {spec!r}: {e}")
-            return yaml.safe_load(body)
+            return _parse_yaml(body, spec)
         if os.path.exists(spec):
             with open(spec) as f:
-                return yaml.safe_load(f)
-        return yaml.safe_load(spec)
+                return _parse_yaml(f.read(), spec)
+        return _parse_yaml(spec, "<inline>")
     return spec
+
+
+def _parse_yaml(body: str, origin: str):
+    """Unparsable YAML is a CONFIG error (the reference's confmap
+    contract), not a raw yaml traceback — every CLI surface reports it
+    as `invalid: ...` + exit 1."""
+    import yaml
+
+    try:
+        return yaml.safe_load(body)
+    except yaml.YAMLError as e:
+        raise ConfigError(f"unparsable YAML config from {origin!r}: {e}")
 
 
 def load_config(

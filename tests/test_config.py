@@ -626,3 +626,22 @@ def test_storage_options_reach_filesystem(corpus, tmp_path):
     assert os.path.isdir(os.path.join(root, "out"))
     assert ray.data.read_parquet(os.path.join(root, "out")).count() == n_in
     assert not [d for d in os.listdir(root) if d.startswith(".tmp-")]
+
+
+def test_unparsable_yaml_is_config_error(tmp_path):
+    """Malformed YAML surfaces as ConfigError (the confmap contract:
+    every CLI command reports `invalid: ...` + exit 1), never a raw
+    yaml traceback — found by probing the validate CLI surface."""
+    import pytest
+
+    from opentelemetry_collector_ray.pipelines.config import (
+        ConfigError,
+        load_config,
+    )
+
+    p = tmp_path / "bad.yaml"
+    p.write_text("bad yaml: [\n")
+    with pytest.raises(ConfigError, match="unparsable YAML"):
+        load_config(str(p))
+    with pytest.raises(ConfigError, match="unparsable YAML"):
+        load_config("{unclosed: [")
