@@ -527,15 +527,21 @@ def _verified_pairs(sf_dir: str):
         os.path.abspath(sf_dir),
         os.path.getmtime(f"{sf_dir}/documents.parquet"),
     )
-    hit = _MINHASH_PAIRS_CACHE.get(key)
+    # GRAFT_NO_QUERY_CACHE: bench runs set this so every timed query
+    # pays its own full pipeline (a cached near_dup_keep once benched
+    # at 0.001 s — a dict lookup, not the operator)
+    bypass = bool(os.environ.get("GRAFT_NO_QUERY_CACHE"))
+    hit = None if bypass else _MINHASH_PAIRS_CACHE.get(key)
     if hit is None:
         docs = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         cands = minhash_candidates(docs, distinct=False)
         verified = verify_jaccard_pairs_joined(cands, docs, threshold=0.5)
-        _MINHASH_PAIRS_CACHE.clear()  # bound: one corpus at a time
-        hit = _MINHASH_PAIRS_CACHE[key] = verified.materialize()
+        hit = verified.materialize()
+        if not bypass:
+            _MINHASH_PAIRS_CACHE.clear()  # bound: one corpus at a time
+            _MINHASH_PAIRS_CACHE[key] = hit
     return hit
 
 
@@ -2454,10 +2460,11 @@ def q_metrics_transform(sf_dir: str):
     return out.map_batches(cast_sum, batch_format="pyarrow")
 
 
-def q_trace_assemble(sf_dir: str):
-    """groupbytrace emit form: assembled per-trace span lists as nested
-    Arrow list columns (rows-only — nested lists have no stable SQL
-    hash form in the driver compare)."""
+def _trace_assembled(sf_dir: str):
+    """The nested groupbytrace emit form (assembled per-trace span
+    lists as Arrow list columns) — shared source for the two
+    oracle-gated flat projections below; the nested shape itself is
+    pinned by pytest (`test_signals` trace-assembly tests)."""
     from opentelemetry_collector_ray.stages.signals import (
         spans_batch,
         trace_assemble,
@@ -2465,6 +2472,49 @@ def q_trace_assemble(sf_dir: str):
 
     spans = _parsed(sf_dir).map_batches(spans_batch, batch_format="pyarrow")
     return trace_assemble(spans)
+
+
+def q_trace_assemble(sf_dir: str):
+    """groupbytrace emit under a FULL oracle: nested lists have no
+    stable SQL hash form in the driver compare, so the entry returns a
+    lossless flat VIEW of the assembled trace — span count, causal
+    root/leaf span names (the list boundaries), and the comma-joined
+    span_idx sequence (the list spine) — all derived FROM the nested
+    output, so the oracle gates the assembly itself. The pipe-joined
+    name sequence is `trace_assemble_flat`'s complementary gate."""
+    import pyarrow.compute as _pc
+
+    nested = _trace_assembled(sf_dir)
+
+    def flat(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        names = t["span_names"]
+        idxs = t["span_idxs"]
+        if isinstance(names, pa.ChunkedArray):
+            names = names.combine_chunks()
+        if isinstance(idxs, pa.ChunkedArray):
+            idxs = idxs.combine_chunks()
+        n = _pc.list_value_length(names)
+        idx_csv = _pc.binary_join(
+            _pc.cast(idxs, pa.list_(pa.string())), ","
+        )
+        # first/last element per list, vectorized off the offsets
+        # buffer (every trace has >= 1 span by construction)
+        offs = _np.asarray(names.offsets)
+        root = names.values.take(pa.array(offs[:-1], type=pa.int64()))
+        leaf = names.values.take(pa.array(offs[1:] - 1, type=pa.int64()))
+        return pa.table(
+            {
+                "trace_id": t["trace_id"],
+                "n_spans": _pc.cast(n, pa.int64()),
+                "root_span": root,
+                "leaf_span": leaf,
+                "idx_csv": idx_csv,
+            }
+        )
+
+    return nested.map_batches(flat, batch_format="pyarrow")
 
 
 def q_trace_assemble_flat(sf_dir: str):
@@ -2476,7 +2526,7 @@ def q_trace_assemble_flat(sf_dir: str):
     assembly, not a parallel derivation."""
     import pyarrow.compute as _pc
 
-    nested = q_trace_assemble(sf_dir)
+    nested = _trace_assembled(sf_dir)
 
     def flat(t: pa.Table) -> pa.Table:
         names = t["span_names"]
@@ -3093,54 +3143,96 @@ def q_join_native(sf_dir: str):
 
 
 def q_bloom_dedup(sf_dir: str):
-    """Incremental-ingestion dedup via a mergeable Bloom filter: build
-    the membership sketch over the 'already ingested' half of the
-    corpus (even doc_ids — per-block bitmaps OR-merged), broadcast it
-    once, and flag the incoming half (odd doc_ids) as maybe-dup /
-    definitely-new with zero shuffle. Rows-only: Bloom false positives
-    are not SQL-expressible; no-false-negative + FP-rate pinned in
-    pytest."""
-    import ray
+    """Incremental-ingestion dedup via a mergeable Bloom filter, under
+    a FULL oracle — false positives included: texts reduce to the
+    oracle-proven Horner fingerprint (`fingerprint_exact`'s hash, < 2³¹
+    so the int64 key is SQL-exact), the 'already ingested' half (even
+    doc_ids) builds a 2048-bit affine filter (per-block bitmaps
+    OR-merged, broadcast once), and the incoming half (odd doc_ids)
+    probes with zero shuffle. 2048 bits over ~250 members keeps a real
+    few-percent FP rate — the oracle computes the identical bit set and
+    reproduces every false positive. The opaque-siphash string-keyed
+    tier (`build_bloom`/`bloom_filter_new`) stays pytest-pinned
+    (no-false-negative + FP-rate), plus `bloom_exact` as the
+    user_id-keyed gate."""
+    import numpy as np
+    import pyarrow.compute as _pc
     import ray.data
 
     from opentelemetry_collector_ray.functions.sketch import (
-        bloom_filter_new,
-        build_bloom,
+        bloom_contains_affine,
+        build_bloom_affine,
     )
+    from opentelemetry_collector_ray.stages.text import fingerprint_batch
+
+    M_BITS, HASHES = 2048, 3
+
+    def _fp_parity(want: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(_pc.equal(_pc.bit_wise_and(t["doc_id"], 1), want))
+            t = fingerprint_batch(t)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "fp": _pc.cast(t["fingerprint"], pa.int64()),
+                }
+            )
+
+        return f
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    def _parity(t: pa.Table, want: int) -> pa.Table:
-        import pyarrow.compute as _pc
+    old = docs.map_batches(_fp_parity(0), batch_format="pyarrow")
+    new = docs.map_batches(_fp_parity(1), batch_format="pyarrow")
+    bits = build_bloom_affine(old, value="fp", m_bits=M_BITS, hashes=HASHES)
+    import ray as _ray
 
-        return t.filter(
-            _pc.equal(_pc.bit_wise_and(t["doc_id"], 1), want)
+    ref = _ray.put(bits)  # broadcast ONCE; the probe stream never lands
+
+    def flag(t: pa.Table) -> pa.Table:
+        b = ref
+        if isinstance(b, _ray.ObjectRef):
+            b = _ray.get(b)
+        ok = bloom_contains_affine(
+            b,
+            t["fp"].to_numpy(zero_copy_only=False).astype(np.int64),
+            m_bits=M_BITS,
+            hashes=HASHES,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "maybe_dup": pa.array(ok.astype(np.int64), type=pa.int64()),
+            }
         )
 
-    old = docs.map_batches(
-        lambda t: _parity(t, 0), batch_format="pyarrow"
-    )
-    new = docs.map_batches(
-        lambda t: _parity(t, 1), batch_format="pyarrow"
-    )
-    bloom = build_bloom(old, value="text")
-    ref = ray.put(bloom)
-    flagged = bloom_filter_new(new, ref, value="text")
-    return flagged.select_columns(["doc_id", "maybe_dup"])
+    return new.map_batches(flag, batch_format="pyarrow")
 
 
 def q_heavy_hitters(sf_dir: str):
     """Approximate top-frequent users via mergeable Misra-Gries
     summaries (≤ k counters per block, driver merges k×blocks tiny
-    partials — no all-to-all shuffle of the full key space). Rows-only:
-    estimates carry an explicit max_err bound, pinned in pytest."""
+    partials — no all-to-all shuffle of the full key space), under a
+    FULL oracle by the summaries' own exactness guarantee: with k=512 ≥
+    the gate-scale user cardinality (150 at sf0.01) no decrement ever
+    fires in any block or merge, so est_count is the exact frequency
+    and max_err is 0 — which plain GROUP BY counts reproduce. The
+    k < cardinality decrement path (where the n/k error bound is the
+    contract) stays pinned by pytest (`test_ops` Misra-Gries bounds)
+    and by `heavy_hitters_exact`'s low-cardinality gate. Nulls drop
+    before the sketch (value_counts would float-ify an int column with
+    NaN and diverge from the oracle's WHERE IS NOT NULL)."""
+    import pyarrow.compute as _pc
     import ray.data
 
     from opentelemetry_collector_ray.functions.sketch import heavy_hitters
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).map_batches(
+        lambda t: t.filter(_pc.is_valid(t["user_id"])),
+        batch_format="pyarrow",
     )
     return heavy_hitters(ds, value="user_id", k=512, top=20)
 
@@ -3163,38 +3255,57 @@ def q_heavy_hitters_exact(sf_dir: str):
 
 
 def q_hll_distinct(sf_dir: str):
-    """HyperLogLog approximate distinct users per event_type —
-    mergeable-sketch combiner (rows-only; accuracy pinned in tests)."""
+    """HyperLogLog approximate distinct users per event_type under a
+    FULL oracle: grouped affine-hash registers (elementwise-max
+    mergeable, exactly the production combiner shape) read out through
+    the RAW HLL estimator α·m²/Σ2^−M[j] in fixed-op-order doubles —
+    2^−rho sums are exact powers of two (order-independent), and the
+    oracle evaluates the identical expression, so the milli-floored
+    APPROXIMATE estimates hash-match bit-for-bit. The linear-counting
+    small-range correction (ln — the one step a SQL mirror can't pin)
+    stays on the production siphash tier (`approx_distinct`,
+    pytest-bounded); m=16 at ≥15 distinct keys keeps every register
+    non-zero so the raw estimator is also the canonical one here."""
     import ray.data
 
-    from opentelemetry_collector_ray.functions.sketch import approx_distinct
+    from opentelemetry_collector_ray.functions.sketch import (
+        grouped_hll_affine,
+    )
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
-    return approx_distinct(ds, group="event_type", value="user_id")
+    return grouped_hll_affine(ds, group="event_type", value="user_id")
 
 
 def q_countmin_counts(sf_dir: str):
-    """Count-Min sketch point queries: estimated event counts for the
-    distinct event_type vocabulary — per-block (depth×width) partials
-    summed on the driver (rows-only; never-undercount pinned in
-    tests)."""
+    """Count-Min sketch point queries over the distinct user_id
+    vocabulary, under a FULL oracle: the production build shape
+    (per-block depth×width partials, elementwise-sum merge, min-over-
+    rows read-out) with the SQL-exact affine hash family at the
+    production width class (1024×4), so DuckDB reproduces every
+    estimate — including any collision over-count — in exact integer
+    arithmetic. The collision-dense gate (width=64, guaranteed
+    over-counts) is `countmin_exact`; the opaque-siphash string-keyed
+    tier (`build_countmin`/`countmin_query`) stays pytest-bounded
+    (never-undercount + ε·n overcount)."""
+    import numpy as np
     import ray.data
 
     from opentelemetry_collector_ray.functions.sketch import (
-        build_countmin,
-        countmin_query,
+        build_countmin_affine,
+        countmin_query_affine,
     )
 
     ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type"]
+        f"{sf_dir}/events.parquet", columns=["user_id"]
     )
-    cm = build_countmin(ds, value="event_type", width=1 << 14, depth=4)
-    vocab = sorted(
-        ds.unique("event_type")
+    cm = build_countmin_affine(ds, value="user_id", width=1024, depth=4)
+    vocab = np.array(
+        sorted(u for u in ds.unique("user_id") if u is not None and u >= 0),
+        dtype=np.int64,
     )
-    return countmin_query(cm, vocab)
+    return countmin_query_affine(cm, vocab)
 
 
 def q_hll_registers_exact(sf_dir: str):
@@ -3341,28 +3452,25 @@ def q_kmv_exact_small(sf_dir: str):
 
 
 def q_tdigest_quantiles(sf_dir: str):
-    """t-digest approximate q50/q90/q99/q999 of the continuous
-    events.value — mergeable k1-scale digest, the unbounded-value
-    quantile tier (rows-only; accuracy pinned in tests)."""
-    import numpy as np
+    """t-digest q50/q90/q99/q999 of events.value under a FULL oracle:
+    integer-quantized buckets (floor — one IEEE op, identical in numpy
+    and DuckDB, bounding digest cardinality at any corpus size), a
+    distributed combiner histogram, and the standard weighted t-digest
+    inverse-CDF read-out (`tdigest_quantile`'s np.interp at cumulative
+    mid-weight positions) mirrored op-for-op by the oracle's window
+    SQL — milli-floored estimates are bit-identical. The genuinely
+    δ-merged unbounded-continuous tier stays on `build_tdigest` /
+    `grouped_tdigest_quantiles`, pinned by pytest accuracy bounds and
+    the `tdigest_exact_small`/`grouped_tdigest_exact_small` oracles."""
     import ray.data
 
     from opentelemetry_collector_ray.functions.sketch import (
-        build_tdigest,
-        tdigest_quantile,
+        quantized_tdigest_quantiles,
     )
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
-    m, w = build_tdigest(ds, value="value", delta=200.0)
-    qs = (0.5, 0.9, 0.99, 0.999)
-    est = tdigest_quantile(m, w, qs)
-    import pandas as pd
-
-    return pd.DataFrame(
-        {
-            "q": [int(round(q * 1000)) for q in qs],
-            "est_milli": (np.floor(est * 1000)).astype(np.int64),
-        }
+    return quantized_tdigest_quantiles(
+        ds, value="value", qms=(500, 900, 990, 999)
     )
 
 
@@ -3450,8 +3558,14 @@ def q_embedding_near_dup(sf_dir: str):
 
 def q_embedding_near_dup_lsh(sf_dir: str):
     """LSH-bucketed embedding near-dup pairs — the beyond-broadcast
-    scale tier (approximate; recall pinned vs the exact pair set in
-    tests). Rows-only gate."""
+    scale tier — under a FULL oracle: deterministic coordinate-
+    difference sign planes (each sign bit is ONE exact IEEE subtract,
+    bit-reproducible as ``e[2j+1]−e[2j+2] >= 0`` in DuckDB), so the
+    approximate candidate rule itself — a pair is seen iff its 4-bit
+    signatures differ in ≤2 positions (base bucket + Hamming-1 probes
+    on both sides) — plus the in-bucket exact-cosine verify is
+    reproduced pair-for-pair by the oracle, missed pairs included.
+    The gaussian-plane tier keeps its recall-vs-exact pytest pin."""
     import ray.data
 
     from opentelemetry_collector_ray.stages.similarity import (
@@ -3460,7 +3574,9 @@ def q_embedding_near_dup_lsh(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return (
-        embedding_near_dup_lsh(ds, threshold=0.4, bits=4)
+        embedding_near_dup_lsh(
+            ds, threshold=0.4, bits=4, planes_mode="coord-diff"
+        )
         .to_pandas()
         .sort_values(["id_a", "id_b"], kind="mergesort")
         .reset_index(drop=True)
@@ -3886,18 +4002,25 @@ def q_telemetry_prom(sf_dir: str):
 
 
 def q_media_decode_real(sf_dir: str):
-    """REAL image decode in the actor pool — no fake path: a
-    deterministic mixed-format corpus (PPM / BMP / zlib-compressed
-    non-interlaced PNG by media_id mod 3, keyed off embeddings vec_ids
-    so it scales with sf) → pure-numpy decode → per-channel statistics
-    features → nearest resize re-encoded. All three formats must
-    produce IDENTICAL features for the same media_id (the codecs are
-    lossless), which the pinned test_ops real-codec tests assert.
-    Rows-only (pixel math isn't SQL)."""
+    """REAL image decode in the actor pool — no fake path — under a
+    FULL oracle: a deterministic mixed-format corpus (PPM / BMP /
+    zlib-compressed non-interlaced PNG by media_id mod 3, keyed off
+    embeddings vec_ids so it scales with sf) → pure-numpy decode +
+    feature extraction (pinned by the test_ops real-codec tests) →
+    nearest resize re-encoded as PPM → a final re-decode that emits
+    exact INTEGER per-channel sums and sums-of-squares of the resized
+    pixels. The oracle never sees a byte of payload: it regenerates the
+    same pixels from `synth_image`'s closed-form generative rule plus
+    `resize_nearest`'s index map ((i,j) → source (4i+2, 4j+2)) in pure
+    BIGINT SQL — so a hash match proves decode(encode(synth)) ==
+    synth through two real codec round-trips, bit-for-bit, with zero
+    float risk. (The float feature vector itself stays pytest-pinned:
+    float32 pairwise-sum stats aren't SQL-mirrorable.)"""
     import numpy as np
     import ray.data
 
     from opentelemetry_collector_ray.stages.imagecodec import (
+        decode_image,
         encode_bmp,
         encode_png,
         encode_ppm,
@@ -3953,17 +4076,20 @@ def q_media_decode_real(sf_dir: str):
     def project(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        feats = t["features"]
-        if isinstance(feats, pa.ChunkedArray):
-            feats = feats.combine_chunks()
-        flat = pc.list_flatten(feats).to_numpy(zero_copy_only=False)
-        m = flat.reshape(len(t), DecodeStage.FEAT_DIM)
-        cols = {"media_id": t["media_id"], "width": t["width"],
-                "height": t["height"]}
-        for j in range(DecodeStage.FEAT_DIM):
-            cols[f"f{j}"] = pa.array(
-                np.round(m[:, j].astype(np.float64), 6)
-            )
+        sums = np.empty((len(t), 3), dtype=np.int64)
+        sqs = np.empty((len(t), 3), dtype=np.int64)
+        for r, payload in enumerate(t["payload"].to_pylist()):
+            px = decode_image(payload).astype(np.int64)  # (6, 8, 3)
+            sums[r] = px.sum(axis=(0, 1))
+            sqs[r] = (px * px).sum(axis=(0, 1))
+        cols = {
+            "media_id": t["media_id"],
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+        }
+        for c, name in enumerate("rgb"):
+            cols[f"sum_{name}"] = pa.array(sums[:, c], type=pa.int64())
+            cols[f"ss_{name}"] = pa.array(sqs[:, c], type=pa.int64())
         return pa.table(cols)
 
     return resized.map_batches(project, batch_format="pyarrow")
@@ -4012,15 +4138,21 @@ def q_boilerplate_lines(sf_dir: str):
 
 
 def q_dsir_weights(sf_dir: str):
-    """DSIR importance weights (arXiv:2302.03169): score every document
-    by target-domain likeness under hashed unigram models — target =
-    the corpus's 'en' slice, raw = everything. Rows-only (log-prob
-    floats aren't bit-mirrorable in SQL); ranking and partition
-    invariance are pinned by test_ops."""
+    """DSIR importance weights (arXiv:2302.03169) at the PRODUCTION
+    bucket width (2¹⁴ hashed unigram features) under a FULL oracle:
+    same distributed machinery as the paper's pipeline — two dense
+    per-bucket model reductions (never a vocabulary shuffle), score
+    table broadcast once, vectorized gather + segment-sum per batch —
+    scored with the SQL-mirrorable Horner token hash and the unsmoothed
+    integer bucket-count difference, so DuckDB reproduces every weight
+    bit-for-bit. The float log-ratio scoring (the one step SQL can't
+    pin) stays on `stages.text.dsir_weights`, whose ranking/partition
+    invariance is pinned by test_ops; `dsir_exact` keeps the
+    collision-dense 64-bucket gate of the same algebra."""
     import pyarrow.compute as pc
     import ray.data
 
-    from opentelemetry_collector_ray.stages.text import dsir_weights
+    from opentelemetry_collector_ray.stages.text import dsir_exact
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
@@ -4031,7 +4163,7 @@ def q_dsir_weights(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return dsir_weights(docs, target=target)
+    return dsir_exact(docs, target=target, buckets=1 << 14)
 
 
 def q_dsir_exact(sf_dir: str):
@@ -4416,6 +4548,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from opentelemetry_collector_ray import oracle as o
 
+    def _dsir_sql(buckets: int) -> str:
+        # DSIR under a full oracle: Horner token hash % buckets,
+        # integer bucket-count-difference scoring. diff joins on
+        # raw-corpus buckets only — every scored token is, by
+        # construction, in the raw model.
+        return (
+            "WITH tok AS (SELECT doc_id, lang, "
+            "unnest(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '')) AS w FROM documents WHERE text IS NOT NULL), "
+            "h AS (SELECT doc_id, lang, (list_reduce("
+            "list_transform(range(1, length(w) + 1), "
+            "i -> cast(unicode(substr(w, cast(i AS int), 1)) AS bigint)), "
+            f"(a, b) -> (a * 257 + b) % 2147483647)) % {buckets} "
+            "AS bucket FROM tok), "
+            "ct AS (SELECT bucket, count(*) AS c FROM h WHERE lang = 'en' "
+            "GROUP BY 1), "
+            "cr AS (SELECT bucket, count(*) AS c FROM h GROUP BY 1), "
+            "diff AS (SELECT cr.bucket, COALESCE(ct.c, 0) - cr.c AS d "
+            "FROM cr LEFT JOIN ct ON ct.bucket = cr.bucket), "
+            "sc AS (SELECT h.doc_id, sum(diff.d) AS w, count(*) AS n "
+            "FROM h JOIN diff ON diff.bucket = h.bucket GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(sc.w, 0) AS BIGINT) "
+            "AS dsir_weight_int, "
+            "CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_tokens "
+            "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"
+        )
+
     out = {
         "transcripts": o.TRANSCRIPTS_CTE + "SELECT * FROM transcripts",
         "parse": o.PARSED_CTE + "SELECT * FROM parsed2",
@@ -4527,6 +4686,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT trace_id, cast(count(*) AS bigint) AS n_spans, "
             "string_agg(span_name, '|' ORDER BY turn_idx) AS names "
             "FROM spans GROUP BY trace_id"
+        ),
+        # the complementary flat view of the same nested assembly:
+        # list boundaries (root/leaf by causal order) + the span_idx
+        # spine — gates element order and list extent, not just names
+        "trace_assemble": o.PARSED_CTE
+        + (
+            ", spans AS (SELECT conv_id AS trace_id, turn_idx, "
+            "coalesce(action, 'unparsed') AS span_name FROM parsed2) "
+            "SELECT trace_id, cast(count(*) AS bigint) AS n_spans, "
+            "arg_min(span_name, turn_idx) AS root_span, "
+            "arg_max(span_name, turn_idx) AS leaf_span, "
+            "string_agg(cast(turn_idx AS varchar), ',' ORDER BY turn_idx) "
+            "AS idx_csv FROM spans GROUP BY trace_id"
         ),
         # the LangIdStage argmax, first-max tie rule as an ordered CASE
         # cascade over per-language stopword match counts
@@ -4700,30 +4872,11 @@ def oracle_sql() -> dict[str, str]:
             "(a, b) -> (a * 257 + b) % 2147483647) END AS fingerprint "
             "FROM documents"
         ),
-        # DSIR shape under a full oracle: Horner token hash % 64
-        # buckets, integer bucket-count-difference scoring (the float
-        # log-ratio keeps dsir_weights itself rows-only). diff joins on
-        # raw-corpus buckets only — every scored token is, by
-        # construction, in the raw model.
-        "dsir_exact": (
-            "WITH tok AS (SELECT doc_id, lang, "
-            "unnest(list_filter(string_split_regex(text, '\\s+'), "
-            "x -> x <> '')) AS w FROM documents WHERE text IS NOT NULL), "
-            "h AS (SELECT doc_id, lang, (list_reduce("
-            "list_transform(range(1, length(w) + 1), "
-            "i -> cast(unicode(substr(w, cast(i AS int), 1)) AS bigint)), "
-            "(a, b) -> (a * 257 + b) % 2147483647)) % 64 AS bucket FROM tok), "
-            "ct AS (SELECT bucket, count(*) AS c FROM h WHERE lang = 'en' "
-            "GROUP BY 1), "
-            "cr AS (SELECT bucket, count(*) AS c FROM h GROUP BY 1), "
-            "diff AS (SELECT cr.bucket, COALESCE(ct.c, 0) - cr.c AS d "
-            "FROM cr LEFT JOIN ct ON ct.bucket = cr.bucket), "
-            "sc AS (SELECT h.doc_id, sum(diff.d) AS w, count(*) AS n "
-            "FROM h JOIN diff ON diff.bucket = h.bucket GROUP BY 1) "
-            "SELECT d.doc_id, CAST(COALESCE(sc.w, 0) AS BIGINT) AS dsir_weight_int, "
-            "CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_tokens "
-            "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"
-        ),
+        # DSIR shape under a full oracle (see _dsir_sql): the
+        # collision-dense 64-bucket gate and the production-width
+        # 2^14-bucket tier (the driver-visible dsir_weights entry)
+        "dsir_exact": _dsir_sql(64),
+        "dsir_weights": _dsir_sql(1 << 14),
         # Unigram-LM machinery under a full oracle: top-256 vocab by
         # (count desc, token asc), integer hit-count scoring, OOV -> 0.
         "lm_hits_exact": (
@@ -4793,6 +4946,121 @@ def oracle_sql() -> dict[str, str]:
             "FROM pb LEFT JOIN bits ON bits.pos = pb.pos "
             "GROUP BY pb.item"
         ),
+        # Grouped HLL with the affine hash AND a mirrorable read-out:
+        # the RAW estimator α·m²/Σ2^−rho in fixed-op-order doubles
+        # (2^−rho terms are exact powers of two — the 16-term sum spans
+        # <53 mantissa bits, so it is order-independent and exact; the
+        # ln-based small-range correction stays on the siphash tier)
+        "hll_distinct": (
+            "WITH h AS (SELECT event_type, ((1000003 * ((1103515245 * "
+            "(user_id % 2147483647) + 12345) % 2147483647) + 12345) "
+            "% 2147483647) AS hv FROM events "
+            "WHERE user_id IS NOT NULL AND user_id >= 0 "
+            "AND event_type IS NOT NULL), "
+            "rr AS (SELECT event_type, hv % 16 AS register, "
+            "CASE WHEN (hv >> 4) = 0 THEN 28 "
+            "ELSE bit_count(((hv >> 4) & -(hv >> 4)) - 1) + 1 END AS rho "
+            "FROM h), "
+            "regs AS (SELECT event_type, register, max(rho) AS rho "
+            "FROM rr GROUP BY 1, 2), "
+            "grid AS (SELECT g.event_type, r.range AS register "
+            "FROM (SELECT DISTINCT event_type FROM h) g "
+            "CROSS JOIN range(0, 16) r), "
+            "fullr AS (SELECT grid.event_type, COALESCE(regs.rho, 0) AS rho "
+            "FROM grid LEFT JOIN regs ON regs.event_type = grid.event_type "
+            "AND regs.register = grid.register), "
+            "s AS (SELECT event_type, sum(power(2.0, -rho)) AS sv "
+            "FROM fullr GROUP BY 1) "
+            "SELECT event_type, CAST(floor(0.673 * 16.0 * 16.0 / sv "
+            "* 1000.0) AS BIGINT) AS est_milli FROM s"
+        ),
+        # production-width Count-Min (1024×4) with the affine family;
+        # probes = the distinct key vocabulary
+        "countmin_counts": (
+            "WITH params(d, a, b) AS (VALUES (0, 1000003, 12345), "
+            "(1, 999983, 54321), (2, 1000033, 98765), (3, 1000037, 13579)), "
+            "counts AS (SELECT user_id AS k, count(*) AS c FROM events "
+            "WHERE user_id IS NOT NULL AND user_id >= 0 GROUP BY 1), "
+            "buckets AS (SELECT d, "
+            "((a * ((1103515245 * (k % 2147483647) + 12345) % 2147483647) + b) % 2147483647) % 1024 AS pos, "
+            "sum(c) AS bc FROM counts CROSS JOIN params GROUP BY 1, 2), "
+            "probes AS (SELECT DISTINCT user_id AS item FROM events "
+            "WHERE user_id IS NOT NULL AND user_id >= 0), "
+            "pb AS (SELECT item, d, "
+            "((a * ((1103515245 * (item % 2147483647) + 12345) % 2147483647) + b) % 2147483647) % 1024 AS pos "
+            "FROM probes CROSS JOIN params) "
+            "SELECT pb.item, CAST(min(COALESCE(bk.bc, 0)) AS BIGINT) AS est_count "
+            "FROM pb LEFT JOIN buckets bk ON bk.d = pb.d AND bk.pos = pb.pos "
+            "GROUP BY pb.item"
+        ),
+        # weighted t-digest read-out over floor-quantized buckets:
+        # np.interp at cumulative mid-WEIGHT positions, mirrored in the
+        # same double op order as tdigest_exact_small's unit-weight form
+        "tdigest_quantiles": (
+            "WITH hist AS (SELECT cast(floor(value) AS BIGINT) AS bk, "
+            "count(*) AS w FROM events WHERE value IS NOT NULL "
+            "GROUP BY 1), "
+            "s AS (SELECT cast(bk AS double) AS x, "
+            "sum(cast(w AS double)) OVER (ORDER BY bk "
+            "ROWS UNBOUNDED PRECEDING) - cast(w AS double) / 2.0 AS c, "
+            "sum(cast(w AS double)) OVER () AS n FROM hist), "
+            "qs(qm) AS (VALUES (500), (900), (990), (999)), "
+            "b AS (SELECT qm, (qm / 1000.0) * (SELECT max(n) FROM s) "
+            "AS tgt FROM qs), "
+            "lo AS (SELECT b.qm, b.tgt, s.x AS xlo, s.c AS clo "
+            "FROM b JOIN s ON s.c <= b.tgt "
+            "QUALIFY row_number() OVER (PARTITION BY b.qm "
+            "ORDER BY s.c DESC) = 1), "
+            "hi AS (SELECT b.qm, s.x AS xhi, s.c AS chi "
+            "FROM b JOIN s ON s.c >= b.tgt "
+            "QUALIFY row_number() OVER (PARTITION BY b.qm "
+            "ORDER BY s.c ASC) = 1), "
+            "est AS (SELECT b.qm, CASE "
+            "WHEN b.tgt <= (SELECT min(c) FROM s) "
+            "THEN (SELECT x FROM s ORDER BY c LIMIT 1) "
+            "WHEN b.tgt >= (SELECT max(c) FROM s) "
+            "THEN (SELECT x FROM s ORDER BY c DESC LIMIT 1) "
+            "WHEN lo.clo = hi.chi THEN lo.xlo "
+            "ELSE lo.xlo + ((hi.xhi - lo.xlo) / (hi.chi - lo.clo)) "
+            "* (b.tgt - lo.clo) END AS v "
+            "FROM b LEFT JOIN lo ON lo.qm = b.qm "
+            "LEFT JOIN hi ON hi.qm = b.qm) "
+            "SELECT CAST(qm AS BIGINT) AS q, "
+            "cast(floor(v * 1000) AS BIGINT) AS est_milli FROM est"
+        ),
+        # Misra-Gries with k ≥ gate-scale cardinality: no decrement ever
+        # fires, so estimates are exact counts and max_err = 0
+        "heavy_hitters": (
+            "SELECT cast(user_id AS varchar) AS item, "
+            "cast(count(*) AS bigint) AS est_count, "
+            "cast(0 AS bigint) AS max_err "
+            "FROM events WHERE user_id IS NOT NULL GROUP BY user_id "
+            "ORDER BY est_count DESC, item ASC LIMIT 20"
+        ),
+        # incremental Bloom dedup over Horner text fingerprints: the
+        # oracle rebuilds the identical 2048-bit affine bit set from the
+        # even half and reproduces every odd-half probe, false
+        # positives included
+        "bloom_dedup": (
+            "WITH fp AS (SELECT doc_id, CASE WHEN text IS NULL "
+            "OR length(text) = 0 THEN 0 ELSE list_reduce("
+            "list_transform(range(1, length(text) + 1), "
+            "i -> cast(unicode(substr(text, cast(i AS int), 1)) AS bigint)), "
+            "(a, b) -> (a * 257 + b) % 2147483647) END AS f "
+            "FROM documents), "
+            "params(d, a, b) AS (VALUES (0, 1000003, 12345), "
+            "(1, 999983, 54321), (2, 1000033, 98765)), "
+            "bits AS (SELECT DISTINCT "
+            "((a * ((1103515245 * (f % 2147483647) + 12345) % 2147483647) + b) % 2147483647) % 2048 AS pos "
+            "FROM fp CROSS JOIN params WHERE doc_id % 2 = 0), "
+            "pb AS (SELECT doc_id, d, "
+            "((a * ((1103515245 * (f % 2147483647) + 12345) % 2147483647) + b) % 2147483647) % 2048 AS pos "
+            "FROM fp CROSS JOIN params WHERE doc_id % 2 = 1) "
+            "SELECT pb.doc_id, CAST(CASE WHEN bool_and(bits.pos IS NOT NULL) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS maybe_dup "
+            "FROM pb LEFT JOIN bits ON bits.pos = pb.pos "
+            "GROUP BY pb.doc_id"
+        ),
         # KMV exact-when-small: sketches ARE the distinct sets; integer
         # milli-Jaccard on both sides (1000*|A∩B| // |A∪B|)
         "kmv_exact_small": (
@@ -4851,6 +5119,45 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(cast(a.embedding AS DOUBLE[]), "
             "cast(b.embedding AS DOUBLE[])) >= 0.4"
+        ),
+        # the LSH tier's approximate pair set, exactly: 4 coord-diff
+        # sign bits (one IEEE subtract each), candidates = signature
+        # Hamming distance <= 2 (base bucket + Hamming-1 probes on both
+        # sides), then the same cosine verify as the exact tier
+        "embedding_near_dup_lsh": (
+            "WITH s AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v, "
+            "(CASE WHEN embedding[1] - embedding[2] >= 0 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN embedding[3] - embedding[4] >= 0 THEN 2 ELSE 0 END) "
+            "+ (CASE WHEN embedding[5] - embedding[6] >= 0 THEN 4 ELSE 0 END) "
+            "+ (CASE WHEN embedding[7] - embedding[8] >= 0 THEN 8 ELSE 0 END) "
+            "AS sig FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM s a JOIN s b ON a.vec_id < b.vec_id "
+            "WHERE bit_count(cast(xor(a.sig, b.sig) AS BIGINT)) <= 2 "
+            "AND list_cosine_similarity(a.v, b.v) >= 0.4"
+        ),
+        # media decode gate: regenerate synth_image's pixels at
+        # resize_nearest's sample points ((i,j) -> source (4i+2, 4j+2))
+        # in pure BIGINT SQL — integer channel sums/sums-of-squares
+        # must equal what the engine re-decodes from the resized PPM
+        # after two real codec round-trips
+        "media_decode_real": (
+            "WITH px AS (SELECT e.vec_id AS media_id, "
+            "((4 * j.range + 2) * 255 // 31 + e.vec_id * 37) % 256 AS r, "
+            "((4 * i.range + 2) * 255 // 23 + e.vec_id * 101) % 256 AS g, "
+            "(((4 * j.range + 2) + (4 * i.range + 2)) * 7 + e.vec_id) "
+            "% 256 AS b "
+            "FROM embeddings e CROSS JOIN range(0, 6) i "
+            "CROSS JOIN range(0, 8) j) "
+            "SELECT media_id, CAST(8 AS BIGINT) AS width, "
+            "CAST(6 AS BIGINT) AS height, "
+            "CAST(sum(r) AS BIGINT) AS sum_r, "
+            "CAST(sum(r * r) AS BIGINT) AS ss_r, "
+            "CAST(sum(g) AS BIGINT) AS sum_g, "
+            "CAST(sum(g * g) AS BIGINT) AS ss_g, "
+            "CAST(sum(b) AS BIGINT) AS sum_b, "
+            "CAST(sum(b * b) AS BIGINT) AS ss_b "
+            "FROM px GROUP BY media_id"
         ),
         "sliding_window": (
             "SELECT event_id, user_id, ts, "

@@ -120,16 +120,37 @@ def run_bench() -> dict:
         headline = min(headline, time.time() - t0)
         assert int(counts["n"].sum()) >= n_turns
 
-    queries: dict[str, float] = {}
-    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
-        for name, fn in em.queries().items():
-            t0 = time.time()
-            res = fn(SF_DIR)
-            if hasattr(res, "to_pandas"):
-                res.to_pandas()  # consume the lazy pipeline
-            queries[name] = round(time.time() - t0, 3)
+    # Per-query timings run in FRESH subprocess groups, not this
+    # session: r4's in-session sweep inflated 12 query times 1.5-2.4×
+    # under accumulated session memory pressure (re-measured at r3
+    # levels standalone). Groups of ~20 amortize the ~3 s ray.init
+    # cost while keeping any one session's footprint bounded. The
+    # children also set GRAFT_NO_QUERY_CACHE so every timed query pays
+    # its own full pipeline (near_dup_keep once benched a dict lookup).
+    names = list(em.queries()) if not os.environ.get(
+        "GRAFT_HEADLINE_ONLY"
+    ) else []
+    ray.shutdown()  # free the CPUs before the children init their own
 
-    ray.shutdown()
+    queries: dict[str, float] = {}
+    group = int(os.environ.get("GRAFT_BENCH_GROUP", "20"))
+    for i in range(0, len(names), group):
+        chunk = names[i : i + group]
+        env = dict(
+            os.environ,
+            GRAFT_BENCH_QUERIES=",".join(chunk),
+            GRAFT_NO_QUERY_CACHE="1",
+            RAY_GRAFT_CPUS=str(NUM_CPUS),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        queries.update(json.loads(out.strip().splitlines()[-1])["queries"])
+
     return {
         "metric": "parse_enrich_route_aggregate_sec",
         "value": round(headline, 3),
@@ -140,6 +161,35 @@ def run_bench() -> dict:
         "corpus_turns": int(n_turns),
         "turns_per_sec": round(n_turns / headline, 1),
     }
+
+
+def run_query_group(names: list[str]) -> dict:
+    """Child mode (GRAFT_BENCH_QUERIES): time the named queries in a
+    fresh Ray session and print one JSON line {"queries": {...}}."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as em
+
+    qs = em.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()  # consume the lazy pipeline
+        out[name] = round(time.time() - t0, 3)
+    ray.shutdown()
+    return out
 
 
 def run_scaling() -> dict:
@@ -187,12 +237,23 @@ def run_scaling() -> dict:
     }
 
 
-def run_scaling_pair(lo_cpu: int, hi_cpu: int) -> dict:
+def run_scaling_pair(
+    lo_cpu: int, hi_cpu: int, calibrate: float | None = None
+) -> dict:
     """One N→kN pair only (`--scaling-pair 8,32`): interleaved
     two-rounds-per-level min, same protocol as the primary pair in
     ``run_scaling``. Cheap clean-window hunting for the secondary pair
     on a noisy host — a full --scaling run costs ~4× as much wall time
-    as the one pair under test."""
+    as the one pair under test.
+
+    ``--calibrate <sec>`` gates recording on a quiet-window probe: a
+    single hi-CPU headline run must land at or under <sec> (the
+    historical clean band for 32 CPUs is 8.8–9.9 s — use ~10.2) before
+    the pair protocol starts; up to GRAFT_CALIB_TRIES probes (default
+    10) spaced GRAFT_CALIB_SLEEP s (default 120) apart. A never-quiet
+    window returns {"calibration": "failed", ...} and records no
+    efficiency claim — co-tenant noise on this microVM only ever ADDS
+    wall time, so a probe inside the band certifies the bus is ours."""
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
@@ -204,6 +265,25 @@ def run_scaling_pair(lo_cpu: int, hi_cpu: int) -> dict:
             check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    probes: list[float] = []
+    if calibrate is not None:
+        tries = int(os.environ.get("GRAFT_CALIB_TRIES", "10"))
+        sleep_s = float(os.environ.get("GRAFT_CALIB_SLEEP", "120"))
+        for attempt in range(tries):
+            probes.append(run(hi_cpu)["value"])
+            if probes[-1] <= calibrate:
+                break
+            if attempt < tries - 1:
+                time.sleep(sleep_s)
+        else:
+            return {
+                "metric": f"scaling_efficiency_{lo_cpu}_to_{hi_cpu}_cpus",
+                "calibration": "failed",
+                "calibrate_max_sec": calibrate,
+                "probe_secs": probes,
+                "unit": "ratio",
+            }
 
     runs = [run(lo_cpu), run(hi_cpu), run(lo_cpu), run(hi_cpu)]
     lo = min(runs[0]["value"], runs[2]["value"])
@@ -217,14 +297,30 @@ def run_scaling_pair(lo_cpu: int, hi_cpu: int) -> dict:
         f"sec_{lo_cpu}_runs": [runs[0]["value"], runs[2]["value"]],
         f"sec_{hi_cpu}_runs": [runs[1]["value"], runs[3]["value"]],
         "corpus_turns": runs[0]["corpus_turns"],
+        **({"calibration_probe_secs": probes} if probes else {}),
     }
 
 
 if __name__ == "__main__":
-    if "--scaling-pair" in sys.argv:
+    if os.environ.get("GRAFT_BENCH_QUERIES"):
+        print(
+            json.dumps(
+                {
+                    "queries": run_query_group(
+                        os.environ["GRAFT_BENCH_QUERIES"].split(",")
+                    )
+                }
+            )
+        )
+    elif "--scaling-pair" in sys.argv:
         spec = sys.argv[sys.argv.index("--scaling-pair") + 1]
         lo_s, hi_s = spec.split(",")
-        print(json.dumps(run_scaling_pair(int(lo_s), int(hi_s))))
+        calib = (
+            float(sys.argv[sys.argv.index("--calibrate") + 1])
+            if "--calibrate" in sys.argv
+            else None
+        )
+        print(json.dumps(run_scaling_pair(int(lo_s), int(hi_s), calib)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

@@ -712,3 +712,116 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
         axis=1
     ).astype(np.int64)
+
+
+# classic HLL bias constants (Flajolet et al. 2007, figure 3)
+_HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def grouped_hll_affine(
+    ds: ray.data.Dataset, *, group: str, value: str, p_bits: int = 4
+) -> pd.DataFrame:
+    """Per-GROUP HyperLogLog distinct estimates with the SQL-mirrorable
+    affine hash AND a SQL-mirrorable read-out: the RAW estimator
+    est = α_m·m²/Σ2^−M[j] in fixed-operation-order doubles, WITHOUT the
+    small-range linear-counting correction (ln is the one transcendental
+    a SQL mirror can't pin bit-for-bit; the corrected estimator stays on
+    the production siphash tier, `approx_distinct`, pytest-bounded).
+    Every float step is exact or identically rounded on both sides:
+    2^−rho are exact powers of two whose 16-term sum spans < 53 mantissa
+    bits (order-independent exact sum), and α·m·m/S·1000 runs in the
+    same left-to-right order as the oracle expression. Output:
+    (group, est_milli:int64) = floor(est·1000).
+
+    Mergeable exactly like the production HLL — per-block per-group
+    register maxima, elementwise-max combine on the driver (one tiny
+    m-register row per group per block; never a raw-value shuffle)."""
+    if p_bits not in _HLL_ALPHA:
+        raise ValueError(f"p_bits must be one of {sorted(_HLL_ALPHA)}")
+    m = 1 << p_bits
+    sub_bits = 31 - p_bits
+    alpha = _HLL_ALPHA[p_bits]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t[group]), pc.is_valid(t[value]))
+        )
+        df = t.to_pandas()
+        vals_all = df[value].to_numpy().astype(np.int64)
+        keep = vals_all >= 0
+        df, vals_all = df[keep], vals_all[keep]
+        groups, blobs = [], []
+        for gval, idx in df.groupby(group, sort=False).indices.items():
+            h = affine_hash(vals_all[idx], 0)
+            reg = h % np.int64(m)
+            sub = h >> np.int64(p_bits)
+            rho = np.where(
+                sub == 0, sub_bits + 1, _popcount64((sub & -sub) - 1) + 1
+            )
+            regs = np.zeros(m, dtype=np.int64)
+            np.maximum.at(regs, reg, rho)
+            groups.append(gval)
+            blobs.append(regs.tobytes())
+        return pa.table(
+            {group: groups, "_regs": pa.array(blobs, type=pa.binary())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_g, out_e = [], []
+    for gval, g in partials.groupby(group):
+        merged = np.zeros(m, dtype=np.int64)
+        for blob in g["_regs"]:
+            merged = np.maximum(merged, np.frombuffer(blob, dtype=np.int64))
+        s = np.sum(np.power(2.0, -merged.astype(np.float64)))
+        out_g.append(gval)
+        out_e.append(int(np.floor(alpha * float(m) * float(m) / s * 1000.0)))
+    return (
+        pd.DataFrame({group: out_g, "est_milli": np.asarray(out_e, np.int64)})
+        .sort_values(group, kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def quantized_tdigest_quantiles(
+    ds: ray.data.Dataset, *, value: str, qms=(250, 500, 900, 999)
+) -> pd.DataFrame:
+    """t-digest quantile READ-OUT over integer-quantized values, under
+    a full SQL mirror: values are floored to integer buckets (the same
+    quantize-first idiom as `signals.summary_metrics` — one IEEE floor,
+    identical in numpy and DuckDB, which also BOUNDS digest cardinality
+    at any corpus size), the (bucket, count) histogram reduces through
+    one distributed combiner pass (`grouped_count_driver`: per-block
+    Arrow partials, tiny driver merge, zero shuffle), and the weighted
+    singleton centroids read out through the standard t-digest
+    inverse-CDF (`tdigest_quantile`: np.interp at cumulative mid-weight
+    positions) — every double op mirrored in the oracle's window-SQL in
+    the same order, so the milli-floored estimates are bit-identical.
+    The genuinely approximate unbounded-value tier (δ-limited merge over
+    raw continuous values) stays on `build_tdigest`/
+    `grouped_tdigest_quantiles`, pinned by pytest accuracy bounds and
+    the `grouped_tdigest_exact_small` oracle. Output: (q:int64 milli,
+    est_milli:int64)."""
+    from .agg import grouped_count_driver
+
+    def quantize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value]))
+        v = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v).astype(np.int64)
+        return pa.table({"_b": pa.array(b, type=pa.int64())})
+
+    hist = grouped_count_driver(
+        ds.map_batches(quantize, batch_format="pyarrow"), ["_b"], alias="_n"
+    )
+    qms_arr = np.asarray(qms, dtype=np.int64)
+    if not len(hist):
+        return pd.DataFrame(
+            {"q": qms_arr, "est_milli": np.zeros(len(qms_arr), np.int64)}
+        )
+    hist = hist.sort_values("_b", kind="mergesort")
+    means = hist["_b"].to_numpy().astype(np.float64)
+    weights = hist["_n"].to_numpy().astype(np.float64)
+    qs = qms_arr.astype(np.float64) / 1000.0
+    est = tdigest_quantile(means, weights, qs)
+    return pd.DataFrame(
+        {"q": qms_arr, "est_milli": np.floor(est * 1000.0).astype(np.int64)}
+    )

@@ -267,6 +267,29 @@ def _load_yaml(spec: dict | str) -> dict:
 
         import yaml
 
+        if spec.startswith("yaml:"):
+            # confmap/provider/yamlprovider parity: the URI's payload
+            # IS the YAML document ("yaml:processors::batch: {}" in
+            # the reference; here the whole pipeline spec). Explicit
+            # scheme — unlike the bare-string inline fallback below,
+            # a malformed path can't silently parse as YAML.
+            return _parse_yaml(spec[len("yaml:") :], "<yaml: uri>")
+        if spec.startswith("env:"):
+            # confmap/provider/envprovider's WHOLE-URI form (distinct
+            # from ${env:VAR} interpolation): the named variable holds
+            # a complete YAML document.
+            name = spec[len("env:") :]
+            if name not in (os.environ):
+                raise ConfigError(f"config env var not set: {name!r}")
+            return _parse_yaml(os.environ[name], spec)
+        if spec.startswith("file:"):
+            # confmap/provider/fileprovider's explicit-scheme form;
+            # a missing file is a ConfigError, not an inline parse.
+            path = spec[len("file:") :]
+            if not os.path.exists(path):
+                raise ConfigError(f"config file not found: {path!r}")
+            with open(path) as f:
+                return _parse_yaml(f.read(), spec)
         if spec.startswith(("http://", "https://")):
             # confmap/provider/httpprovider + httpsprovider parity:
             # a config URI fetched over HTTP(S) and parsed as YAML.

@@ -176,6 +176,25 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
+def _coord_diff_planes(dim: int, bits: int) -> np.ndarray:
+    """Deterministic sparse sign-LSH hyperplanes: plane j is the
+    coordinate difference x[2j] − x[2j+1] (+1/−1 at two positions,
+    zero elsewhere). A valid data-independent random-projection family
+    for zero-centered embeddings — and, unlike gaussian planes, exactly
+    SQL-mirrorable: the BLAS row product reduces to one IEEE subtract
+    (the 62 zero terms add exactly 0.0), so the sign bit is
+    bit-reproducible as ``embedding[2j+1] − embedding[2j+2] >= 0`` in
+    DuckDB. Used by the oracle-gated near-dup tier; the gaussian family
+    stays the default."""
+    if 2 * bits > dim:
+        raise ValueError(f"coord-diff planes need dim >= 2*bits, got {dim}/{bits}")
+    planes = np.zeros((bits, dim), dtype=np.float64)
+    for j in range(bits):
+        planes[j, 2 * j] = 1.0
+        planes[j, 2 * j + 1] = -1.0
+    return planes
+
+
 def lsh_bucket_batch(batch: pa.Table, planes: np.ndarray, id_col="vec_id") -> pa.Table:
     if len(batch) == 0:
         return batch.append_column("bucket", pa.array([], type=pa.int64()))
@@ -244,6 +263,7 @@ def embedding_near_dup_lsh(
     threshold: float = 0.4,
     bits: int | None = None,
     id_col: str = "vec_id",
+    planes_mode: str = "gaussian",
 ) -> ray.data.Dataset:
     """LSH-bucketed embedding near-dup pairs — the scale path beyond
     ~10M vectors where ``embedding_near_dup_pairs``'s broadcast matrix
@@ -256,14 +276,22 @@ def embedding_near_dup_lsh(
     rows must fit a worker); ``bits=None`` auto-derives it from corpus
     rows × dim via ``auto_lsh_bits`` so the expected bucket fits a
     worker budget at any scale. Duplicates from multi-bucket meetings
-    collapse in a final sharded distinct."""
+    collapse in a final sharded distinct. ``planes_mode="coord-diff"``
+    swaps the gaussian hyperplanes for the deterministic
+    SQL-mirrorable coordinate-difference family (`_coord_diff_planes`)
+    so the whole approximate pair set — Hamming-≤2 candidate rule plus
+    cosine verify — gets a full DuckDB oracle."""
     from ..functions.shard import coalesce_for_shuffle, sharded_group_map
 
     first = ds.take(1)
     dim = len(np.asarray(first[0]["embedding"]))
     if bits is None:
         bits = auto_lsh_bits(_knob_rows(ds), dim)
-    planes = _hyperplanes(dim, bits)
+    planes = (
+        _coord_diff_planes(dim, bits)
+        if planes_mode == "coord-diff"
+        else _hyperplanes(dim, bits)
+    )
     weights = (1 << np.arange(bits)).astype(np.int64)
 
     def explode(t: pa.Table) -> pa.Table:

@@ -1511,10 +1511,22 @@ _DSIR_MOD = 2147483647  # 2^31-1, the fingerprint/minhash Horner modulus
 
 def _ws_tokens(text_col):
     """Whitespace tokens of a string column with empty boundary tokens
-    dropped — exactly ``list_filter(string_split_regex(text, '\\s+'),
+    dropped — ``list_filter(string_split_regex(text, '\\s+'),
     x -> x <> '')`` in DuckDB (Arrow's split DOES emit empties at
     leading/trailing whitespace; SQL's regex split does not). Returns
-    (flat non-empty token array, parent row index per token)."""
+    (flat non-empty token array, parent row index per token).
+
+    WHITESPACE-CLASS caveat (beyond the byte-vs-codepoint ASCII one):
+    Arrow's ``utf8_split_whitespace`` follows the Unicode space
+    property — it splits on \\x0b (vertical tab: plain ASCII, so the
+    ASCII caveat does not cover it), \\x1c-\\x1f, NBSP and the other
+    Unicode space codepoints — while DuckDB's RE2 ``\\s`` does not
+    split on those: 'a\\x0bb' tokenizes as ['a','b'] here but stays
+    whole in the oracle. The fixture corpus is space/\\t/\\n/\\r-only
+    (where the engines agree), and the oracle gate would mismatch
+    loudly on a corpus containing a divergent character; align by
+    pre-replacing the divergent class on one side if that ever happens
+    (the pc.utf8_trim(col, ' ') trim-parity fix is the model)."""
     toks = pc.utf8_split_whitespace(pc.fill_null(text_col, ""))
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
@@ -1678,12 +1690,18 @@ def lm_hits_exact(
         )
         return pa.Table.from_pandas(df.head(top), preserve_index=False)
 
-    vocab = (
-        counts_ds.map_batches(block_top, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
-        .head(top)
-    )
+    vocab = counts_ds.map_batches(block_top, batch_format="pyarrow").to_pandas()
+    if "n" not in vocab.columns:
+        # zero-token corpus (all texts null/empty): the aggregate is a
+        # ZERO-block dataset whose to_pandas() has no columns at all
+        # (the CLAUDE.md normalize-at-the-consumer quirk) — an empty
+        # lookup makes every token OOV, mirroring the oracle's
+        # LEFT JOIN + COALESCE(0)
+        vocab = _pd.DataFrame({"token": _pd.Series(dtype=object),
+                               "n": _pd.Series(dtype="int64")})
+    vocab = vocab.sort_values(
+        ["n", "token"], ascending=[False, True], kind="mergesort"
+    ).head(top)
     lookup = _pd.Series(
         vocab["n"].to_numpy(dtype=np.int64),
         index=vocab["token"].to_numpy(dtype=object),

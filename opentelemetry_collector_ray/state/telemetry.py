@@ -151,8 +151,13 @@ def _prom_escape(v: str) -> str:
 
 
 def _prom_unescape(v: str) -> str:
-    return (
-        v.replace("\\n", "\n").replace('\\"', '"').replace("\\\\", "\\")
+    """Single left-to-right pass — sequential str.replace cannot invert
+    the escape (an escaped backslash followed by a literal 'n', as in
+    'back\\' + 'nslash', would decode as a newline)."""
+    import re
+
+    return re.sub(
+        r"\\(.)", lambda m: {"n": "\n"}.get(m.group(1), m.group(1)), v
     )
 
 

@@ -336,6 +336,72 @@ def test_http_config_provider(corpus, tmp_path):
         load_config([base, "http://127.0.0.1:1/cfg.yaml"])
 
 
+def test_all_provider_schemes_merge(corpus, tmp_path, monkeypatch):
+    """confmap provider-scheme parity in ONE resolution: file: + env:
+    (whole-URI form) + http:// + yaml: sources deep-merge in order with
+    later sources overriding earlier (resolver.go:128-170), and the
+    explicit schemes fail loudly (missing file / unset var / bad YAML)
+    instead of falling back to the bare-string inline parse."""
+    import http.server
+    import threading
+
+    import pytest
+
+    from opentelemetry_collector_ray.pipelines.config import ConfigError
+
+    # file: — the base pipeline
+    f = tmp_path / "base.yaml"
+    f.write_text(
+        "pipeline:\n"
+        "  source: {type: parquet, paths: ['" + corpus + "']}\n"
+        "  stages: [{type: parse}]\n"
+        "  sinks: {mode: route, out_dir: /tmp/from_file}\n"
+    )
+    # env: (whole-URI) — overrides out_dir
+    monkeypatch.setenv(
+        "CFG_YAML", "pipeline:\n  sinks:\n    out_dir: /tmp/from_envuri\n"
+    )
+    # http:// — overrides again
+    body = b"pipeline:\n  sinks:\n    out_dir: /tmp/from_http\n"
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/cfg.yaml"
+        # yaml: — wins last
+        y = "yaml:pipeline: {sinks: {out_dir: /tmp/from_yamluri}}"
+        cfg = load_config([f"file:{f}", "env:CFG_YAML", url, y])
+        assert cfg.sinks.out_dir == "/tmp/from_yamluri"
+        assert cfg.sinks.mode == "route"  # file: sibling key survived
+        # drop the yaml: source → http wins; drop http → env: wins
+        assert (
+            load_config([f"file:{f}", "env:CFG_YAML", url]).sinks.out_dir
+            == "/tmp/from_http"
+        )
+        assert (
+            load_config([f"file:{f}", "env:CFG_YAML"]).sinks.out_dir
+            == "/tmp/from_envuri"
+        )
+    finally:
+        srv.shutdown()
+    with pytest.raises(ConfigError, match="file not found"):
+        load_config([f"file:{tmp_path}/nope.yaml"])
+    with pytest.raises(ConfigError, match="env var not set"):
+        load_config(["env:CFG_YAML_DOES_NOT_EXIST_12345"])
+    with pytest.raises(ConfigError, match="unparsable YAML"):
+        load_config(["yaml:pipeline: {sinks: {out_dir: ["])
+
+
 def test_feature_gates(corpus):
     from opentelemetry_collector_ray.pipelines.config import (
         register_gate,

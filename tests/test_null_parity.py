@@ -126,6 +126,10 @@ QUERIES = [
     "dsir_exact",  # null text -> 0 tokens/weight; null lang out of target
     "metrics_transform",  # null action -> null metric group; null value sum
     "lm_hits_exact",  # null text -> 0 hits / 0 oov on both sides
+    # round-5 oracle promotions (the former no_oracle rows)
+    "hll_distinct",  # null event_type group filtered on both sides
+    "tdigest_quantiles",  # null value dropped before quantization
+    "bloom_dedup",  # null text -> fingerprint 0 on both sides
 ]
 
 # The affine sketch tier keys on events.user_id/event_id — columns the
@@ -138,6 +142,9 @@ UID_NULL_QUERIES = [
     "bloom_exact",
     "kmv_exact_small",
     "hll_registers_exact",
+    "countmin_counts",
+    "heavy_hitters",
+    "hll_distinct",  # user_id-null path (also in the shared list for event_type nulls)
 ]
 
 

@@ -2291,6 +2291,29 @@ def test_lm_hits_exact_truncation_and_oov():
     assert out["n_oov"].tolist() == [1, 2, 0, 0]
 
 
+def test_lm_hits_exact_zero_token_corpus():
+    """ALL texts null/empty: the token-count aggregate is a zero-block
+    dataset whose to_pandas() has no columns (the normalize-at-the-
+    consumer quirk) — the vocab must degrade to empty (every token OOV)
+    instead of KeyError 'n', mirroring the oracle's LEFT JOIN +
+    COALESCE(0)."""
+    import pyarrow as _pa
+
+    from opentelemetry_collector_ray.stages.text import lm_hits_exact
+
+    docs = _pa.table(
+        {"doc_id": [1, 2, 3], "text": [None, "", "   "]}
+    )
+    out = (
+        lm_hits_exact(ray.data.from_arrow(docs).repartition(2), top=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["lm_hits"].tolist() == [0, 0, 0]
+    assert out["n_oov"].tolist() == [0, 0, 0]
+
+
 def test_dsir_weights_ranking_and_invariance():
     """DSIR importance weights: target-like docs outrank dissimilar
     ones, and weights are independent of partitioning (per-doc exact

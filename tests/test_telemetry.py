@@ -199,6 +199,10 @@ def test_prometheus_wire_roundtrip(tmp_path):
     # instrument name survive the round-trip instead of being dropped
     weird = {'q"uote': 3, "back\\slash": 4, "new\nline": 5}
     assert parse_prometheus(render_prometheus(weird)) == weird
+    # adversarial: an escaped backslash followed by a LITERAL 'n' —
+    # sequential str.replace unescaping decoded this as a newline
+    adversarial = {"back\\nslash": 7, "\\\\n": 8, "end\\": 9}
+    assert parse_prometheus(render_prometheus(adversarial)) == adversarial
     # export path lands a .prom file, idempotently (timestamp-free)
     out = str(tmp_path / "prom")
     p1 = export_telemetry(SNAP, out, TS, wire="prom")
