@@ -4095,6 +4095,74 @@ def q_media_decode_real(sf_dir: str):
     return resized.map_batches(project, batch_format="pyarrow")
 
 
+def q_media_decode_jpeg(sf_dir: str):
+    """REAL baseline-JPEG decode (pure-numpy Huffman + dequant + IDCT,
+    `stages/jpegcodec.py`) under a FULL oracle: per embeddings vec_id,
+    a 48×64 grayscale image of CONSTANT 8×8 blocks with EVEN pixel
+    values (`jpegcodec.synth_block_image`'s closed-form rule) is
+    encoded as a real JPEG bitstream at quality 50 (Annex-K Q[0]=16),
+    run through the actor-pool DecodeStage (real path — proves the
+    pool decodes JPEG), then re-decoded to emit exact INTEGER channel
+    sums/sums-of-squares. For such images decode∘encode is the
+    IDENTITY bit-for-bit (DC = 8·(v−128) quantizes losslessly; pinned
+    exhaustively in test_jpegcodec), so the oracle regenerates the
+    same pixels from the closed-form block rule in pure BIGINT SQL —
+    a hash match proves the whole bitstream→Huffman→IDCT path."""
+    import numpy as np
+    import ray.data
+
+    from opentelemetry_collector_ray.stages.imagecodec import decode_image
+    from opentelemetry_collector_ray.stages.jpegcodec import (
+        encode_jpeg,
+        synth_block_image,
+    )
+    from opentelemetry_collector_ray.stages.multimodal import DecodeStage
+
+    ids = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    )
+
+    def make_media(t: pa.Table) -> pa.Table:
+        mids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in mids:
+            img = synth_block_image(int(i), blocks_x=8, blocks_y=6)
+            payloads.append(encode_jpeg(img, quality=50))
+        return pa.table(
+            {
+                "media_id": pa.array(mids, type=pa.int64()),
+                "media_type": pa.array(
+                    ["image/jpeg"] * len(mids), type=pa.string()
+                ),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    media = ids.map_batches(make_media, batch_format="pyarrow", batch_size=256)
+    decoded = media.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"fake_decode": False},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        sums = np.empty((len(t), 3), dtype=np.int64)
+        sqs = np.empty((len(t), 3), dtype=np.int64)
+        for r, payload in enumerate(t["payload"].to_pylist()):
+            px = decode_image(payload).astype(np.int64)  # (48, 64, 3)
+            sums[r] = px.sum(axis=(0, 1))
+            sqs[r] = (px * px).sum(axis=(0, 1))
+        cols = {"media_id": t["media_id"]}
+        for c, name in enumerate("rgb"):
+            cols[f"sum_{name}"] = pa.array(sums[:, c], type=pa.int64())
+            cols[f"ss_{name}"] = pa.array(sqs[:, c], type=pa.int64())
+        return pa.table(cols)
+
+    return decoded.map_batches(project, batch_format="pyarrow")
+
+
 def q_boilerplate_lines(sf_dir: str):
     """Cross-document line dedup (the C4 policy-line rule generalized):
     lines appearing in >= min_docs DISTINCT documents are boilerplate
@@ -4349,6 +4417,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "telemetry_export": q_telemetry_export,
     "telemetry_prom": q_telemetry_prom,
     "media_decode_real": q_media_decode_real,
+    "media_decode_jpeg": q_media_decode_jpeg,
     "boilerplate_lines": q_boilerplate_lines,
     "dsir_weights": q_dsir_weights,
     "dsir_exact": q_dsir_exact,
@@ -5158,6 +5227,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(b) AS BIGINT) AS sum_b, "
             "CAST(sum(b * b) AS BIGINT) AS ss_b "
             "FROM px GROUP BY media_id"
+        ),
+        # JPEG decode gate: decode(encode(img)) is the IDENTITY for
+        # constant even-valued 8x8 blocks at quality 50 (Q[0]=16), so
+        # the oracle regenerates synth_block_image's rule v =
+        # ((vec_id*7 + k*13) % 128)*2 over the 48 blocks (6x8 grid)
+        # directly — 64 pixels per block, gray broadcast to all three
+        # channels
+        "media_decode_jpeg": (
+            "WITH blk AS (SELECT e.vec_id AS media_id, "
+            "((e.vec_id * 7 + k.range * 13) % 128) * 2 "
+            "AS v FROM embeddings e CROSS JOIN range(0, 48) k) "
+            "SELECT media_id, "
+            "CAST(64 * sum(v) AS BIGINT) AS sum_r, "
+            "CAST(64 * sum(v * v) AS BIGINT) AS ss_r, "
+            "CAST(64 * sum(v) AS BIGINT) AS sum_g, "
+            "CAST(64 * sum(v * v) AS BIGINT) AS ss_g, "
+            "CAST(64 * sum(v) AS BIGINT) AS sum_b, "
+            "CAST(64 * sum(v * v) AS BIGINT) AS ss_b "
+            "FROM blk GROUP BY media_id"
         ),
         "sliding_window": (
             "SELECT event_id, user_id, ts, "

@@ -132,24 +132,41 @@ def run_bench() -> dict:
     ) else []
     ray.shutdown()  # free the CPUs before the children init their own
 
-    queries: dict[str, float] = {}
-    group = int(os.environ.get("GRAFT_BENCH_GROUP", "20"))
-    for i in range(0, len(names), group):
-        chunk = names[i : i + group]
+    def time_chunk(chunk: list[str]) -> dict[str, float] | None:
         env = dict(
             os.environ,
             GRAFT_BENCH_QUERIES=",".join(chunk),
             GRAFT_NO_QUERY_CACHE="1",
             RAY_GRAFT_CPUS=str(NUM_CPUS),
         )
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
-        ).stdout
-        queries.update(json.loads(out.strip().splitlines()[-1])["queries"])
+        )
+        if proc.returncode != 0:
+            return None
+        return json.loads(proc.stdout.strip().splitlines()[-1])["queries"]
+
+    queries: dict[str, float] = {}
+    group = int(os.environ.get("GRAFT_BENCH_GROUP", "20"))
+    for i in range(0, len(names), group):
+        chunk = names[i : i + group]
+        got = time_chunk(chunk)
+        if got is None:
+            # one crashed query must not lose the chunk (or the whole
+            # bench): isolate it by re-running query-by-query; a query
+            # that also fails alone is reported to stderr and skipped
+            # (stdout stays the one-JSON-line driver contract)
+            got = {}
+            for name in chunk:
+                one = time_chunk([name])
+                if one is None:
+                    print(f"bench: query {name} failed", file=sys.stderr)
+                else:
+                    got.update(one)
+        queries.update(got)
 
     return {
         "metric": "parse_enrich_route_aggregate_sec",

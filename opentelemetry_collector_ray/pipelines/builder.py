@@ -170,6 +170,17 @@ def _build_transform(opts):
     return TransformStage(list(opts["statements"]))
 
 
+def _build_memory_limiter(opts):
+    # explicit per-worker memory budget (memorylimiterprocessor
+    # parity): {type: memory_limiter, limit_mib: N[, spike_limit_mib]}
+    from ..stages.memlimit import MemoryLimiterStage
+
+    kwargs = {"limit_mib": float(opts["limit_mib"])}
+    if "spike_limit_mib" in opts:
+        kwargs["spike_limit_mib"] = float(opts["spike_limit_mib"])
+    return MemoryLimiterStage, kwargs
+
+
 STAGE_REGISTRY: dict[str, Callable] = {
     "parse": _build_parse,
     "enrich": _build_enrich,
@@ -183,6 +194,7 @@ STAGE_REGISTRY: dict[str, Callable] = {
     "condition_filter": _build_condition_filter,
     "transform": _build_transform,
     "map_attributes": _build_map_attributes,
+    "memory_limiter": _build_memory_limiter,
     "rebatch": None,  # handled structurally (dataset-level, not batch-level)
 }
 
@@ -394,6 +406,17 @@ def _stage_concurrency(opts: dict):
     return tuple(c) if isinstance(c, list) else c
 
 
+def _stage_remote_args(opts: dict) -> dict:
+    """Scheduler-side memory budget (memorylimiter parity, half 2 —
+    see stages/memlimit.py): ``memory_mib`` on any stage becomes the
+    Ray ``memory`` resource, so the scheduler reserves that heap per
+    actor/task and never co-locates more workers than the node holds."""
+    mib = opts.get("memory_mib")
+    if mib is None:
+        return {}
+    return {"memory": int(float(mib) * 1024 * 1024)}
+
+
 def _apply_stages(
     ds: ray.data.Dataset,
     cfg: PipelineConfig,
@@ -431,6 +454,7 @@ def _apply_stages(
                     batch_format="pyarrow",
                     batch_size=st.options.get("batch_size"),
                     concurrency=_stage_concurrency(st.options),
+                    **_stage_remote_args(st.options),
                 )
             else:
                 ds = ds.map_batches(
@@ -439,6 +463,7 @@ def _apply_stages(
                     batch_format="pyarrow",
                     batch_size=st.options.get("batch_size"),
                     concurrency=_stage_concurrency(st.options),
+                    **_stage_remote_args(st.options),
                 )
         elif counters_run_id is not None:
             ds = ds.map_batches(
@@ -451,6 +476,7 @@ def _apply_stages(
                 batch_format="pyarrow",
                 batch_size=st.options.get("batch_size"),
                 concurrency=_stage_concurrency(st.options),
+                **_stage_remote_args(st.options),
             )
         else:
             # plain-function stage, counters off: honor the per-stage
@@ -459,6 +485,7 @@ def _apply_stages(
                 built,
                 batch_format="pyarrow",
                 batch_size=st.options.get("batch_size"),
+                **_stage_remote_args(st.options),
             )
     return ds
 

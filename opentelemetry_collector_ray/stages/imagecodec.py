@@ -23,6 +23,10 @@ from __future__ import annotations
 
 import numpy as np
 
+# module-level, NOT function-body: decode_image runs on workers, which
+# resolve this package only via pickle-by-value (CLAUDE.md)
+from .jpegcodec import decode_jpeg
+
 
 def _pnm_header(buf: bytes):
     """Parse a netpbm header: magic, then whitespace/comment-separated
@@ -263,9 +267,16 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_bmp(buf)
     if buf.startswith(_PNG_SIG):
         return decode_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        try:
+            return decode_jpeg(buf)
+        except ValueError as e:
+            # non-baseline (progressive/12-bit/multi-scan) stays an
+            # honest per-payload gate, never a wrong decode
+            raise ValueError(f"JPEG variant unsupported: {e}") from e
     raise ValueError(
-        "unsupported payload (PPM/PGM/BMP/non-interlaced-PNG decode "
-        "without codec libraries; JPEG needs a codec library)"
+        "unsupported payload (PPM/PGM/BMP/non-interlaced-PNG/baseline-"
+        "JPEG decode without codec libraries)"
     )
 
 

@@ -13,9 +13,9 @@ per batch (an actor RPC per batch would serialize the pipeline);
 instead the driver records stage-level row counts (Dataset counts /
 aggregate results) after each consuming operation — same monotonic
 counter surface, no data-plane overhead. In batch mode ``refused`` and
-``dropped`` are structural zeros (backpressure replaces refusal —
-memorylimiterprocessor/memorylimiter.go:218-235 has no analogue because
-the streaming executor never overcommits).
+``dropped`` are structural zeros (backpressure replaces refusal; for
+the explicit memorylimiterprocessor budget surface — per-worker RSS
+refusal with hysteresis — see ``stages/memlimit.py``).
 """
 
 from __future__ import annotations
