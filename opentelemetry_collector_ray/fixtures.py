@@ -120,6 +120,117 @@ def _write_shard(out_dir: str, f: int, start: int, cnt: int) -> str:
     return p
 
 
+_DOC_VOCAB = np.array(
+    [f"{a}{b}" for a in _WORDS for b in ("", "-x", "-y", "-z")]
+    + [f"tok{k:03d}" for k in range(460)],
+    dtype=object,
+)  # 512 distinct words
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — uint64 in, well-mixed uint64 out."""
+    with np.errstate(over="ignore"):
+        z = z * np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def gen_documents(n_docs: int, start_doc: int = 0) -> pa.Table:
+    """Deterministic documents table (same shape as
+    testdata/documents.parquet) with PLANTED near-duplicate clusters
+    for dedup stress runs: docs come in groups of 5 by ``b = i - i%5``;
+    members r ∈ {1, 2} are the base doc's text with the r-th word
+    replaced (Jaccard ≈ 1 − 2/L, a near-dup of the base), members
+    r ∈ {3, 4} are unrelated. Text is L = 30 + (b % 90) words drawn
+    from a 512-word vocab by pure index arithmetic; the whole shard is
+    vectorized (numpy index matrix → Arrow ListArray →
+    ``pc.binary_join``), no per-row Python."""
+    import pyarrow.compute as pc
+
+    i = np.arange(start_doc, start_doc + n_docs, dtype=np.int64)
+    r = i % 5
+    b = i - r
+    dup = (r == 1) | (r == 2)
+    base = np.where(dup, b, i)  # content-defining index
+    L = 30 + (base % 90)  # words per doc, 30..119
+    maxL = int(L.max()) if n_docs else 0
+
+    k = np.arange(maxL, dtype=np.int64)
+    # word index grid: splitmix64-style mix of the distinct (base, k)
+    # key, top 9 bits. The xor-shift rounds matter: a bare multiply is
+    # LINEAR in k (h(k+1) = h(k) + c), which makes every doc a window
+    # into one global arithmetic-progression orbit — docs at nearby
+    # phases then share long identical word runs (observed cross-group
+    # shingle Jaccard up to 0.79); after mixing, unrelated docs share
+    # words only at the ~L²/V chance rate and shingles at ~0
+    key = (base[:, None] * 131071 + k[None, :]).astype(np.uint64)
+    idx = _mix64(key) >> np.uint64(55)  # 0..511
+    # near-dup perturbation: replace word at position r with a doc-
+    # unique token index (still inside the vocab)
+    rows = np.nonzero(dup)[0]
+    pert = _mix64((i[rows] * 2654435761 + 97).astype(np.uint64)) >> np.uint64(55)
+    idx[rows, r[rows]] = pert
+
+    mask = k[None, :] < L[:, None]
+    flat = _DOC_VOCAB[idx[mask]]
+    offsets = np.concatenate(([0], np.cumsum(L))).astype(np.int32)
+    words = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(flat, type=pa.string())
+    )
+    text = pc.binary_join(words, " ")
+
+    langs = np.asarray(["en", "de", "fr", "es"], dtype=object)
+    return pa.table(
+        {
+            "doc_id": pa.array(i, type=pa.int64()),
+            "text": text,
+            "lang": pa.array(langs[(i * 7) % 4], type=pa.string()),
+            "source": pa.array(
+                np.char.add("src-", (i % 10).astype("U2")).astype(object),
+                type=pa.string(),
+            ),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        }
+    )
+
+
+def _write_doc_shard(out_dir: str, f: int, start: int, cnt: int) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(out_dir, f"part-{f:05d}.parquet")
+    pq.write_table(gen_documents(cnt, start_doc=start), p)
+    return p
+
+
+def write_documents_corpus(
+    out_dir: str, n_docs: int, files: int = 8
+) -> list[str]:
+    """Deterministic documents corpus as ``files`` Parquet shards
+    (parallel Ray tasks when a session is up) — the dedup-stress twin
+    of ``write_transcript_corpus``."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = n_docs // files
+    plan = []
+    for f in range(files):
+        start = f * per
+        cnt = per if f < files - 1 else n_docs - start
+        plan.append((f, start, cnt))
+
+    import ray
+
+    if ray.is_initialized():
+        task = ray.remote(_write_doc_shard)
+        return ray.get(
+            [task.remote(out_dir, f, s, c) for f, s, c in plan]
+        )
+    return [_write_doc_shard(out_dir, f, s, c) for f, s, c in plan]
+
+
 def write_transcript_corpus(
     out_dir: str, n_conv: int, files: int = 8
 ) -> list[str]:

@@ -173,21 +173,32 @@ def batch_shingle_hashes(
     return h, offsets
 
 
-_MH_PRIME = np.uint64((1 << 61) - 1)
-
-
 class MinHashStage:
     """Per-doc MinHash signature: ``num_hashes`` permutations via the
-    (a*x + b) mod p family; coefficients derived from a fixed seed once
+    multiply-shift family h_k(x) = a_k·x + b_k over uint64 WRAPAROUND
+    arithmetic (a_k odd); coefficients derived from a fixed seed once
     per actor. Emits ``minhash: list<uint64>``. Fully vectorized: one
     ``batch_shingle_hashes`` pass, then per-doc mins via
     ``np.minimum.reduceat`` (hash functions chunked to bound the (S, K)
-    intermediate)."""
+    intermediate).
+
+    Why mod 2^64 and not (a·x + b) mod 2^61−1: with 32-bit-folded x and
+    a < 2^31, a·x < 2^63 wraps the Mersenne-61 modulus at most four
+    times, so every "permutation" is piecewise-monotone in x and their
+    mins are all driven by the same few smallest shingle hashes —
+    measured signature agreement 0.06–0.47 on pairs with true Jaccard
+    0.83–0.96 (LSH recall collapse). Full-width wraparound multiply by
+    an odd a wraps ~2^32 times per step and has none of that structure
+    (agreement tracks J to within binomial noise)."""
 
     def __init__(self, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, 1 << 31, size=num_hashes).astype(np.uint64)
-        self.b = rng.randint(0, 1 << 31, size=num_hashes).astype(np.uint64)
+        hi = rng.randint(0, 1 << 32, size=num_hashes).astype(np.uint64)
+        lo = rng.randint(0, 1 << 32, size=num_hashes).astype(np.uint64)
+        self.a = (hi << np.uint64(32) | lo) | np.uint64(1)  # odd 64-bit
+        hi = rng.randint(0, 1 << 32, size=num_hashes).astype(np.uint64)
+        lo = rng.randint(0, 1 << 32, size=num_hashes).astype(np.uint64)
+        self.b = hi << np.uint64(32) | lo
         self.shingle_n = shingle_n
         self.num_hashes = num_hashes
 
@@ -197,24 +208,18 @@ class MinHashStage:
             sigs = np.empty((0, self.num_hashes), dtype=np.uint64)
         else:
             flat, offsets = batch_shingle_hashes(texts, self.shingle_n)
-            # fold 64-bit shingle hashes to 32 bits so a*x + b stays
-            # exact (< 2^63) under the Mersenne-61 modulus
-            x = ((flat >> np.uint64(32)) ^ flat) & np.uint64(0xFFFFFFFF)
-            # per-hash 1-D ops with the Mersenne-61 fold
-            # ((z & p) + (z >> 61), one conditional subtract — exact
-            # z mod p for z < 2^122, bit-identical to ``%``): measured
-            # ~6× over the broadcast 2-D ``(x·a + b) % p``, whose big
-            # strided temporaries fall off this box's memory cliff
-            s61 = np.uint64(61)
+            # per-hash 1-D ops (measured faster than one broadcast 2-D
+            # (S, K) expression, whose big strided temporaries fall off
+            # this box's memory cliff); uint64 ``*``/``+`` wrap mod 2^64
             parts = []
-            for k0 in range(0, self.num_hashes, 16):
-                hk = np.empty((len(x), 16), dtype=np.uint64)
-                for j in range(16):
-                    z = x * self.a[k0 + j]
-                    z += self.b[k0 + j]
-                    z = (z & _MH_PRIME) + (z >> s61)
-                    hk[:, j] = np.where(z >= _MH_PRIME, z - _MH_PRIME, z)
-                parts.append(np.minimum.reduceat(hk, offsets[:-1], axis=0))
+            with np.errstate(over="ignore"):
+                for k0 in range(0, self.num_hashes, 16):
+                    hk = np.empty((len(flat), 16), dtype=np.uint64)
+                    for j in range(16):
+                        hk[:, j] = flat * self.a[k0 + j] + self.b[k0 + j]
+                    parts.append(
+                        np.minimum.reduceat(hk, offsets[:-1], axis=0)
+                    )
             sigs = np.concatenate(parts, axis=1)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.ravel(), type=pa.uint64()), self.num_hashes
