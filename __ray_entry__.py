@@ -5094,8 +5094,13 @@ def oracle_sql() -> dict[str, str]:
             "* (b.tgt - lo.clo) END AS v "
             "FROM b LEFT JOIN lo ON lo.qm = b.qm "
             "LEFT JOIN hi ON hi.qm = b.qm) "
+            # COALESCE: on an all-null/empty value column the engine
+            # normalizes the empty histogram to est_milli=0 (sketch.py
+            # quantized_tdigest_quantiles); the interp terms here go
+            # NULL instead — mirror the 0
             "SELECT CAST(qm AS BIGINT) AS q, "
-            "cast(floor(v * 1000) AS BIGINT) AS est_milli FROM est"
+            "cast(floor(COALESCE(v, 0) * 1000) AS BIGINT) AS est_milli "
+            "FROM est"
         ),
         # Misra-Gries with k ≥ gate-scale cardinality: no decrement ever
         # fires, so estimates are exact counts and max_err = 0

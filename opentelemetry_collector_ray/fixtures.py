@@ -174,7 +174,17 @@ def gen_documents(n_docs: int, start_doc: int = 0) -> pa.Table:
 
     mask = k[None, :] < L[:, None]
     flat = _DOC_VOCAB[idx[mask]]
-    offsets = np.concatenate(([0], np.cumsum(L))).astype(np.int32)
+    offsets64 = np.concatenate(([0], np.cumsum(L)))
+    if offsets64[-1] >= np.iinfo(np.int32).max:
+        # ListArray offsets are int32 and from_arrays does NOT
+        # validate — a wrapped cumsum would land as silently-corrupt
+        # parquet. Callers hit this at ~29M docs per shard; raise with
+        # the fix instead of corrupting.
+        raise ValueError(
+            f"shard word count {offsets64[-1]} overflows int32 list "
+            "offsets; raise files= in write_documents_corpus"
+        )
+    offsets = offsets64.astype(np.int32)
     words = pa.ListArray.from_arrays(
         pa.array(offsets), pa.array(flat, type=pa.string())
     )

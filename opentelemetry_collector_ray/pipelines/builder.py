@@ -178,6 +178,8 @@ def _build_memory_limiter(opts):
     kwargs = {"limit_mib": float(opts["limit_mib"])}
     if "spike_limit_mib" in opts:
         kwargs["spike_limit_mib"] = float(opts["spike_limit_mib"])
+    if "recovery_timeout_s" in opts:
+        kwargs["recovery_timeout_s"] = float(opts["recovery_timeout_s"])
     return MemoryLimiterStage, kwargs
 
 
@@ -406,15 +408,22 @@ def _stage_concurrency(opts: dict):
     return tuple(c) if isinstance(c, list) else c
 
 
-def _stage_remote_args(opts: dict) -> dict:
+def _stage_remote_args(opts: dict, stage_type: str | None = None) -> dict:
     """Scheduler-side memory budget (memorylimiter parity, half 2 —
     see stages/memlimit.py): ``memory_mib`` on any stage becomes the
     Ray ``memory`` resource, so the scheduler reserves that heap per
-    actor/task and never co-locates more workers than the node holds."""
+    actor/task and never co-locates more workers than the node holds.
+
+    (Refusal retryability is handled INSIDE MemoryLimiterStage — a
+    bounded wait-for-recovery — because Ray actor pools reject
+    ``retry_exceptions`` as a creation option and Ray Data exposes no
+    per-method retry surface; an unhandled refusal exception would
+    abort the whole pipeline, not backpressure it.)"""
+    out: dict = {}
     mib = opts.get("memory_mib")
-    if mib is None:
-        return {}
-    return {"memory": int(float(mib) * 1024 * 1024)}
+    if mib is not None:
+        out["memory"] = int(float(mib) * 1024 * 1024)
+    return out
 
 
 def _apply_stages(
@@ -454,7 +463,7 @@ def _apply_stages(
                     batch_format="pyarrow",
                     batch_size=st.options.get("batch_size"),
                     concurrency=_stage_concurrency(st.options),
-                    **_stage_remote_args(st.options),
+                    **_stage_remote_args(st.options, st.type),
                 )
             else:
                 ds = ds.map_batches(
@@ -463,7 +472,7 @@ def _apply_stages(
                     batch_format="pyarrow",
                     batch_size=st.options.get("batch_size"),
                     concurrency=_stage_concurrency(st.options),
-                    **_stage_remote_args(st.options),
+                    **_stage_remote_args(st.options, st.type),
                 )
         elif counters_run_id is not None:
             ds = ds.map_batches(
@@ -476,7 +485,7 @@ def _apply_stages(
                 batch_format="pyarrow",
                 batch_size=st.options.get("batch_size"),
                 concurrency=_stage_concurrency(st.options),
-                **_stage_remote_args(st.options),
+                **_stage_remote_args(st.options, st.type),
             )
         else:
             # plain-function stage, counters off: honor the per-stage
@@ -485,7 +494,7 @@ def _apply_stages(
                 built,
                 batch_format="pyarrow",
                 batch_size=st.options.get("batch_size"),
-                **_stage_remote_args(st.options),
+                **_stage_remote_args(st.options, st.type),
             )
     return ds
 

@@ -303,7 +303,23 @@ def _destuffed_segments(buf: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (H, W, 3) uint8 RGB."""
+    """Baseline JPEG bytes → (H, W, 3) uint8 RGB.
+
+    Every malformed-input failure surfaces as ``ValueError`` — the
+    honest-gate contract ``DecodeStage._decode_one`` catches per
+    payload. Without the translation below, wild corrupt streams leak
+    KeyError (DHT segment missing for a referenced table), IndexError
+    (fewer RST segments than restart intervals), or StopIteration (SOS
+    component id absent from SOF) and fail the whole Ray Data job."""
+    try:
+        return _decode_jpeg(buf)
+    except (KeyError, IndexError, StopIteration, ZeroDivisionError) as e:
+        raise ValueError(
+            f"malformed JPEG: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_jpeg(buf: bytes) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}

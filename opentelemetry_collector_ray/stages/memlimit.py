@@ -15,9 +15,15 @@ model state — and as the user-settable budget surface the reference
 exposes. Each actor in the pool guards ITS OWN process RSS (read from
 ``/proc/self/statm``, zero dependencies), which is exactly the
 per-worker semantics a multi-node deployment needs: one hot worker
-refuses while the rest keep flowing, and Ray's task retry re-runs the
-refused batch elsewhere or later — the batch-mode analogue of the
-reference's retryable refusal.
+PAUSES (bounded wait-for-recovery, ``recovery_timeout_s``) while the
+rest keep flowing — the stalled actor backpressures its share of the
+stream, the batch-mode analogue of the reference's retryable refusal.
+Only a worker whose RSS never recovers raises ``MemoryLimitExceeded``
+and fails the job loudly. The wait happens IN the stage because Ray
+offers no retry path for application exceptions on actor-pool tasks
+(``retry_exceptions`` is invalid at actor creation and Ray Data has no
+per-method option surface): an unhandled refusal exception would abort
+the pipeline, which is refusal-as-crash, not backpressure.
 
 The second half of the budget surface is scheduler-side: any stage may
 set ``memory_mib`` in its config, which becomes the Ray ``memory``
@@ -35,9 +41,9 @@ import pyarrow as pa
 
 
 class MemoryLimitExceeded(Exception):
-    """Refusal: deliberately NOT a sinks.retry.PermanentError — the
-    retry chain (and Ray's task retry) treats it as retryable, matching
-    the reference's non-permanent refusal error."""
+    """Refusal that outlived its recovery window: deliberately NOT a
+    sinks.retry.PermanentError — the sink retry chain treats it as
+    retryable, matching the reference's non-permanent refusal error."""
 
 
 _PAGE = os.sysconf("SC_PAGE_SIZE")
@@ -58,6 +64,10 @@ class MemoryLimiterStage:
     ``spike_limit_mib``: headroom below the hard limit that defines the
     soft limit; defaults to 20% of ``limit_mib`` as in the reference
     (memorylimiter.go factory default).
+    ``recovery_timeout_s``: how long a refusing worker waits (polling
+    every ``poll_interval_s``) for its RSS to drop below the soft limit
+    before giving up — the stalled task IS the backpressure; 0 means
+    fail immediately (the pre-wait semantics, used by the unit tests).
     ``rss_probe``: injectable RSS reader (MiB) for deterministic tests.
     """
 
@@ -66,6 +76,8 @@ class MemoryLimiterStage:
         limit_mib: float,
         spike_limit_mib: float | None = None,
         rss_probe=None,
+        recovery_timeout_s: float = 30.0,
+        poll_interval_s: float = 0.5,
     ):
         if limit_mib <= 0:
             raise ValueError("limit_mib must be positive")
@@ -77,24 +89,44 @@ class MemoryLimiterStage:
         self.soft = float(limit_mib) - float(spike_limit_mib)
         self._probe = rss_probe or process_rss_mib
         self._refusing = False
+        self._timeout = float(recovery_timeout_s)
+        self._poll = float(poll_interval_s)
+
+    def _await_recovery(self, rss: float) -> bool:
+        """Poll until RSS drops below the soft limit (hysteresis) or
+        the recovery window closes. True = recovered."""
+        import time
+
+        deadline = time.monotonic() + self._timeout
+        while rss >= self.soft:
+            if time.monotonic() >= deadline:
+                return False
+            time.sleep(self._poll)
+            rss = self._probe()
+        return True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rss = self._probe()
         if self._refusing:
-            if rss < self.soft:
+            if rss < self.soft or self._await_recovery(rss):
                 self._refusing = False  # hysteresis reset
             else:
                 raise MemoryLimitExceeded(
                     f"memory usage {rss:.0f} MiB still above soft limit "
-                    f"{self.soft:.0f} MiB (refusing until it recovers)"
+                    f"{self.soft:.0f} MiB after {self._timeout:.0f}s "
+                    "(refused until it recovers; it did not)"
                 )
         elif rss > self.hard:
             gc.collect()  # forced GC before refusing, as the reference
             rss = self._probe()
             if rss > self.hard:
                 self._refusing = True
-                raise MemoryLimitExceeded(
-                    f"memory usage {rss:.0f} MiB above hard limit "
-                    f"{self.hard:.0f} MiB"
-                )
+                if self._await_recovery(rss):
+                    self._refusing = False
+                else:
+                    raise MemoryLimitExceeded(
+                        f"memory usage {rss:.0f} MiB above hard limit "
+                        f"{self.hard:.0f} MiB and did not recover within "
+                        f"{self._timeout:.0f}s"
+                    )
         return batch

@@ -158,6 +158,10 @@ class OtlpHttpListener:
         self._port_req = port
         self.accepted = 0  # obsreport receiver-accepted mirror
         self.refused = 0
+        # ThreadingHTTPServer = one thread per connection: bare += on
+        # the counters is a read-modify-write race that loses updates
+        # under concurrent POSTs
+        self._count_lock = threading.Lock()
 
     # ------------------------------------------------------ lifecycle
     def start(self) -> int:
@@ -202,11 +206,13 @@ class OtlpHttpListener:
     def _spool_saturated(self) -> bool:
         if self._backlog is None:
             return False
-        n = sum(
-            1
-            for name in os.listdir(self._spool_dir)
-            if name.endswith(".parquet")
-        )
+        try:
+            names = os.listdir(self._spool_dir)
+        except FileNotFoundError:
+            # the receiver actor creates spool_dir lazily on its first
+            # landing — no directory yet means zero backlog, not 500
+            return False
+        n = sum(1 for name in names if name.endswith(".parquet"))
         return n >= self._backlog
 
     def _respond(self, h, code: int, body: bytes, ctype: str, extra=()):
@@ -219,9 +225,16 @@ class OtlpHttpListener:
         h.wfile.write(body)
 
     def _refuse(self, h, code: int, msg: str, retry: bool = False):
-        self.refused += 1
+        with self._count_lock:
+            self.refused += 1
         body = json.dumps({"message": msg}).encode()
         extra = [("Retry-After", self._retry_after)] if retry else []
+        # refusals answer BEFORE reading the request body; leftover
+        # body bytes would be parsed as the next request line on a
+        # kept-alive connection (bogus 400, lost retry) — close instead
+        # (send_header('Connection','close') also flips the handler's
+        # close_connection flag, so the socket is really torn down)
+        extra.append(("Connection", "close"))
         self._respond(h, code, body, "application/json", extra)
 
     def _handle(self, h):
@@ -243,12 +256,14 @@ class OtlpHttpListener:
                 return self._refuse(h, 429, "spool backlog full", True)
             length = int(h.headers.get("Content-Length") or 0)
             body = h.rfile.read(length)
-            # Content-Encoding by payload MAGIC, never the header alone
-            # (read_binary_files quirk generalized: a lying header
-            # must not corrupt the decode)
-            body = decompress_payload(body)
             root = _SIGNAL_ROOTS[signal]
             try:
+                # Content-Encoding by payload MAGIC, never the header
+                # alone (read_binary_files quirk generalized: a lying
+                # header must not corrupt the decode); a truncated gzip
+                # /zstd stream raising here is an undecodable payload
+                # (400), not a dropped connection
+                body = decompress_payload(body)
                 flat = (
                     _flatten_pb_request(body, root, self._classes)
                     if is_pb
@@ -260,8 +275,15 @@ class OtlpHttpListener:
             # the reference's ack-after-acceptance contract (an empty
             # Export acks immediately: nothing to land)
             if flat is not None and len(flat):
-                ray.get(actor.export_table.remote(flat, durable=True))
-                self.accepted += len(flat)
+                try:
+                    ray.get(actor.export_table.remote(flat, durable=True))
+                except Exception as e:  # spool landing failed
+                    # retryable server-side failure (disk full, actor
+                    # died): the reference maps consumer errors to 5xx,
+                    # never a dropped connection
+                    return self._refuse(h, 503, f"spool landing failed: {e}", True)
+                with self._count_lock:
+                    self.accepted += len(flat)
             if is_pb:
                 # empty ExportXServiceResponse serializes to b""
                 self._respond(h, 200, b"", ctype)

@@ -200,3 +200,38 @@ def test_quality_table_scaling():
         encode_jpeg(img, quality=50, quant_luma=flat, quant_chroma=flat)
     )
     assert (dec == 77).all()
+
+
+def _strip_marker(buf: bytes, marker: int) -> bytes:
+    """Drop every segment with the given marker byte from a JPEG."""
+    out = bytearray(buf[:2])
+    i = 2
+    while i < len(buf):
+        m = buf[i + 1]
+        seglen = int.from_bytes(buf[i + 2 : i + 4], "big")
+        seg = buf[i : i + 2 + seglen]
+        if m != marker:
+            out += seg
+        i += 2 + seglen
+        if m == 0xDA:  # SOS: entropy-coded data follows unframed
+            out += buf[i:]
+            break
+    return bytes(out)
+
+
+def test_malformed_streams_raise_valueerror_not_raw():
+    """Wild corrupt JPEGs must surface as ValueError (the per-payload
+    honest gate), never KeyError/StopIteration that would fail the
+    whole Ray Data job: a stream whose SOS references a Huffman table
+    no DHT defined, and an SOS component id absent from SOF."""
+    base = encode_jpeg(np.full((8, 8), 100, np.uint8), quality=50)
+
+    no_dht = _strip_marker(base, 0xC4)
+    with pytest.raises(ValueError, match="malformed JPEG"):
+        decode_jpeg(no_dht)
+
+    sos_at = base.find(b"\xff\xda")
+    bad_comp = bytearray(base)
+    bad_comp[sos_at + 5] = 9  # component id 9 not in SOF
+    with pytest.raises(ValueError, match="malformed JPEG"):
+        decode_jpeg(bytes(bad_comp))

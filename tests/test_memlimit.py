@@ -5,6 +5,8 @@ wiring, and the scheduler-side ``memory_mib`` budget knob."""
 
 import pyarrow as pa
 import pytest
+import ray
+import ray.data
 
 from opentelemetry_collector_ray.pipelines.builder import (
     STAGE_REGISTRY,
@@ -32,7 +34,8 @@ def test_hard_limit_refuses_after_gc_and_hysteresis_resets():
     drops below the SOFT limit, then flow resumes."""
     readings = iter([150.0, 150.0, 95.0, 85.0, 70.0, 70.0])
     st = MemoryLimiterStage(
-        limit_mib=100, spike_limit_mib=20, rss_probe=lambda: next(readings)
+        limit_mib=100, spike_limit_mib=20, rss_probe=lambda: next(readings),
+        recovery_timeout_s=0,  # fail-immediately: probe-sequence test
     )
     # 150 > hard(100); post-GC re-read 150 → refuse, refusal latched
     with pytest.raises(MemoryLimitExceeded, match="hard limit"):
@@ -121,3 +124,83 @@ def test_memory_limiter_in_pipeline(ray_session, tmp_path):
     out = build_dataset(cfg)
     n = ray.data.read_parquet(path, columns=["event_id"]).count()
     assert out.count() == n
+
+
+def test_remote_args_stay_valid_actor_options():
+    """Ray actor pools reject retry_exceptions at creation (and Ray
+    Data has no per-method retry surface) — the builder must never
+    emit it; refusal retryability lives INSIDE the stage as the
+    bounded wait instead."""
+    args = _stage_remote_args({"memory_mib": 64}, "memory_limiter")
+    assert args == {"memory": 64 * 1024 * 1024}
+
+
+class _SpikeProbe:
+    """RSS probe: over the hard limit for the first ``high`` calls,
+    recovered below the soft limit afterwards — a transient spike."""
+
+    def __init__(self, high=2):
+        self.calls = 0
+        self.high = high
+
+    def __call__(self):
+        self.calls += 1
+        return 10_000.0 if self.calls <= self.high else 1.0
+
+
+def test_transient_spike_waits_for_recovery_not_crash():
+    """Hard-limit trip + still-high post-GC read latches refusal; the
+    bounded wait then sees the recovered RSS and the batch FLOWS —
+    refusal is backpressure, not a pipeline abort."""
+    st = MemoryLimiterStage(
+        limit_mib=100,
+        rss_probe=_SpikeProbe(high=2),
+        recovery_timeout_s=5.0,
+        poll_interval_s=0.01,
+    )
+    assert st(BATCH) is BATCH
+    assert not st._refusing  # hysteresis reset after recovery
+
+
+def test_unrecovered_spike_fails_loudly_after_window():
+    st = MemoryLimiterStage(
+        limit_mib=100,
+        rss_probe=lambda: 10_000.0,
+        recovery_timeout_s=0.05,
+        poll_interval_s=0.01,
+    )
+    with pytest.raises(MemoryLimitExceeded, match="did not recover"):
+        st(BATCH)
+
+
+def test_transient_refusal_recovers_end_to_end(ray_session):
+    """The wait-for-recovery path live inside a Ray Data actor pool:
+    a worker whose RSS spikes transiently stalls its task (the
+    backpressure) and the pipeline completes."""
+
+    # nested so cloudpickle serializes it BY VALUE: Ray workers cannot
+    # import the pytest-loaded `test_memlimit` module, and a
+    # by-reference probe makes the actor constructor retry forever
+    class _WorkerSpikeProbe:
+        def __init__(self, high=2):
+            self.calls = 0
+            self.high = high
+
+        def __call__(self):
+            self.calls += 1
+            return 10_000.0 if self.calls <= self.high else 1.0
+
+    ds = ray.data.from_arrow(pa.table({"x": list(range(100))}))
+    out = ds.map_batches(
+        MemoryLimiterStage,
+        fn_constructor_kwargs={
+            "limit_mib": 100,
+            "rss_probe": _WorkerSpikeProbe(high=2),
+            "recovery_timeout_s": 10.0,
+            "poll_interval_s": 0.01,
+        },
+        batch_format="pyarrow",
+        concurrency=1,
+        **_stage_remote_args({}, "memory_limiter"),
+    ).take_all()
+    assert len(out) == 100
