@@ -1509,32 +1509,107 @@ def dsir_weights(
 _DSIR_MOD = 2147483647  # 2^31-1, the fingerprint/minhash Horner modulus
 
 
+# RE2's (and so DuckDB's) ``\s`` byte class, enumerated against DuckDB
+# itself: {\t \n \f \r space}. NOT \x0b (vertical tab) and NOT the
+# Unicode spaces (NBSP etc.) — RE2 \s is ASCII-only.
+_RE2_WS_BYTES = np.zeros(256, dtype=bool)
+_RE2_WS_BYTES[[0x09, 0x0A, 0x0C, 0x0D, 0x20]] = True
+
+
 def _ws_tokens(text_col):
     """Whitespace tokens of a string column with empty boundary tokens
-    dropped — ``list_filter(string_split_regex(text, '\\s+'),
-    x -> x <> '')`` in DuckDB (Arrow's split DOES emit empties at
-    leading/trailing whitespace; SQL's regex split does not). Returns
-    (flat non-empty token array, parent row index per token).
+    dropped — exactly ``list_filter(string_split_regex(text, '\\s+'),
+    x -> x <> '')`` in DuckDB. Returns (flat non-empty token array,
+    parent row index per token).
 
-    WHITESPACE-CLASS caveat (beyond the byte-vs-codepoint ASCII one):
-    Arrow's ``utf8_split_whitespace`` follows the Unicode space
-    property — it splits on \\x0b (vertical tab: plain ASCII, so the
-    ASCII caveat does not cover it), \\x1c-\\x1f, NBSP and the other
-    Unicode space codepoints — while DuckDB's RE2 ``\\s`` does not
-    split on those: 'a\\x0bb' tokenizes as ['a','b'] here but stays
-    whole in the oracle. The fixture corpus is space/\\t/\\n/\\r-only
-    (where the engines agree), and the oracle gate would mismatch
-    loudly on a corpus containing a divergent character; align by
-    pre-replacing the divergent class on one side if that ever happens
-    (the pc.utf8_trim(col, ' ') trim-parity fix is the model)."""
-    toks = pc.utf8_split_whitespace(pc.fill_null(text_col, ""))
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    nonempty = pc.greater(pc.utf8_length(flat), 0)
-    flat = flat.filter(nonempty)
-    parents = parents[nonempty.to_numpy(zero_copy_only=False)]
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
+    Implemented as a vectorized numpy pass over the flat Arrow byte
+    buffer instead of ``pc.utf8_split_whitespace`` for two reasons:
+
+    1. DETERMINISM. pyarrow 16.1.0's split kernel is nondeterministically
+       WRONG on ChunkedArray inputs inside Ray workers: the identical
+       single-chunk ``['', '   ']`` batch (same buffer bytes, offsets,
+       addresses) split as ``[[''], ['', ' ']]`` on 66 of 300 calls and
+       correctly on the rest — a phantom ``' '`` token. Plain-Array
+       inputs never misbehaved (0/300). This pass reads the buffer ONCE
+       into private memory and computes boundaries with numpy, so the
+       result is a pure function of the bytes.
+    2. ORACLE PARITY. The byte class above IS RE2's ``\\s``, so the old
+       whitespace-class caveat (Arrow split on \\x0b/NBSP, DuckDB not)
+       is gone: both engines now tokenize any corpus identically.
+       Byte-level splitting is UTF-8-safe — multi-byte sequences never
+       contain ASCII bytes — so this holds beyond ASCII too.
+    """
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    arr = pc.fill_null(text_col, "")
+    n = len(arr)
+    empty = pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    if n == 0:
+        return empty
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(
+        arr.buffers()[1],
+        dtype=odt,
+        count=n + 1,
+        offset=arr.offset * np.dtype(odt).itemsize,
+    ).astype(np.int64)
+    base, nbytes = int(off[0]), int(off[-1] - off[0])
+    if nbytes == 0:
+        return empty
+    # .copy(): detach from the (possibly shared-object-store) mapping
+    data = np.frombuffer(
+        arr.buffers()[2], dtype=np.uint8, count=nbytes, offset=base
+    ).copy()
+    off0 = off - base
+    is_tok = ~_RE2_WS_BYTES[data]
+    # interior run boundaries (views, no full-array copies)...
+    interior_starts = np.flatnonzero(is_tok[1:] & ~is_tok[:-1]) + 1
+    interior_ends = np.flatnonzero(is_tok[:-1] & ~is_tok[1:]) + 1
+    # ...plus row boundaries (a token never spans rows): the first /
+    # last byte of each non-empty row is a start / end when it's a
+    # token byte. O(rows), not O(bytes).
+    ne = off0[:-1] != off0[1:]
+    row_firsts = off0[:-1][ne]
+    row_lasts = off0[1:][ne] - 1
+    extra_starts = row_firsts[is_tok[row_firsts]]
+    extra_ends = row_lasts[is_tok[row_lasts]] + 1
+    # a boundary can be both interior and row-edge (ws before a row's
+    # first token byte) — unique-merge dedups; each maximal token run
+    # within a row then has exactly one start and one end, so the two
+    # sorted lists align pairwise
+    tok_starts = np.unique(np.concatenate([interior_starts, extra_starts]))
+    tok_ends = np.unique(np.concatenate([interior_ends, extra_ends]))
+    if len(tok_starts) == 0:
+        return empty
+    tlens = tok_ends - tok_starts
+    parents = np.searchsorted(off0, tok_starts, side="right") - 1
+    total = int(tlens.sum())
+    out_off = np.zeros(len(tok_starts) + 1, dtype=np.int64)
+    np.cumsum(tlens, out=out_off[1:])
+    gather = np.repeat(tok_starts - out_off[:-1], tlens) + np.arange(
+        total, dtype=np.int64
+    )
+    tok_bytes = data[gather]
+    if total < (1 << 31):
+        flat = pa.Array.from_buffers(
+            pa.utf8(),
+            len(tok_starts),
+            [
+                None,
+                pa.py_buffer(out_off.astype(np.int32).tobytes()),
+                pa.py_buffer(tok_bytes.tobytes()),
+            ],
+        )
+    else:
+        flat = pa.Array.from_buffers(
+            pa.large_utf8(),
+            len(tok_starts),
+            [
+                None,
+                pa.py_buffer(out_off.tobytes()),
+                pa.py_buffer(tok_bytes.tobytes()),
+            ],
+        )
     return flat, parents
 
 
